@@ -1,0 +1,120 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+The reference resolves entity duplication by a per-record recursive
+parent walk (GeneReader.scala:165-175) — unbounded recursion on one
+thread. At 10^12-turn scale the same problem is connected components
+over the same-as edge set; we use the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond"),
+which converges in O(log n) rounds and is expressible purely as
+join + min-aggregate — no collect_set of neighbor lists, so a
+hot node with 10^8 neighbors never materializes an array (skew safety;
+AQE skew-join handles the join side).
+
+Node ids are any orderable type (we use strings); the component id is
+the minimum node id in the component, matching oracle.canonical_map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return edges.unionByName(rev)
+
+
+def _min_neighbor(sym: DataFrame) -> DataFrame:
+    """Per node u: m = min(neighbors(u) ∪ {u}). Map-side combinable."""
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly larger neighbor of u to min(Γ⁺(u))."""
+    sym = _symmetrize(edges)
+    mins = _min_neighbor(sym)
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large->small, connect u and its smaller neighbors to
+    the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = _min_neighbor(oriented)
+    out = oriented.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        out.unionByName(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # modular sum keeps the order-insensitive checksum overflow-safe
+    # under ANSI mode (sum of raw xxhash64 overflows LongType)
+    h = F.pmod(F.xxhash64(F.concat_ws("|", "u", "v")), F.lit(1_000_000_007))
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(h), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_iter: int = 50
+) -> DataFrame:
+    """Return (node string, component string) for every node that appears
+    in ``edges``. Component id = min node id in the component.
+
+    Each round localCheckpoints the shrinking edge set: truncates the
+    lineage (no exponential plan growth) and re-balances partitions.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if cur.isEmpty():
+        return all_nodes.select("node", F.col("node").alias("component"))
+
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # Final assignment: component(u) = min(neighbors ∪ {u}) on the
+    # converged star graph; isolated-by-convergence roots map to self.
+    sym = _symmetrize(cur)
+    comp = _min_neighbor(sym).select(
+        F.col("u").alias("node"), F.col("m").alias("component")
+    )
+    return all_nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
