@@ -76,14 +76,42 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Driver-side union-find for edge sets under the local threshold."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
-    edges: DataFrame, src: str = "u", dst: str = "v", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 50,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Return (node string, component string) for every node that appears
     in ``edges``. Component id = min node id in the component.
 
-    Each round localCheckpoints the shrinking edge set: truncates the
-    lineage (no exponential plan growth) and re-balances partitions.
+    Adaptive execution, same spirit as Spark's broadcast-join threshold:
+    an edge set under ``local_threshold`` is solved with driver-side
+    union-find in one collect (the entity same-as graph is dictionary-
+    sized by design); anything larger runs the distributed
+    large-star/small-star loop. Pass ``local_threshold=0`` to force the
+    distributed path. Each distributed round localCheckpoints the
+    shrinking edge set: truncates lineage and re-balances partitions.
     """
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -91,6 +119,13 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if local_threshold > 0:
+        head = cur.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            spark = edges.sparkSession
+            out = _local_union_find([(r["u"], r["v"]) for r in head])
+            return spark.createDataFrame(out, "node string, component string")
+
     all_nodes = (
         cur.select(F.col("u").alias("node"))
         .unionByName(cur.select(F.col("v").alias("node")))

@@ -1,0 +1,176 @@
+"""Deduplication family for large-scale corpus pipelines.
+
+Four strategies, all shuffle-lean and portable (hash primitives are
+md5-hex so a SQL oracle can reproduce results bit-for-bit):
+
+- exact:      one hash-groupBy on the key (map-side combinable)
+- n-gram Jaccard: token-level set overlap *within blocking buckets* —
+  the pair space never goes quadratic in the corpus, only in the bucket
+- MinHash+LSH: k independent min-hashes (min of md5(seed:token), the
+  lexicographic min of a uniform hash IS a minhash), banded into
+  LSH buckets; candidate pairs come from a bucket self-join
+- SimHash:    16-bit signature via per-bit majority vote, computed as an
+  order-free weighted sum (no collect_list ordering hazards)
+
+At 100 TB the critical properties: tokenization explodes rows but every
+groupBy is map-side combinable; self-joins happen only inside
+bucket/band groups (broadcastable or AQE-skew-split); no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Groups with >1 row per key: (key..., n_dups, keeper_id).
+    Keeper = min id (deterministic)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs, whitespace tokenization."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Token-set Jaccard over pairs sharing a blocking key.
+
+    Pure relational: intersection via token equi-join, |A∪B| by
+    inclusion-exclusion. Returns (id_a, id_b, jaccard) with id_a < id_b
+    and jaccard rounded to 3 dp (oracle-portable)."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("block"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(
+        F.col("id").alias("id_a"), F.col("block"), F.col("token")
+    )
+    b = tok.select(
+        F.col("id").alias("id_b"), F.col("block"), F.col("token")
+    )
+    inter = (
+        a.join(b, ["block", "token"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                3,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash: sig_i = min over tokens of md5('<i>:'+tok).
+    One groupBy with k min-aggregates — a single shuffle, map-side
+    combinable, portable to any engine with md5."""
+    tok = tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the k signatures into ``bands`` groups of k/bands rows;
+    a pair is a candidate iff it collides in >=1 band. The self-join is
+    per band-hash bucket, never global."""
+    rows_per_band = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band = sigs.select(
+            "id", F.md5(F.concat_ws("|", *cols)).alias("band_hash")
+        ).withColumn("band", F.lit(b))
+        parts.append(band)
+    banded = reduce(lambda x, y: x.unionByName(y), parts)
+    other = banded.select(
+        F.col("id").alias("id_b"), "band", "band_hash"
+    )
+    return (
+        banded.join(other, ["band", "band_hash"])
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash as an integer: bit j is the majority vote over
+    tokens of bit j of md5(token) (hex digit j+1 >= '8'). Computed as
+    sum(±1) per (id, j) then an order-free weighted sum — identical in
+    any engine, no array-ordering dependence."""
+    tok = tokens(df, id_col, text_col)
+    j = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
+    votes = tok.select("id", "token", j).select(
+        "id",
+        "j",
+        F.when(
+            F.substring(F.md5(F.col("token")), F.col("j") + 1, 1).isin(
+                *list("89abcdef")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bits = votes.groupBy("id", "j").agg(F.sum("vote").alias("s"))
+    # pow instead of shiftleft: pyspark's shiftleft takes a Python int
+    # for numBits, not a Column; 2^j is exact in doubles for j<=15
+    return bits.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: broadcast the (small) query set against the
+  full corpus; the corpus side never shuffles, top-k is a per-query
+  window. The baseline — exact, O(|Q| * N).
+- LSH-bucketed ANN: sign-bit buckets from fixed hyperplanes; candidate
+  generation is an equi-join on bucket id, so the pair space is N/2^b
+  per query instead of N. The 100 TB scale path (IVF-style: probe one
+  bucket; recall traded for a 2^b fan-in reduction).
+
+Dot products run JVM-side via zip_with + aggregate over array<double>
+(no Python, no UDF). Scores are rounded before ranking so results are
+reproducible across engines (fp-sum-order differences live far below
+the rounding grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left fold over the zipped arrays — deterministic
+    summation order (unlike a shuffle-order SUM)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """Exact top-k neighbors for each query id.
+
+    ``query_ids`` is a 1-column DF of ids (small -> broadcast). Returns
+    (query_id, neighbor_id, score, rank); rank ties broken by
+    neighbor_id after rounding, so the ordering is total."""
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = emb.join(query_ids, emb[id_col] == query_ids[id_col], "left_semi").select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH bucket per vector: bit j = (v . h_j > 0).
+
+    ``planes`` carries (plane_idx int, plane array) — a handful of rows,
+    broadcast; the bucket id is the order-free weighted sum of sign
+    bits, one groupBy."""
+    p = planes.select(
+        F.col("plane_idx"), _as_double(F.col("plane")).alias("h")
+    )
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    bits = v.crossJoin(F.broadcast(p)).select(
+        "id",
+        F.when(
+            dot(F.col("v"), F.col("h")) > 0,
+            F.pow(F.lit(2.0), F.col("plane_idx")).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    return bits.groupBy("id").agg(F.sum("bit").cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    planes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """ANN: exact cosine ranking restricted to the query's LSH bucket."""
+    buckets = hyperplane_buckets(emb, planes, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    ).join(buckets.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    q = (
+        emb.join(query_ids, emb[id_col] == query_ids[id_col], "left_semi")
+        .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .join(
+            buckets.select(F.col("id").alias("query_id"), "bucket"), "query_id"
+        )
+    )
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -41,7 +41,7 @@ from gfftoneo4j_spark.functions.extraction import (
 )
 from gfftoneo4j_spark.operators.connected_components import connected_components
 from gfftoneo4j_spark.operators.linking import link_mentions
-from gfftoneo4j_spark.operators.windows import consecutive_pairs, stable_turn_order
+from gfftoneo4j_spark.operators.windows import stable_turn_order
 from gfftoneo4j_spark.plans.checkpoint import StageCheckpointer
 from gfftoneo4j_spark.plans.lineage import (
     lineage_for,
@@ -88,18 +88,45 @@ def build_kg(
         | F.col("turn_idx").isNull()
     )
     quarantined = transcripts.where(bad)
-    turns = transcripts.where(~bad).withColumn(
-        "turn_id",
-        F.concat_ws(":", F.lit("turn"), F.col("conv_id"), F.col("turn_idx")),
+    # turns fans out into 4 edge/node families — persist so the scan +
+    # filter runs once per action, not once per branch
+    turns = (
+        transcripts.where(~bad)
+        .withColumn(
+            "turn_id",
+            F.concat_ws(":", F.lit("turn"), F.col("conv_id"), F.col("turn_idx")),
+        )
+        .persist()
     )
 
-    # --- sequence edges: ONE shuffle on conv_id serves every window ----
+    # --- structural + sequence edges in ONE window pass over turns:
+    # lead() gives next_turn, the same row emits in_conv — a 2-struct
+    # explode instead of two union branches re-shuffling turns
     w_turn = stable_turn_order()
-    next_turn = consecutive_pairs(turns, "turn_id", w_turn, "next_turn")
-    in_conv = turns.select(
-        F.col("turn_id").alias("src"),
-        F.concat(F.lit("conv:"), F.col("conv_id")).alias("dst"),
-        F.lit("in_conv").alias("type"),
+    turn_edges = (
+        turns.select(
+            "turn_id",
+            "conv_id",
+            F.lead("turn_id").over(w_turn).alias("next_id"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("turn_id").alias("src"),
+                        F.col("next_id").alias("dst"),
+                        F.lit("next_turn").alias("type"),
+                    ),
+                    F.struct(
+                        F.col("turn_id").alias("src"),
+                        F.concat(F.lit("conv:"), F.col("conv_id")).alias("dst"),
+                        F.lit("in_conv").alias("type"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .where(F.col("dst").isNotNull())
     )
 
     # --- vectorized extraction (P1) ------------------------------------
@@ -148,25 +175,61 @@ def build_kg(
         linked = checkpointer.stage(
             "linked", linked, f"{fingerprint}:link:{extraction}"
         )
+    else:
+        # linked feeds 4 edge families + 2 node sets: without a
+        # checkpoint, persist so the pandas-UDF extraction and the
+        # broadcast join execute once, not once per branch
+        linked = linked.persist()
 
-    # --- edge families ---------------------------------------------------
-    has_mention = linked.select(
-        F.col("turn_id").alias("src"),
-        F.col("mention_id").alias("dst"),
-        F.lit("has_mention").alias("type"),
-    )
-    refers_to = linked.select(
-        F.col("mention_id").alias("src"),
-        F.concat(F.lit("ent:"), F.col("canonical_id")).alias("dst"),
-        F.lit("refers_to").alias("type"),
-    )
-    w_turn_m = stable_turn_order(part=("conv_id", "turn_idx"), order=("pos",))
-    mentions_seq = consecutive_pairs(linked, "mention_id", w_turn_m, "mentions_seq")
+    # --- mention edge families in ONE window pass over linked ----------
+    # The conv-wide lead() ordered by (turn_idx, pos) yields the `links`
+    # chain; restricting it to same-turn successors yields the
+    # `mentions_seq` chain (consecutive kept mentions within a turn) —
+    # no second window shuffle. has_mention / refers_to ride the same
+    # row via the 4-struct explode.
     w_conv_m = stable_turn_order(part=("conv_id",), order=("turn_idx", "pos"))
-    links = consecutive_pairs(linked, "mention_id", w_conv_m, "links")
+    mention_edges = (
+        linked.select(
+            "turn_id",
+            "turn_idx",
+            "mention_id",
+            "canonical_id",
+            F.lead("mention_id").over(w_conv_m).alias("next_m"),
+            F.lead("turn_idx").over(w_conv_m).alias("next_t"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("turn_id").alias("src"),
+                        F.col("mention_id").alias("dst"),
+                        F.lit("has_mention").alias("type"),
+                    ),
+                    F.struct(
+                        F.col("mention_id").alias("src"),
+                        F.concat(F.lit("ent:"), F.col("canonical_id")).alias("dst"),
+                        F.lit("refers_to").alias("type"),
+                    ),
+                    F.struct(
+                        F.col("mention_id").alias("src"),
+                        F.col("next_m").alias("dst"),
+                        F.lit("links").alias("type"),
+                    ),
+                    F.struct(
+                        F.col("mention_id").alias("src"),
+                        F.when(
+                            F.col("next_t") == F.col("turn_idx"), F.col("next_m")
+                        ).alias("dst"),
+                        F.lit("mentions_seq").alias("type"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .where(F.col("dst").isNotNull())
+    )
 
-    edge_parts = [next_turn, in_conv, has_mention, refers_to, mentions_seq, links]
-    edges = reduce(lambda a, b: a.unionByName(b), edge_parts).dropDuplicates(
+    edges = turn_edges.unionByName(mention_edges).dropDuplicates(
         ["src", "dst", "type"]
     )
     if checkpointer is not None:

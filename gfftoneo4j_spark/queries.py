@@ -1,0 +1,831 @@
+"""Query registry: one entry per operator from SURVEY.md §2 plus the
+training-data operator families, each with an exact ANSI-SQL twin for
+the DuckDB correctness gate (driver contract in __spark_entry__.py).
+
+Every Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names and value domains match the paired SQL exactly (computed
+columns aliased identically on both sides; doubles rounded before
+comparison; hash primitives are md5-hex for engine portability).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gfftoneo4j_spark.functions import text as TX
+from gfftoneo4j_spark.operators import dedup as DD
+from gfftoneo4j_spark.operators import similarity as SIM
+from gfftoneo4j_spark.operators.connected_components import connected_components
+from gfftoneo4j_spark.plans.pipeline import build_kg
+from gfftoneo4j_spark.sources.transcripts import (
+    alias_dict_from_events,
+    load_table,
+    transcripts_from_events,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# KG pipeline queries (SURVEY.md §2.9 composite + north_rule core)
+# --------------------------------------------------------------------------
+
+_KG_TRANSCRIPTS_SQL = """
+SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+       CASE WHEN event_type = 'error' THEN 'tool'
+            WHEN event_type = 'purchase' THEN 'assistant'
+            ELSE 'user' END AS role,
+       'evt ' || event_type || ' <<m:' || event_type ||
+           CAST(CAST(floor(value) AS BIGINT) % 5 AS VARCHAR) || '>>' AS text,
+       CASE WHEN event_type = 'error' THEN 'search' END AS tool,
+       ts
+FROM events
+"""
+
+
+@register("kg_transcripts", _KG_TRANSCRIPTS_SQL)
+def kg_transcripts(spark, sf_dir):
+    """S1-source analogue: the deterministic transcript derivation
+    (window-ranked stable turn ordering, W1)."""
+    return transcripts_from_events(spark, sf_dir)
+
+
+@register(
+    "kg_triples",
+    f"""
+WITH t AS ({_KG_TRANSCRIPTS_SQL}),
+turns AS (
+  SELECT conv_id, turn_idx,
+         'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS turn_id,
+         'mention:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS mention_id,
+         regexp_extract(text, '<<m:([A-Za-z0-9_.\\-]+)>>', 1) AS alias
+  FROM t
+),
+m AS (
+  SELECT *, 'ent:E_' || regexp_replace(alias, '[0-9]+$', '') || '0' AS ent
+  FROM turns
+),
+e AS (
+  SELECT turn_id AS src,
+         lead(turn_id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst,
+         'next_turn' AS type
+  FROM turns
+  UNION
+  SELECT turn_id, 'conv:' || conv_id, 'in_conv' FROM turns
+  UNION
+  SELECT turn_id, mention_id, 'has_mention' FROM m
+  UNION
+  SELECT mention_id, ent, 'refers_to' FROM m
+  UNION
+  SELECT mention_id,
+         lead(mention_id) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+         'links'
+  FROM m
+)
+SELECT src AS subj, type AS pred, dst AS obj FROM e WHERE dst IS NOT NULL
+""",
+)
+def kg_triples(spark, sf_dir):
+    """Flagship: full extract->link->canonicalize->materialize pipeline
+    (pandas-UDF extraction, broadcast linking, distributed CC). The
+    oracle reproduces it closed-form: the derived alias dictionary's
+    parent chains make canonical(E_<type><d>) == E_<type>0."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = alias_dict_from_events(spark, sf_dir)
+    return build_kg(spark, t, d, extraction="pandas").triples
+
+
+@register(
+    "cc_components",
+    """
+WITH e AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS u,
+         'r' || CAST(n_regionkey AS VARCHAR) AS v
+  FROM nation
+),
+nodes AS (
+  SELECT u AS node, v AS grp FROM e
+  UNION
+  SELECT v AS node, v AS grp FROM e
+),
+mins AS (SELECT grp, min(node) AS component FROM nodes GROUP BY grp)
+SELECT node, component FROM nodes JOIN mins USING (grp)
+""",
+)
+def cc_components(spark, sf_dir):
+    """J4: large-star/small-star CC on the nation->region star forest;
+    the oracle computes components closed-form (per-region min)."""
+    nation = load_table(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("u"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("v"),
+    )
+    # local_threshold=0 forces the distributed large-star/small-star
+    # path so the gate exercises the real scale operator
+    return connected_components(edges, local_threshold=0)
+
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 scans, projections, filters, predicates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def scan_project_filter(spark, sf_dir):
+    """S1+P5+P7: parquet scan with pushed filter + narrow projection.
+    The product is left unrounded: a per-row IEEE multiply is
+    bit-identical across engines, while round() at 2dp flips on
+    representation boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+
+
+@register(
+    "null_encoding",
+    """
+SELECT doc_id, nullif(lang, 'en') AS lang_opt, nullif(source, 'src0') AS source_opt
+FROM documents
+""",
+)
+def null_encoding(spark, sf_dir):
+    """P2: sentinel-to-null ('.'-style encoding, GffParser.scala:35-42)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.nullif(F.col("lang"), F.lit("en")).alias("lang_opt"),
+        F.nullif(F.col("source"), F.lit("src0")).alias("source_opt"),
+    )
+
+
+@register(
+    "attr_kv_parse",
+    """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS attr_k
+FROM events
+""",
+)
+def attr_kv_parse(spark, sf_dir):
+    """P3/P4/F7: attribute key/value parse out of a semi-structured
+    string column (the GFF attributes analogue)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": *([0-9]+)', 1)
+        .try_cast("bigint")
+        .alias("attr_k"),
+    )
+
+
+@register(
+    "id_strategy_dispatch",
+    """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN 'p:' || CAST(user_id AS VARCHAR)
+            WHEN event_type = 'signup' THEN 's:' || CAST(user_id AS VARCHAR)
+            ELSE 'e:' || CAST(event_id AS VARCHAR) END AS extracted_id,
+       coalesce(nullif(event_type, 'click'), 'fallback') AS strategy_chain
+FROM events
+""",
+)
+def id_strategy_dispatch(spark, sf_dir):
+    """P8 byFeatureType dispatch + J5 orElse chain (coalesce)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit("p:"), F.col("user_id").cast("string")),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit("s:"), F.col("user_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("e:"), F.col("event_id").cast("string")))
+        .alias("extracted_id"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("click")), F.lit("fallback")).alias(
+            "strategy_chain"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_join",
+    """
+SELECT l_orderkey, l_linenumber, p_brand
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+)
+def broadcast_join(spark, sf_dir):
+    """J1/J2: broadcast-hash probe of the small dimension (the
+    GffLinesRepository id-index analogue)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    return li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        "l_orderkey", "l_linenumber", "p_brand"
+    )
+
+
+@register(
+    "anti_join_misses",
+    """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+""",
+)
+def anti_join_misses(spark, sf_dir):
+    """J2 miss path: parent-lookup misses routed out via left-anti
+    (ParentInfoNotFound -> lineage, GeneReader.scala:85-90)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey")
+
+
+@register(
+    "exactly_one_parent",
+    """
+SELECT l_orderkey AS order_id, CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_orderkey
+HAVING count(DISTINCT l_partkey) = 1
+""",
+)
+def exactly_one_parent(spark, sf_dir):
+    """J3/Q9: exactly-one-distinct-parent rule
+    (GeneReader.scala:210-218): orders whose items reference exactly
+    one part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .where(F.col("n_parts") == 1)
+        .select("order_id", "n_items")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_rollup",
+    """
+WITH per_order AS (
+  SELECT o_orderkey, o_custkey, count(*) AS n_items,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_value
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_custkey
+)
+SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS n_items,
+       CAST(sum(order_value) AS DECIMAL(18,2)) AS total_value
+FROM per_order GROUP BY o_custkey
+""",
+)
+def hierarchy_rollup(spark, sf_dir):
+    """A2/§2.9: the two-level hierarchy fold (exon->splicing->gene as
+    lineitem->order->customer) as cascaded hash aggregations."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # decimal sums are exact and order-independent — doubles
+            # would drift with shuffle order at scale
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "order_value"
+            ),
+        )
+    )
+    return per_order.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").cast("long").alias("n_items"),
+        F.sum("order_value").cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+@register(
+    "index_build",
+    """
+SELECT l_partkey AS id, CAST(count(*) AS BIGINT) AS n,
+       round(max(l_quantity), 2) AS max_qty
+FROM lineitem GROUP BY l_partkey
+""",
+)
+def index_build(spark, sf_dir):
+    """A3/J1-build: map-side-combinable id-index construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias("id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@register(
+    "salted_aggregation",
+    """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def salted_aggregation(spark, sf_dir):
+    """Skew hardening (north_rule): two-stage salted aggregation over a
+    3-hot-key distribution; must equal the plain GROUP BY the oracle
+    runs. Partial agg on (key, salt) spreads each hot key over 16
+    reducers before the cheap final merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("pq").cast("decimal(18,2)").alias("sum_qty"),
+    )
+
+
+@register(
+    "lineage_counts",
+    """
+SELECT event_type AS reason, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value < 50 GROUP BY event_type
+""",
+)
+def lineage_counts(spark, sf_dir):
+    """A5/A6: per-reason dropped-row accounting (Writer-log analogue)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value") < 50)
+        .groupBy(F.col("event_type").alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows / ordered operators
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_lead_pairs",
+    """
+SELECT src, dst FROM (
+  SELECT event_id AS src,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+) WHERE dst IS NOT NULL
+""",
+)
+def window_lead_pairs(spark, sf_dir):
+    """W2: zip-with-tail consecutive pairing (order/links/mRNA edges)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_id").alias("src"),
+            F.lead("event_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+
+
+@register(
+    "window_row_number",
+    """
+SELECT event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+FROM events
+""",
+)
+def window_row_number(spark, sf_dir):
+    """W1/W3: stable in-group enumeration."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "topk_per_group",
+    """
+SELECT custkey, o_orderkey, rn FROM (
+  SELECT o_custkey AS custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 set ops, §2.7 scalar functions, K2 dedup-on-write
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_merge",
+    "SELECT c_name AS name FROM customer UNION SELECT s_name AS name FROM supplier",
+)
+def set_union_merge(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "scalar_functions",
+    """
+SELECT doc_id, lower(source) AS src_l, upper(lang) AS lang_u,
+       substring(text, 1, 12) AS prefix, CAST(length(text) AS BIGINT) AS n_chars2,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       lang || '/' || source AS cat
+FROM documents
+""",
+)
+def scalar_functions(spark, sf_dir):
+    """F1-F8: casts, case folding, trim/substring, regex token match,
+    string building."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("source").alias("src_l"),
+        F.upper("lang").alias("lang_u"),
+        F.substring("text", 1, 12).alias("prefix"),
+        F.length("text").cast("long").alias("n_chars2"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("/", "lang", "source").alias("cat"),
+    )
+
+
+@register(
+    "dedup_on_write",
+    "SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem",
+)
+def dedup_on_write(spark, sf_dir):
+    """K2: `create unique` edge semantics -> dropDuplicates pre-write."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+
+
+# --------------------------------------------------------------------------
+# training-data operators: dedup family
+# --------------------------------------------------------------------------
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keeper_id
+FROM corpus GROUP BY text HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (deterministic dup
+    injection: every 7th doc duplicated under doc_id+1e6)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return DD.exact_duplicates(corpus, ["text"], "doc_id").select(
+        F.md5("text").alias("text_hash"), "n_dups", "keeper_id"
+    )
+
+
+@register(
+    "ngram_jaccard",
+    """
+WITH tok AS (
+  SELECT DISTINCT d.doc_id AS id, d.lang || '|' || CAST(d.n_chars AS VARCHAR) AS block, t.tok AS token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.block = b.block AND a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 3) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 3) >= 0.8
+""",
+)
+def ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup within (lang, n_chars) blocking
+    buckets — pair space stays per-bucket, never corpus-quadratic."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "lang", F.col("n_chars").cast("string"))
+    )
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", "block", 0.8).select(
+        F.col("id_a"), F.col("id_b"), "jaccard"
+    )
+
+
+@register(
+    "simhash_signatures",
+    """
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''
+),
+votes AS (
+  SELECT id, j.j,
+         CASE WHEN substring(md5(token), j.j + 1, 1) IN
+              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS j) j
+),
+bits AS (SELECT id, j, sum(vote) AS s FROM votes GROUP BY id, j)
+SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY id
+""",
+)
+def simhash_signatures(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash16(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# training-data operators: similarity search
+# --------------------------------------------------------------------------
+
+_EMB_EXPLODE_SQL = """
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+"""
+
+
+@register(
+    "embedding_topk",
+    f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q JOIN ex e ON q.i = e.i AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dp / (nq.nrm * ne.nrm), 3) AS score
+  FROM dots
+  JOIN n nq ON nq.vec_id = query_id
+  JOIN n ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): queries broadcast
+    against the corpus, dot products JVM-side via zip_with/aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    return SIM.cosine_topk(emb, qids, k=3)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+planes AS (SELECT vec_id - 5 AS plane_idx, i, x FROM ex WHERE vec_id BETWEEN 5 AND 8),
+bitdots AS (
+  SELECT e.vec_id, p.plane_idx, sum(e.x * p.x) AS dp
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.plane_idx
+),
+buckets AS (
+  SELECT vec_id AS id,
+         CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, plane_idx) AS INTEGER) ELSE 0 END) AS INTEGER) AS bucket
+  FROM bitdots GROUP BY vec_id
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+q AS (SELECT ex.* FROM ex WHERE vec_id < 5),
+cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q JOIN buckets bq ON bq.id = q.vec_id
+  JOIN buckets be ON be.bucket = bq.bucket AND be.id <> q.vec_id
+  JOIN ex e ON e.vec_id = be.id AND e.i = q.i
+  GROUP BY q.vec_id, e.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dp / (nq.nrm * ne.nrm), 3) AS score
+  FROM cand JOIN n nq ON nq.vec_id = query_id JOIN n ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the 100 TB scale path): sign-bit buckets from 4
+    fixed hyperplanes (vectors 5..8), candidates restricted to the
+    query's bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    planes = emb.where(F.col("vec_id").between(5, 8)).select(
+        (F.col("vec_id") - 5).cast("int").alias("plane_idx"),
+        F.col("embedding").alias("plane"),
+    )
+    return SIM.lsh_topk(emb, qids, planes, k=3)
+
+
+# --------------------------------------------------------------------------
+# training-data operators: text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_analysis",
+    """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
+       round(len(list_distinct(string_split_regex(trim(text), ' +'))) /
+             len(string_split_regex(trim(text), ' +')), 3) AS distinct_ratio,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+)
+def text_analysis(spark, sf_dir):
+    """Token counting, lexical diversity, canonical fingerprint — all
+    built-in expressions (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.word_count_regex(F.col("text")).alias("n_words"),
+        TX.distinct_token_ratio(F.col("text")).alias("distinct_ratio"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@register(
+    "lang_id_scores",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','la','de','et'))) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h
+""",
+)
+def lang_id_scores(spark, sf_dir):
+    """Stopword-vote language ID (n-gram heuristic family)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "quality_scores",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END +
+        round(len(list_distinct(toks)) / len(toks), 3) * 0.5, 3) AS quality
+FROM t
+""",
+)
+def quality_scores(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# streaming-shaped + multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup — the batch twin of the structured
+    streaming aggregation (streaming path tested in pytest)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic
+FROM documents
+""",
+)
+def multimodal_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: treat content as bytes + typed
+    metadata (the image/audio pattern; decode itself is stubbed in
+    operators/multimodal.py since codec libs aren't in the image)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic"),
+    )

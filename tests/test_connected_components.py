@@ -24,16 +24,24 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
-def test_cc_simple_chain(spark):
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [0, 100_000])
+def test_cc_simple_chain(spark, threshold):
     edges = [("b", "a"), ("c", "b"), ("e", "d")]
     df = spark.createDataFrame(edges, ["u", "v"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=threshold).collect()
+    }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
 
 
-def test_cc_random_graphs_match_union_find(spark):
+@pytest.mark.parametrize("threshold", [0, 100_000])
+def test_cc_random_graphs_match_union_find(spark, threshold):
     rng = np.random.default_rng(7)
-    for trial in range(3):
+    for trial in range(2):
         n = 60
         m = int(rng.integers(20, 120))
         edges = [
@@ -45,7 +53,10 @@ def test_cc_random_graphs_match_union_find(spark):
             continue
         want = _uf_components(edges)
         df = spark.createDataFrame(edges, ["u", "v"])
-        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, local_threshold=threshold).collect()
+        }
         assert got == want, f"trial {trial} mismatch"
 
 
