@@ -132,6 +132,146 @@ def make_transcripts(cfg: CorpusConfig) -> list[dict]:
     return rows
 
 
+def make_transcripts_fast(
+    n_turns: int,
+    n_entities: int = 200,
+    turns_per_conv: int = 20,
+    seed: int = 42,
+    unknown_alias_rate: float = 0.03,
+    mention_rate: float = 0.8,
+):
+    """Vectorized generator for scale benchmarks: builds ``n_turns`` rows
+    in numpy/pandas (no per-row Python loop), same schema and marker
+    grammar as make_transcripts. Returns a pandas DataFrame.
+
+    Skew is built in: entity popularity is Zipf, and conversation 0 is a
+    mega-conversation holding ~1% of all turns (north_rule hazards).
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    mega = max(turns_per_conv, n_turns // 100)  # mega-conversation tail
+    rest = n_turns - mega
+    n_conv = max(1, rest // turns_per_conv)
+    conv_sizes = np.full(n_conv + 1, turns_per_conv, dtype=np.int64)
+    conv_sizes[0] = mega
+    conv_sizes[-1] = rest - turns_per_conv * (n_conv - 1)
+    conv_sizes = conv_sizes[conv_sizes > 0]
+    conv_id = np.repeat(np.arange(len(conv_sizes)), conv_sizes)
+    # per-conversation 0..k-1 turn index without a Python loop
+    starts = np.concatenate(([0], np.cumsum(conv_sizes)[:-1]))
+    turn_idx = (np.arange(conv_id.size) - np.repeat(starts, conv_sizes)).astype(
+        np.int32
+    )
+
+    aliases = np.array([f"e{i:05d}_a0" for i in range(n_entities)])
+    zipf = np.minimum(rng.zipf(1.3, size=conv_id.size) - 1, n_entities - 1)
+    alias = aliases[zipf]
+    ghost = rng.random(conv_id.size) < unknown_alias_rate
+    alias = np.where(ghost, "ghost_x", alias)
+    has_mention = rng.random(conv_id.size) < mention_rate
+
+    phrases = np.array(
+        [" ".join(rng.choice(FILLER, size=6)) for _ in range(512)]
+    )
+    base = phrases[rng.integers(0, len(phrases), size=conv_id.size)]
+    text = pd.Series(base)
+    marked = text + " <<m:" + pd.Series(alias) + ">> " + text
+    text = pd.Series(np.where(has_mention, marked, text))
+
+    roles = np.array(ROLES)[turn_idx % 3]
+    ts = pd.Timestamp(EPOCH) + pd.to_timedelta(
+        conv_id * 3600 + turn_idx * 30, unit="s"
+    )
+    return pd.DataFrame(
+        {
+            # vectorized zero-pad: a per-row f-string lambda costs ~60s
+            # at 64M rows
+            "conv_id": "conv" + pd.Series(conv_id).astype("string").str.zfill(7),
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": text,
+            "tool": pd.Series([None] * conv_id.size, dtype="object"),
+            "ts": ts,
+        }
+    )
+
+
+def fast_alias_dict(n_entities: int = 200, parent_chain_frac: float = 0.3, seed: int = 42):
+    """Dictionary matching make_transcripts_fast's alias space."""
+    rng = np.random.default_rng(seed + 1)
+    rows = []
+    ents = [f"E{i:05d}" for i in range(n_entities)]
+    for i, ent in enumerate(ents):
+        parent = (
+            ents[int(rng.integers(0, i))]
+            if i > 0 and rng.random() < parent_chain_frac
+            else None
+        )
+        rows.append(
+            {
+                "alias": f"e{i:05d}_a0",
+                "entity_id": ent,
+                "entity_type": "entity",
+                "parent_id": parent,
+            }
+        )
+    return rows
+
+
+def write_corpus_fast(
+    out_dir: str,
+    n_turns: int,
+    n_entities: int = 200,
+    seed: int = 42,
+    rows_per_file: int = 250_000,
+    row_group_size: int = 50_000,
+) -> tuple[str, str]:
+    """Write a large benchmark corpus as multiple parquet files with
+    small row groups (~1.3MB) so the Spark scan can be split to any
+    parallelism level — the local stand-in for the tens of thousands of
+    natural splits a 100 TB table has."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t_dir = os.path.join(out_dir, "transcripts.parquet")
+    d_path = os.path.join(out_dir, "alias_dict.parquet")
+    os.makedirs(t_dir, exist_ok=True)
+    pdf = make_transcripts_fast(n_turns, n_entities=n_entities, seed=seed)
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    for i, lo in enumerate(range(0, len(pdf), rows_per_file)):
+        chunk = pdf.iloc[lo : lo + rows_per_file]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
+            os.path.join(t_dir, f"part-{i:04d}.parquet"),
+            row_group_size=row_group_size,
+        )
+    d_schema = pa.schema(
+        [
+            pa.field("alias", pa.string()),
+            pa.field("entity_id", pa.string()),
+            pa.field("entity_type", pa.string()),
+            pa.field("parent_id", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(fast_alias_dict(n_entities, seed=seed), schema=d_schema),
+        d_path,
+    )
+    return t_dir, d_path
+
+
 def write_corpus(out_dir: str, cfg: CorpusConfig | None = None) -> tuple[str, str]:
     """Write transcripts.parquet + alias_dict.parquet under ``out_dir``
     (pyarrow — generation shouldn't occupy the Spark cluster)."""

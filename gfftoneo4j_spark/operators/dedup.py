@@ -143,6 +143,47 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH dedup: signatures -> banded candidate pairs ->
+    exact-Jaccard verification of candidates only. The verify join
+    touches candidate pairs, not the corpus-quadratic pair space —
+    LSH's whole point. Returns (id_a, id_b, jaccard) with jaccard >=
+    threshold, rounded 3dp (oracle-portable)."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    cand = lsh_candidate_pairs(sigs, k, bands)
+    tok = tokens(df, id_col, text_col)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 3
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash as an integer: bit j is the majority vote over
     tokens of bit j of md5(token) (hex digit j+1 >= '8'). Computed as

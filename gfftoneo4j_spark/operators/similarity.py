@@ -107,6 +107,38 @@ def hyperplane_buckets(
     return bits.groupBy("id").agg(F.sum("bit").cast("int").alias("bucket"))
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    planes: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: the pair
+    space is per-bucket (N/2^b per side), never corpus-quadratic.
+    Identical vectors always share a bucket, so exact dups are never
+    missed; near-dups are missed only when a hyperplane splits them
+    (recall tunable via number of planes). Returns
+    (id_a, id_b, score) with id_a < id_b."""
+    buckets = hyperplane_buckets(emb, planes, id_col, vec_col)
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).join(buckets, "id")
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: DataFrame,

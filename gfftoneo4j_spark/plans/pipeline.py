@@ -9,15 +9,20 @@ hierarchy -> write graph), with semantics frozen in
         └─pandas-UDF extract──> mentions ──broadcast link──> linked
               └─ CC canonicalization (same-as chains) ──> refers_to
     edges = next_turn ∪ in_conv ∪ has_mention ∪ mentions_seq ∪ links
-            ∪ refers_to, dropDuplicates (the `create unique` analogue)
+            ∪ refers_to — unique by construction (`create unique`
+            analogue): keys are deduped inside the window passes and
+            contract violators land in lineage
     triples = (subj, pred, obj) view of edges
 
 Scale notes (100 TB / 10^12 turns):
-- The ONLY wide exchanges are the per-conversation windows (one shuffle
-  on conv_id — all four sequence-edge families reuse the same
-  partitioning) and the final dropDuplicates. Linking is a broadcast
-  join (zero shuffle of the mention table); canonicalization shuffles
-  only the tiny entity edge set.
+- The ONLY wide exchanges are the two per-conversation windows (one
+  shuffle each on conv_id; every edge family rides one of them —
+  key-dedup, lag-mark and lead() share the same exchange). There is NO
+  global edge dedup: a dropDuplicates over 10^12 edges would build a
+  corpus-sized hash map and a third full shuffle (profiled as the
+  hottest operator in the pipeline before removal). Linking is a
+  broadcast join (zero shuffle of the mention table); canonicalization
+  shuffles only the tiny entity edge set.
 - Mega-conversations make conv_id a skewed window key; the window is
   semantically sequential per conversation, so we cap skew damage by
   AQE + `repartition(conv_id)` before the window rather than salting
@@ -81,33 +86,75 @@ def build_kg(
     extraction: str = "pandas",
     checkpointer: StageCheckpointer | None = None,
     fingerprint: str = "default",
+    persist_intermediates: bool = False,
 ) -> KGResult:
+    """``persist_intermediates`` caches ``linked`` for interactive
+    sessions that act on many outputs (nodes AND edges AND metrics...).
+    Off by default: building the columnar cache costs more than one
+    recompute (measured at local[32]: +40s cache build vs 11s recompute
+    of the extraction+linking plan), and production multi-output runs
+    pass a ``checkpointer``, which materializes stages as parquet
+    snapshots — the resumable, cluster-correct equivalent."""
     bad = (
         F.col("text").isNull()
         | (F.col("text") == "")
         | F.col("turn_idx").isNull()
     )
     quarantined = transcripts.where(bad)
-    # turns fans out into 4 edge/node families — persist so the scan +
-    # filter runs once per action, not once per branch
-    turns = (
-        transcripts.where(~bad)
-        .withColumn(
-            "turn_id",
-            F.concat_ws(":", F.lit("turn"), F.col("conv_id"), F.col("turn_idx")),
-        )
-        .persist()
+    # turns fans out into 4 edge/node families. Deliberately NOT
+    # persisted: the source is columnar parquet, so each branch re-scans
+    # only the columns it needs (pruned, ~free), while caching 10^12
+    # text-bearing rows would pay columnar re-compression up front
+    # (measured 63s for 4M rows at local[32] — slower than every
+    # downstream branch combined) and then read *slower* than parquet.
+    turns_raw = transcripts.where(~bad)
+    turns = turns_raw.withColumn(
+        "turn_id",
+        F.concat_ws(":", F.lit("turn"), F.col("conv_id"), F.col("turn_idx")),
+    )
+    # id-string constructors, evaluated POST-shuffle everywhere below:
+    # exchanges carry only (conv_id, turn_idx[, pos, ts]) — at 10^12 rows
+    # the "turn:"/"mention:" prefixes and stringified ints would roughly
+    # double the shuffled bytes (and cross executor sockets twice)
+    _turn_id = F.concat_ws(":", F.lit("turn"), F.col("conv_id"), F.col("turn_idx"))
+    _mention_id = F.concat_ws(
+        ":", F.lit("mention"), F.col("conv_id"), F.col("turn_idx"), F.col("pos")
     )
 
     # --- structural + sequence edges in ONE window pass over turns:
     # lead() gives next_turn, the same row emits in_conv — a 2-struct
-    # explode instead of two union branches re-shuffling turns
+    # explode instead of two union branches re-shuffling turns.
+    #
+    # Edge uniqueness (the reference's `create unique`, Neo4JUtils.scala:43)
+    # is enforced HERE, not by a global dropDuplicates: every edge family
+    # is unique by construction once (conv_id, turn_idx) is unique, so we
+    # dedup the *keys* with a lag() inside the window shuffle that already
+    # exists (zero extra exchanges) and quarantine violators to lineage.
+    # A global dropDuplicates on the edge set would build a
+    # 10^12-entry string-keyed hash map + a full extra shuffle — measured
+    # as the single hottest operator in the pipeline before removal
+    # (FastHashMap.findOrInsert + copyMemory dominating task CPU).
     w_turn = stable_turn_order()
+    marked_turns = turns_raw.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lag("turn_idx").over(w_turn).alias("prev_idx"),
+    )
+    dup_turns = marked_turns.where(
+        F.col("prev_idx") == F.col("turn_idx")
+    ).select(_turn_id.alias("turn_id"), "conv_id")
     turn_edges = (
-        turns.select(
-            "turn_id",
+        marked_turns.where(
+            F.col("prev_idx").isNull() | (F.col("prev_idx") != F.col("turn_idx"))
+        )
+        # same window spec over the same partitioning: Catalyst reuses
+        # the exchange and the sort order survives the filter, so this
+        # second window adds no shuffle
+        .select(
+            _turn_id.alias("turn_id"),
             "conv_id",
-            F.lead("turn_id").over(w_turn).alias("next_id"),
+            F.lead(_turn_id).over(w_turn).alias("next_id"),
         )
         .select(
             F.explode(
@@ -137,11 +184,10 @@ def build_kg(
     else:
         raise ValueError(f"unknown extraction mode {extraction!r}")
     mentions = (
-        turns.select("conv_id", "turn_idx", "turn_id", F.explode(ms).alias("m"))
+        turns_raw.select("conv_id", "turn_idx", F.explode(ms).alias("m"))
         .select(
             "conv_id",
             "turn_idx",
-            "turn_id",
             F.col("m.pos").alias("pos"),
             F.col("m.alias").alias("alias"),
         )
@@ -153,20 +199,14 @@ def build_kg(
 
     # --- broadcast entity linking (J1/J2) -------------------------------
     lr = link_mentions(mentions, alias_dict)
-    linked = lr.linked.withColumn(
-        "mention_id",
-        F.concat_ws(
-            ":", F.lit("mention"), F.col("conv_id"), F.col("turn_idx"), F.col("pos")
-        ),
-    )
 
     # --- canonicalization (J4 -> CC) ------------------------------------
     canon = _canonicalize_entities(alias_dict)
     if checkpointer is not None:
         canon = checkpointer.stage("canon", canon, f"{fingerprint}:canon")
     linked = (
-        linked.join(
-            F.broadcast(canon), linked["entity_id"] == canon["node"], "left"
+        lr.linked.join(
+            F.broadcast(canon), lr.linked["entity_id"] == canon["node"], "left"
         )
         .withColumn("canonical_id", F.coalesce("component", "entity_id"))
         .drop("node", "component")
@@ -175,10 +215,7 @@ def build_kg(
         linked = checkpointer.stage(
             "linked", linked, f"{fingerprint}:link:{extraction}"
         )
-    else:
-        # linked feeds 4 edge families + 2 node sets: without a
-        # checkpoint, persist so the pandas-UDF extraction and the
-        # broadcast join execute once, not once per branch
+    elif persist_intermediates:
         linked = linked.persist()
 
     # --- mention edge families in ONE window pass over linked ----------
@@ -188,13 +225,29 @@ def build_kg(
     # no second window shuffle. has_mention / refers_to ride the same
     # row via the 4-struct explode.
     w_conv_m = stable_turn_order(part=("conv_id",), order=("turn_idx", "pos"))
+    marked_mentions = linked.select(
+        "conv_id",
+        "turn_idx",
+        "pos",
+        "canonical_id",
+        F.lag("turn_idx").over(w_conv_m).alias("prev_t"),
+        F.lag("pos").over(w_conv_m).alias("prev_p"),
+    )
+    dup_mentions = marked_mentions.where(
+        (F.col("prev_t") == F.col("turn_idx")) & (F.col("prev_p") == F.col("pos"))
+    ).select(_mention_id.alias("mention_id"))
     mention_edges = (
-        linked.select(
-            "turn_id",
+        marked_mentions.where(
+            F.col("prev_t").isNull()
+            | (F.col("prev_t") != F.col("turn_idx"))
+            | (F.col("prev_p") != F.col("pos"))
+        )
+        .select(
+            _turn_id.alias("turn_id"),
             "turn_idx",
-            "mention_id",
+            _mention_id.alias("mention_id"),
             "canonical_id",
-            F.lead("mention_id").over(w_conv_m).alias("next_m"),
+            F.lead(_mention_id).over(w_conv_m).alias("next_m"),
             F.lead("turn_idx").over(w_conv_m).alias("next_t"),
         )
         .select(
@@ -229,9 +282,13 @@ def build_kg(
         .where(F.col("dst").isNotNull())
     )
 
-    edges = turn_edges.unionByName(mention_edges).dropDuplicates(
-        ["src", "dst", "type"]
-    )
+    # No dropDuplicates here: with (conv_id, turn_idx) and mention pos
+    # deduped inside the window passes above, every family emits each
+    # (src, dst, type) exactly once (next_turn/links: one lead per kept
+    # row; in_conv/has_mention/refers_to/mentions_seq: one per kept
+    # row). `create unique` write semantics for arbitrary inputs remain
+    # available via dropDuplicates at the sink (see queries.dedup_on_write).
+    edges = turn_edges.unionByName(mention_edges)
     if checkpointer is not None:
         edges = checkpointer.stage("edges", edges, f"{fingerprint}:edges")
 
@@ -264,7 +321,7 @@ def build_kg(
         str_props.alias("props"),
     )
     mention_nodes = linked.select(
-        F.col("mention_id").alias("node_id"),
+        _mention_id.alias("node_id"),
         F.lit("mention").alias("label"),
         F.create_map(
             F.lit("alias"), F.col("alias"),
@@ -291,6 +348,8 @@ def build_kg(
             lineage_for(quarantined, "quarantine", "quarantine_empty_text", "conv_id"),
             lineage_for(lr.unlinked, "linking", "unlinked_alias", "alias"),
             lineage_for(lr.ambiguous, "linking", "ambiguous_alias", "alias"),
+            lineage_for(dup_turns, "edges", "duplicate_turn_key", "turn_id"),
+            lineage_for(dup_mentions, "edges", "duplicate_mention_key", "mention_id"),
         ]
     )
     metrics = per_partition_counts(triples, "triples_per_partition").select(
@@ -305,7 +364,11 @@ def build_kg(
 
     return KGResult(
         turns=turns,
-        mentions_linked=linked,
+        # id columns attached here only: consumers of the result get
+        # them, while the edge plans above construct ids post-shuffle
+        mentions_linked=linked.withColumn("turn_id", _turn_id).withColumn(
+            "mention_id", _mention_id
+        ),
         nodes=nodes,
         edges=edges,
         triples=triples,

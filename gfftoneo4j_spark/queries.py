@@ -614,6 +614,57 @@ def simhash_signatures(spark, sf_dir):
     return DD.simhash16(d, "doc_id", "text")
 
 
+@register(
+    "minhash_lsh_pairs",
+    f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+tok AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM corpus, unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''
+),
+sigs AS (
+  SELECT id,
+    min(md5('0:' || token)) AS sig_0, min(md5('1:' || token)) AS sig_1,
+    min(md5('2:' || token)) AS sig_2, min(md5('3:' || token)) AS sig_3,
+    min(md5('4:' || token)) AS sig_4, min(md5('5:' || token)) AS sig_5,
+    min(md5('6:' || token)) AS sig_6, min(md5('7:' || token)) AS sig_7
+  FROM tok GROUP BY id
+),
+banded AS (
+  SELECT id, 0 AS band, md5(sig_0 || '|' || sig_1) AS band_hash FROM sigs
+  UNION ALL SELECT id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+  UNION ALL SELECT id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+  UNION ALL SELECT id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN tok a ON a.id = c.id_a
+  JOIN tok b ON b.id = c.id_b AND b.token = a.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 3) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(i / (sa.sz + sb.sz - i), 3) >= 0.8
+""",
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH dedup: 8 min-hashes (min of md5('<i>:'+token) IS a
+    minhash), banded 4x2 into LSH buckets; candidates from per-band
+    bucket self-joins, then exact-Jaccard verification of candidates
+    only — the pair space never goes corpus-quadratic. Run over the
+    dup-injected corpus so recall is checkable (every injected exact
+    dup collides in all 4 bands and verifies at jaccard=1.0)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return DD.minhash_lsh_dedup(corpus, "doc_id", "text", k=8, bands=4, threshold=0.8)
+
+
 # --------------------------------------------------------------------------
 # training-data operators: similarity search
 # --------------------------------------------------------------------------
@@ -704,6 +755,64 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("embedding").alias("plane"),
     )
     return SIM.lsh_topk(emb, qids, planes, k=3)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+ex AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM corpus
+),
+pl AS ({_EMB_EXPLODE_SQL}),
+planes AS (SELECT vec_id - 5 AS plane_idx, i, x FROM pl WHERE vec_id BETWEEN 5 AND 8),
+bitdots AS (
+  SELECT e.vec_id, p.plane_idx, sum(e.x * p.x) AS dp
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.plane_idx
+),
+buckets AS (
+  SELECT vec_id AS id,
+         CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, plane_idx) AS INTEGER) ELSE 0 END) AS INTEGER) AS bucket
+  FROM bitdots GROUP BY vec_id
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id
+),
+dots AS (
+  SELECT p.id_a, p.id_b, sum(ea.x * eb.x) AS dp
+  FROM pairs p
+  JOIN ex ea ON ea.vec_id = p.id_a
+  JOIN ex eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 3) AS score
+FROM dots JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+WHERE round(dp / (na.nrm * nb.nrm), 3) >= 0.999
+""",
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, LSH-blocked (every
+    5th vector re-injected under vec_id+1e6 so recall of exact dups is
+    checkable: identical vectors always share a bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    planes = emb.where(F.col("vec_id").between(5, 8)).select(
+        (F.col("vec_id") - 5).cast("int").alias("plane_idx"),
+        F.col("embedding").alias("plane"),
+    )
+    return SIM.near_dup_pairs(corpus, planes, threshold=0.999)
 
 
 # --------------------------------------------------------------------------
@@ -828,4 +937,45 @@ def multimodal_meta(spark, sf_dir):
         "doc_id",
         F.octet_length(b).cast("long").alias("n_bytes"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic"),
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+WITH media AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS media_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+f AS (
+  SELECT media_id,
+         CAST(j.j AS INTEGER) AS frame_idx,
+         substring(text,
+                   CAST(j.j * greatest(CAST(floor(n / 4) AS BIGINT), 1) + 1 AS INTEGER),
+                   64) AS frame
+  FROM media, (SELECT unnest(generate_series(0, 3)) AS j) j
+)
+SELECT media_id, frame_idx, md5(frame) AS frame_md5,
+       CAST(octet_length(encode(frame)) AS BIGINT) AS n_frame_bytes
+FROM f WHERE octet_length(encode(frame)) > 0
+""",
+)
+def media_frame_sample(spark, sf_dir):
+    """Video-keyframe-style sampling over the opaque media envelope:
+    4 evenly-spaced byte slices per media row, sliced JVM-side (bytes
+    never reach Python). The oracle slices the same ASCII payload as
+    text — byte-identical for this corpus."""
+    from gfftoneo4j_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(media, n_frames=4, frame_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.col("frame").cast("string")).alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
     )

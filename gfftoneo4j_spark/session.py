@@ -28,6 +28,7 @@ def get_spark(
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -39,8 +40,22 @@ def get_spark(
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     n = int(cpus)
     shuffle = shuffle_partitions if shuffle_partitions is not None else max(n, 8)
+    # Shuffle/spill dir: a cluster executor writes shuffle blocks to its
+    # own local NVMe; in this single-VM sandbox /tmp is one virtio disk
+    # that serializes 32 concurrent shuffle writers. tmpfs (/dev/shm) is
+    # the faithful local stand-in. Overridable via SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None,
+    )
+    # master override: `local-cluster[W,C,M]` runs W separate executor
+    # JVMs with C cores each — the faithful local stand-in for a real
+    # cluster (one 32-thread JVM is NOT: allocator/GC contention caps a
+    # single JVM well below 32 cores; production executors are 4-8 cores
+    # for the same reason).
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{n}]"
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
@@ -53,6 +68,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
