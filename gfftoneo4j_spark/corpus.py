@@ -139,6 +139,7 @@ def make_transcripts_fast(
     seed: int = 42,
     unknown_alias_rate: float = 0.03,
     mention_rate: float = 0.8,
+    conv_base: int = 0,
 ):
     """Vectorized generator for scale benchmarks: builds ``n_turns`` rows
     in numpy/pandas (no per-row Python loop), same schema and marker
@@ -186,8 +187,9 @@ def make_transcripts_fast(
     return pd.DataFrame(
         {
             # vectorized zero-pad: a per-row f-string lambda costs ~60s
-            # at 64M rows
-            "conv_id": "conv" + pd.Series(conv_id).astype("string").str.zfill(7),
+            # at 64M rows; conv_base keeps ids disjoint across blocks
+            "conv_id": "conv"
+            + pd.Series(conv_id + conv_base).astype("string").str.zfill(9),
             "turn_idx": turn_idx,
             "role": roles,
             "text": text,
@@ -226,11 +228,16 @@ def write_corpus_fast(
     seed: int = 42,
     rows_per_file: int = 250_000,
     row_group_size: int = 50_000,
+    block_rows: int = 4_000_000,
 ) -> tuple[str, str]:
     """Write a large benchmark corpus as multiple parquet files with
     small row groups (~1.3MB) so the Spark scan can be split to any
     parallelism level — the local stand-in for the tens of thousands of
-    natural splits a 100 TB table has."""
+    natural splits a 100 TB table has.
+
+    Generation is blocked at ``block_rows`` per block (bounded memory,
+    progress visible as files land); conversation ids are disjoint
+    across blocks via ``conv_base``."""
     import os
 
     import pyarrow as pa
@@ -239,7 +246,8 @@ def write_corpus_fast(
     t_dir = os.path.join(out_dir, "transcripts.parquet")
     d_path = os.path.join(out_dir, "alias_dict.parquet")
     os.makedirs(t_dir, exist_ok=True)
-    pdf = make_transcripts_fast(n_turns, n_entities=n_entities, seed=seed)
+    for f in os.listdir(t_dir):  # never mix with a stale corpus
+        os.unlink(os.path.join(t_dir, f))
     schema = pa.schema(
         [
             pa.field("conv_id", pa.string()),
@@ -250,13 +258,24 @@ def write_corpus_fast(
             pa.field("ts", pa.timestamp("us")),
         ]
     )
-    for i, lo in enumerate(range(0, len(pdf), rows_per_file)):
-        chunk = pdf.iloc[lo : lo + rows_per_file]
-        pq.write_table(
-            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
-            os.path.join(t_dir, f"part-{i:04d}.parquet"),
-            row_group_size=row_group_size,
+    file_no = 0
+    for b, blo in enumerate(range(0, n_turns, block_rows)):
+        n_block = min(block_rows, n_turns - blo)
+        pdf = make_transcripts_fast(
+            n_block,
+            n_entities=n_entities,
+            seed=seed + b,
+            conv_base=b * 10_000_000,
         )
+        for lo in range(0, len(pdf), rows_per_file):
+            chunk = pdf.iloc[lo : lo + rows_per_file]
+            pq.write_table(
+                pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
+                os.path.join(t_dir, f"part-{file_no:04d}.parquet"),
+                row_group_size=row_group_size,
+            )
+            file_no += 1
+        del pdf
     d_schema = pa.schema(
         [
             pa.field("alias", pa.string()),

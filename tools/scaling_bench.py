@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORES_PER_EXECUTOR = 8
-EXECUTOR_MEM_MB = 4096
+EXECUTOR_MEM_MB = 8192
 
 
 def run_once(executors: int, corpus_dir: str) -> None:
@@ -80,11 +80,11 @@ def run_once(executors: int, corpus_dir: str) -> None:
     # JVM (measured 70s -> 46s -> 9s for identical back-to-back runs of
     # the edge stage). A production job runs warm for hours, so
     # cold-start is a sandbox artifact at this input size: two
-    # unmeasured warm-up executions, then the median of 3 measured runs.
+    # unmeasured warm-up executions, then the median of 5 measured runs.
     warm_sec, n_triples = one_run()
     one_run()
-    walls = sorted(one_run()[0] for _ in range(3))
-    wall = walls[1]
+    walls = sorted(one_run()[0] for _ in range(5))
+    wall = walls[2]
     print(
         json.dumps(
             {
@@ -105,7 +105,7 @@ def orchestrate(turns: int, executors_list: list[int], corpus_dir: str) -> None:
     from gfftoneo4j_spark.corpus import write_corpus_fast
 
     manifest = os.path.join(corpus_dir, "_MANIFEST.json")
-    want = {"turns": turns, "version": 4}
+    want = {"turns": turns, "version": 5}
     if not (
         os.path.exists(manifest) and json.load(open(manifest)) == want
     ):
@@ -160,7 +160,7 @@ def write_baseline_md(summary: dict, lo: int, hi: int) -> None:
     md = f"""# BENCH/BASELINE.md — measured scaling (north_rule protocol)
 
 North rule: throughput scaling efficiency >= 0.8 between N and 4N
-executor clusters. Sandbox protocol: Spark `local-cluster[W,8,4096]`
+executor clusters. Sandbox protocol: Spark `local-cluster[W,8,8192]`
 runs W real, separate executor JVMs on this 32-core machine — the
 faithful stand-in for a multi-executor cluster (one 32-thread JVM is
 not: single-JVM allocator/JIT contention caps well below 32 cores,
@@ -175,7 +175,7 @@ Input: deterministic synthetic transcript corpus
 {summary["n_turns"]:,} turns with Zipf(1.3) entity skew and a
 mega-conversation holding ~1% of all turns.
 
-| cluster | wall (s, median of 3) | all walls | cold first run (s) | turns/sec | triples |
+| cluster | wall (s, median of 5) | all walls | cold first run (s) | turns/sec | triples |
 |---|---|---|---|---|---|
 | {lo} executor x 8 cores (N) | {r_lo["wall_sec"]} | {r_lo["walls"]} | {r_lo["cold_sec"]} | {r_lo["turns_per_sec"]:,} | {r_lo["n_triples"]:,} |
 | {hi} executors x 8 cores (4N) | {r_hi["wall_sec"]} | {r_hi["walls"]} | {r_hi["cold_sec"]} | {r_hi["turns_per_sec"]:,} | {r_hi["n_triples"]:,} |
@@ -186,7 +186,7 @@ Protocol notes:
 - Each cluster size runs in its own subprocess (a JVM's master string
   is fixed at SparkSession creation).
 - Steady-state measurement: two unmeasured warm-up executions of the
-  identical plan, then the median of 3 measured executions. First
+  identical plan, then the median of 5 measured executions. First
   executions pay JIT compilation of the plan's whole-stage-codegen
   classes in every executor JVM (measured 70s -> 46s -> 9s back-to-back
   at 32 threads); a production job on a 1000-executor cluster runs warm
