@@ -314,7 +314,7 @@ WITH per_order AS (
 )
 SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(n_items) AS BIGINT) AS n_items,
-       CAST(sum(order_value) AS DECIMAL(18,2)) AS total_value
+       round(CAST(sum(order_value) AS DOUBLE), 2) AS total_value
 FROM per_order GROUP BY o_custkey
 """,
 )
@@ -338,7 +338,9 @@ def hierarchy_rollup(spark, sf_dir):
     return per_order.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("n_items").cast("long").alias("n_items"),
-        F.sum("order_value").cast("decimal(18,2)").alias("total_value"),
+        # decimal accumulation internally (exact, order-independent);
+        # rounded-double on the wire so both sides hash identically
+        F.round(F.sum("order_value").cast("double"), 2).alias("total_value"),
     )
 
 
@@ -363,7 +365,7 @@ def index_build(spark, sf_dir):
     "salted_aggregation",
     """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -382,7 +384,7 @@ def salted_aggregation(spark, sf_dir):
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").cast("long").alias("n"),
-        F.sum("pq").cast("decimal(18,2)").alias("sum_qty"),
+        F.round(F.sum("pq").cast("double"), 2).alias("sum_qty"),
     )
 
 
@@ -901,7 +903,7 @@ def quality_scores(spark, sf_dir):
     """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
 FROM events GROUP BY date_trunc('hour', ts), event_type
 """,
 )
@@ -913,9 +915,9 @@ def hourly_rollup(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias(
-            "sum_value"
-        ),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
     )
 
 

@@ -10,6 +10,7 @@ Usage: python tools/gate_check.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -27,6 +28,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_val(v):
     if v is None:
         return "\0"
+    if isinstance(v, decimal.Decimal):
+        # mirror the driver: decimals normalize like floats so DECIMAL
+        # renderings ("1.50" vs "1.5") can't diverge the hash
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
