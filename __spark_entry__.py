@@ -21,8 +21,26 @@ from gfftoneo4j_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full
-    extract -> link -> canonicalize -> materialize pipeline."""
-    return QUERIES["kg_triples"](spark, "/root/testdata/sf0.001")
+    extract -> link -> canonicalize -> materialize pipeline, PERSISTED
+    through the graph sink (K1/K2: partitioned nodes/edges parquet,
+    dedup-on-write, manifest-last) and read back — the returned triples
+    come from the durable graph, not the in-flight plan."""
+    from gfftoneo4j_spark.plans.graph_sink import read_graph, write_graph
+    from gfftoneo4j_spark.plans.pipeline import build_kg
+    from gfftoneo4j_spark.sources.transcripts import (
+        alias_dict_from_events,
+        transcripts_from_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    res = build_kg(
+        spark,
+        transcripts_from_events(spark, sf_dir),
+        alias_dict_from_events(spark, sf_dir),
+    )
+    out = "/tmp/kg_entry_graph"
+    write_graph(res.nodes, res.edges, out, fingerprint=sf_dir)
+    return read_graph(spark, out).triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -48,8 +48,20 @@ BENCH_QUERIES = [
 
 
 def _force(df) -> int:
-    """Execute the whole plan without collecting rows to the driver."""
-    return df.select(F.count(F.lit(1))).collect()[0][0]
+    """Execute the whole plan without collecting rows to the driver.
+
+    A bare count(1) would let Catalyst prune every computed column, so
+    pure-projection queries would "bench" a scan. Hash-aggregating the
+    full row keeps every output expression live (and costs one xxhash64
+    per row, negligible next to the work being measured)."""
+    hashable = [c for c, t in df.dtypes if not t.startswith("map")]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        # xxhash64 over the output columns defeats column pruning; pmod
+        # keeps the running sum far from ANSI LongType overflow
+        F.sum(F.pmod(F.xxhash64(*hashable), F.lit(1_000_003))).alias("h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def main() -> None:

@@ -65,13 +65,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+MOD = 1_000_000_007
+
+
 def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # modular sum keeps the order-insensitive checksum overflow-safe
-    # under ANSI mode (sum of raw xxhash64 overflows LongType)
-    h = F.pmod(F.xxhash64(F.concat_ws("|", "u", "v")), F.lit(1_000_000_007))
-    row = edges.select(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(h), F.lit(0)).alias("h"),
+    """Order-insensitive edge-set signature, overflow-safe to ~10^15
+    edges under ANSI mode: per-hash-bucket partial sums are each
+    re-reduced mod M before the final (<=65536-value) sum, so no
+    running LongType sum ever exceeds ~(edges/65536) * M."""
+    h = F.pmod(F.xxhash64(F.concat_ws("|", "u", "v")), F.lit(MOD))
+    partials = edges.groupBy(
+        F.pmod(F.xxhash64("u"), F.lit(65536)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.pmod(F.sum(h), F.lit(MOD)).alias("ph"),
+    )
+    row = partials.select(
+        F.coalesce(F.sum("pn"), F.lit(0)).alias("n"),
+        F.coalesce(F.pmod(F.sum("ph"), F.lit(MOD)), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 
@@ -118,6 +129,10 @@ def connected_components(
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # materialize ONCE, before the size probe: the probe and (when
+        # taken) the distributed loop's round 0 both read this snapshot
+        # instead of recomputing the upstream distinct from scratch
+        .localCheckpoint(eager=True)
     )
     if local_threshold > 0:
         head = cur.limit(local_threshold + 1).collect()
@@ -135,14 +150,22 @@ def connected_components(
     if cur.isEmpty():
         return all_nodes.select("node", F.col("node").alias("component"))
 
-    cur = cur.localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
+    converged = False
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # exiting silently here would hand back WRONG components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds (expected O(log n)); raise "
+            "max_iter or inspect the edge set for pathological churn"
+        )
 
     # Final assignment: component(u) = min(neighbors ∪ {u}) on the
     # converged star graph; isolated-by-convergence roots map to self.

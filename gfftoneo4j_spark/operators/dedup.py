@@ -186,32 +186,26 @@ def minhash_lsh_dedup(
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash as an integer: bit j is the majority vote over
-    tokens of bit j of md5(token) (hex digit j+1 >= '8'). Computed as
-    sum(±1) per (id, j) then an order-free weighted sum — identical in
-    any engine, no array-ordering dependence."""
+    tokens of bit j of md5(token) (hex digit j+1 >= '8').
+
+    ONE groupBy(id) with 16 conditional ±1 sums over the token rows —
+    no (id, j) explode. An earlier draft exploded every token 16x and
+    shuffled (id, j) pairs: 16x shuffle amplification for the identical
+    result; this shape shuffles each distinct (id, token) row once and
+    is map-side combinable."""
     tok = tokens(df, id_col, text_col)
-    j = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
-    votes = tok.select("id", "token", j).select(
-        "id",
-        "j",
-        F.when(
-            F.substring(F.md5(F.col("token")), F.col("j") + 1, 1).isin(
-                *list("89abcdef")
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("vote"),
-    )
-    bits = votes.groupBy("id", "j").agg(F.sum("vote").alias("s"))
-    # pow instead of shiftleft: pyspark's shiftleft takes a Python int
-    # for numBits, not a Column; 2^j is exact in doubles for j<=15
-    return bits.groupBy("id").agg(
+    md5c = F.md5(F.col("token"))
+    vote_sums = [
         F.sum(
             F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+                F.substring(md5c, j + 1, 1).isin(*list("89abcdef")), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    bits = tok.groupBy("id").agg(*vote_sums)
+    sig = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bits.select("id", sig.cast("long").alias("simhash"))

@@ -17,8 +17,36 @@ the rounding grain).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def n_planes_for(
+    n_vectors: int, target_bucket_size: int = 1024, lo: int = 2, hi: int = 30
+) -> int:
+    """Hyperplane count scaled to the corpus: b ≈ log2(N / target) so
+    the expected bucket holds ~``target_bucket_size`` vectors and the
+    per-bucket self-join stays bounded as N grows. A FIXED b silently
+    degenerates toward all-pairs: 16 buckets over 10^9 vectors is a
+    cartesian in disguise."""
+    if n_vectors <= target_bucket_size:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_bucket_size))))
+
+
+def make_planes(spark, n_planes: int, dim: int, seed: int = 42) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes (plane_idx, plane) —
+    tiny, driver-built, always broadcast. Pair with ``n_planes_for`` so
+    bucket count tracks corpus size."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (j, [float(x) for x in rng.standard_normal(dim)]) for j in range(n_planes)
+    ]
+    return spark.createDataFrame(rows, "plane_idx int, plane array<double>")
 
 
 def _as_double(col) -> Column:
@@ -139,6 +167,60 @@ def near_dup_pairs(
     )
 
 
+def _query_probes(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    planes: DataFrame,
+    n_probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, bucket) with ``1 + n_probes`` probe rows per query:
+    the home bucket plus buckets reached by flipping the ``n_probes``
+    LOWEST-MARGIN sign bits (smallest |v·h| — the planes the vector sits
+    closest to, where its true neighbors most likely fell on the other
+    side). Multi-probe recovers the recall a single-probe LSH loses
+    without adding planes or copies of the corpus."""
+    q = emb.join(query_ids, emb[id_col] == query_ids[id_col], "left_semi").select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    p = planes.select("plane_idx", _as_double(F.col("plane")).alias("h"))
+    dots = q.crossJoin(F.broadcast(p)).select(
+        "query_id",
+        "qv",
+        "plane_idx",
+        dot(F.col("qv"), F.col("h")).alias("dp"),
+    )
+    home = dots.groupBy("query_id").agg(
+        F.first("qv").alias("qv"),
+        F.sum(
+            F.when(
+                F.col("dp") > 0, F.pow(F.lit(2.0), F.col("plane_idx")).cast("int")
+            ).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    if n_probes <= 0:
+        return home
+    wq = Window.partitionBy("query_id").orderBy(F.abs(F.col("dp")), "plane_idx")
+    flips = (
+        dots.withColumn("margin_rank", F.row_number().over(wq))
+        .where(F.col("margin_rank") <= n_probes)
+        .select(
+            "query_id",
+            F.pow(F.lit(2.0), F.col("plane_idx")).cast("int").alias("flip_bit"),
+        )
+        .join(home.select("query_id", "qv", "bucket"), "query_id")
+        .select(
+            "query_id",
+            "qv",
+            F.col("bucket").bitwiseXOR(F.col("flip_bit")).alias("bucket"),
+        )
+    )
+    return home.unionByName(flips)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: DataFrame,
@@ -147,22 +229,23 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 3,
+    n_probes: int = 0,
 ) -> DataFrame:
-    """ANN: exact cosine ranking restricted to the query's LSH bucket."""
+    """ANN: exact cosine ranking restricted to the query's LSH bucket(s).
+
+    ``n_probes`` > 0 additionally probes the buckets across the query's
+    lowest-margin hyperplanes (see _query_probes); candidates are
+    deduped before scoring so fan-in grows by at most (1+n_probes)x."""
     buckets = hyperplane_buckets(emb, planes, id_col, vec_col)
     base = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     ).join(buckets.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-    q = (
-        emb.join(query_ids, emb[id_col] == query_ids[id_col], "left_semi")
-        .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-        .join(
-            buckets.select(F.col("id").alias("query_id"), "bucket"), "query_id"
-        )
-    )
+    q = _query_probes(emb, query_ids, planes, n_probes, id_col, vec_col)
     scored = (
         base.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # a candidate reachable through several probe buckets scores once
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -27,21 +27,24 @@ def lineage_for(
 ) -> DataFrame:
     """Aggregate a dropped-row branch into per-partition lineage rows.
 
-    Counts are exact. Samples come from a hash-gated subset so no
-    partition ever collects an unbounded list (scale safety: a skewed
-    failure mode can drop billions of rows).
+    Counts are exact. Samples use ``n_samples`` independent one-value
+    min() aggregates, each gated to its own hash residue class — every
+    aggregation buffer is O(1), so a skewed failure mode dropping
+    billions of rows per partition can never build a large collect_list
+    (an earlier slice(collect_list(...)) draft buffered ~8% of the
+    partition before slicing — an executor OOM hazard at exactly the
+    scale lineage exists for).
     """
     base = dropped.withColumn("partition_id", F.spark_partition_id())
     if sample_col is not None:
-        sample = F.slice(
-            F.collect_list(
-                F.when(
-                    F.pmod(F.xxhash64(F.col(sample_col)), F.lit(97)) < 8,
-                    F.col(sample_col),
-                )
-            ),
-            1,
-            n_samples,
+        h = F.pmod(F.xxhash64(F.col(sample_col)), F.lit(97))
+        sample = F.array_compact(
+            F.array(
+                *[
+                    F.min(F.when(h == i, F.col(sample_col)))
+                    for i in range(n_samples)
+                ]
+            )
         )
     else:
         sample = F.array().cast("array<string>")

@@ -134,11 +134,16 @@ def build_kg(
     # 10^12-entry string-keyed hash map + a full extra shuffle — measured
     # as the single hottest operator in the pipeline before removal
     # (FastHashMap.findOrInsert + copyMemory dominating task CPU).
-    w_turn = stable_turn_order()
+    # Order by turn_idx alone: rows tied on (conv_id, turn_idx) build the
+    # SAME turn_id string, so the survivor of the lag()-dedup and every
+    # lead() target are invariant to tie order — carrying ts as a
+    # tie-break would add 8 bytes x 10^12 rows to the pipeline's largest
+    # exchange for zero semantic effect (the oracle agrees: its
+    # (turn_idx, ts) sort yields key-identical survivors).
+    w_turn = stable_turn_order(order=("turn_idx",))
     marked_turns = turns_raw.select(
         "conv_id",
         "turn_idx",
-        "ts",
         F.lag("turn_idx").over(w_turn).alias("prev_idx"),
     )
     dup_turns = marked_turns.where(

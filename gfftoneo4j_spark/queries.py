@@ -204,6 +204,73 @@ def attr_kv_parse(spark, sf_dir):
 
 
 @register(
+    "attr_union_type",
+    """
+WITH a AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'click'
+              THEN 'id_' || CAST(event_id AS VARCHAR)
+              ELSE 'ID=' || CAST(event_id AS VARCHAR)
+                   || ';type=' || event_type
+                   || ';note="n' || CAST(user_id % 7 AS VARCHAR) || '"'
+         END AS attrs
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN NOT contains(attrs, '=') THEN attrs END AS attr_raw,
+       CASE WHEN contains(attrs, '=')
+            THEN regexp_extract(replace(attrs, '"', ''), 'ID=([^;]+)', 1) END AS id_val,
+       CASE WHEN contains(attrs, '=')
+            THEN regexp_extract(replace(attrs, '"', ''), 'note=([^;]+)', 1) END AS note_val,
+       CASE WHEN contains(attrs, '=') THEN 3 END AS n_keys,
+       CAST(1 AS BIGINT) AS union_ok
+FROM a
+""",
+)
+def attr_union_type(spark, sf_dir):
+    """The reference's most distinctive data-model feature: attributes
+    as Either[String, Map[String,String]] (GffParser.scala:139; kv parse
+    with quoted values :75-100, fallback to the opaque string :95-100).
+
+    Spark shape per FIXTURES.md §2: (attr_raw string, attr_map
+    map<string,string>) with exactly ONE non-null. A real MapType is
+    built via str_to_map after quote normalization (F5,
+    GffParser.scala:75-76) and probed with element_at (P4,
+    GffParser.scala:141-142). The map itself stays engine-local (map
+    rendering isn't hash-portable); the gate compares its lookups,
+    size, and the exactly-one-non-null invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    attrs = F.when(
+        F.col("event_type") == "click",
+        F.concat(F.lit("id_"), F.col("event_id").cast("string")),
+    ).otherwise(
+        F.format_string(
+            'ID=%s;type=%s;note="n%s"',
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+        )
+    )
+    is_kv = attrs.contains("=")
+    # quoted-value unwrap (F5) then MapType construction (F8/P3)
+    attr_map = F.when(
+        is_kv, F.str_to_map(F.regexp_replace(attrs, '"', ""), F.lit(";"), F.lit("="))
+    )
+    attr_raw = F.when(~is_kv, attrs)
+    return ev.select(
+        "event_id",
+        attr_raw.alias("attr_raw"),
+        F.element_at(attr_map, "ID").alias("id_val"),
+        F.element_at(attr_map, "note").alias("note_val"),
+        F.size(attr_map).try_cast("int").alias("n_keys"),
+        # union invariant: exactly one branch non-null per row
+        (attr_raw.isNotNull() != attr_map.isNotNull())
+        .cast("long")
+        .alias("union_ok"),
+    )
+
+
+@register(
     "id_strategy_dispatch",
     """
 SELECT event_id,
@@ -341,6 +408,64 @@ def hierarchy_rollup(spark, sf_dir):
         # decimal accumulation internally (exact, order-independent);
         # rounded-double on the wire so both sides hash identically
         F.round(F.sum("order_value").cast("double"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "hierarchy_nested",
+    """
+WITH per_order AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(to_json(list(struct_pack(ln := l_linenumber,
+                                       q := CAST(floor(l_quantity) AS BIGINT))
+                           ORDER BY l_linenumber, floor(l_quantity)))
+              AS VARCHAR) AS items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, o_orderkey
+)
+SELECT o_custkey AS custkey,
+       to_json(list(struct_pack(okey := o_orderkey, items := items)
+                    ORDER BY o_orderkey)) AS orders_nested
+FROM per_order GROUP BY o_custkey
+""",
+)
+def hierarchy_nested(spark, sf_dir):
+    """A2/§2.9's REAL output shape: nested children arrays two levels
+    deep (GeneReader.scala:106-135 builds Splicing(children=Seq[Exon])
+    then Gene(splicings=Seq[Splicing])) — here
+    lineitem -> order struct array -> customer via two cascaded
+    collect_list(struct(...)) folds with deterministic sort_array.
+    The gate compares the canonical JSON rendering (ArrayType(Struct)
+    collations aren't hash-portable across engines; JSON is)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            F.floor("l_quantity").cast("long").alias("q"),
+                        )
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    return per_order.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderkey").alias("okey"),
+                        F.col("items").alias("items"),
+                    )
+                )
+            )
+        ).alias("orders_nested")
     )
 
 
@@ -524,6 +649,69 @@ def dedup_on_write(spark, sf_dir):
     return li.select(
         F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
     ).dropDuplicates(["src", "dst"])
+
+
+@register(
+    "graph_sink_roundtrip",
+    """
+WITH e AS (
+  SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p:' || CAST(l_partkey AS VARCHAR) AS dst,
+                  'q' || CAST(l_linenumber % 3 AS VARCHAR) AS type
+  FROM lineitem
+)
+SELECT 'edge:' || type AS kind, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY type
+UNION ALL
+SELECT 'node:order', count(DISTINCT l_orderkey) FROM lineitem
+UNION ALL
+SELECT 'node:part', count(DISTINCT l_partkey) FROM lineitem
+""",
+)
+def graph_sink_roundtrip(spark, sf_dir):
+    """K1/K2 persisted graph sink (GenesToNeo4j.scala:9-25 +
+    Neo4JUtils.scala:30-48): write nodes/ (partitioned by label) and
+    edges/ (partitioned by type) with dedup-on-write and manifest-last
+    atomicity, READ THE GRAPH BACK, and aggregate from the read-back
+    tables — the gate thus covers the write path, the dedup, the
+    partition layout, and the round-trip fidelity in one query."""
+    import os
+
+    from gfftoneo4j_spark.plans.graph_sink import read_graph, write_graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.concat(
+            F.lit("q"), F.pmod(F.col("l_linenumber"), F.lit(3)).cast("string")
+        ).alias("type"),
+    )
+    nodes = (
+        li.select(F.col("l_orderkey").cast("string").alias("key"))
+        .distinct()
+        .select(
+            F.concat(F.lit("o:"), F.col("key")).alias("node_id"),
+            F.lit("order").alias("label"),
+        )
+        .unionByName(
+            li.select(F.col("l_partkey").cast("string").alias("key"))
+            .distinct()
+            .select(
+                F.concat(F.lit("p:"), F.col("key")).alias("node_id"),
+                F.lit("part").alias("label"),
+            )
+        )
+    )
+    out = f"/tmp/kg_gate_graph_{os.path.basename(sf_dir.rstrip('/'))}"
+    write_graph(nodes, edges, out, fingerprint=sf_dir)
+    g = read_graph(spark, out)
+    edge_counts = g.edges.groupBy("type").agg(F.count(F.lit(1)).alias("n")).select(
+        F.concat(F.lit("edge:"), F.col("type")).alias("kind"), "n"
+    )
+    node_counts = g.nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n")).select(
+        F.concat(F.lit("node:"), F.col("label")).alias("kind"), "n"
+    )
+    return edge_counts.unionByName(node_counts)
 
 
 # --------------------------------------------------------------------------
@@ -757,6 +945,74 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("embedding").alias("plane"),
     )
     return SIM.lsh_topk(emb, qids, planes, k=3)
+
+
+@register(
+    "ann_multiprobe_topk",
+    f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+planes AS (SELECT vec_id - 5 AS plane_idx, i, x FROM ex WHERE vec_id BETWEEN 5 AND 8),
+bitdots AS (
+  SELECT e.vec_id, p.plane_idx, sum(e.x * p.x) AS dp
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.plane_idx
+),
+buckets AS (
+  SELECT vec_id AS id,
+         CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, plane_idx) AS INTEGER) ELSE 0 END) AS INTEGER) AS bucket
+  FROM bitdots GROUP BY vec_id
+),
+qprobes AS (
+  SELECT b.id AS query_id, b.bucket FROM buckets b WHERE b.id < 5
+  UNION ALL
+  SELECT d.vec_id AS query_id,
+         xor(b.bucket, CAST(power(2, d.plane_idx) AS INTEGER)) AS bucket
+  FROM (
+    SELECT vec_id, plane_idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY abs(dp), plane_idx) AS mr
+    FROM bitdots WHERE vec_id < 5
+  ) d JOIN buckets b ON b.id = d.vec_id
+  WHERE d.mr <= 2
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, be.id AS neighbor_id
+  FROM qprobes qp
+  JOIN buckets be ON be.bucket = qp.bucket AND be.id <> qp.query_id
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * e.x) AS dp
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex e ON e.vec_id = c.neighbor_id AND e.i = q.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dp / (nq.nrm * ne.nrm), 3) AS score
+  FROM dots JOIN n nq ON nq.vec_id = query_id JOIN n ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe ANN: beyond the home bucket, each query probes the
+    buckets across its 2 LOWEST-MARGIN hyperplanes (smallest |v.h| —
+    where a true neighbor most likely fell on the other side).
+    Single-probe LSH recall decays as plane count grows with corpus
+    size (see similarity.n_planes_for); multi-probe buys it back
+    without corpus copies. Candidates dedup before scoring, so fan-in
+    grows at most 3x over single-probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    planes = emb.where(F.col("vec_id").between(5, 8)).select(
+        (F.col("vec_id") - 5).cast("int").alias("plane_idx"),
+        F.col("embedding").alias("plane"),
+    )
+    return SIM.lsh_topk(emb, qids, planes, k=3, n_probes=2)
 
 
 @register(

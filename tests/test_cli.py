@@ -1,0 +1,46 @@
+"""S3 CLI entry smoke (CommandLineParser.scala:8-27 analogue): the
+spark-submit-shaped script runs end-to-end and a second invocation
+resumes from the checkpoint."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow  # two subprocess SparkSessions (~1 min)
+
+
+def _run_cli(tmp_path, corpus):
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "tools", "run_pipeline.py"),
+        "--transcripts", os.path.join(corpus, "transcripts.parquet"),
+        "--alias-dict", os.path.join(corpus, "alias_dict.parquet"),
+        "--out", str(tmp_path / "graph"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--fingerprint", "smoke1",
+        "--cpus", "4",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+
+
+def test_cli_end_to_end_and_resume(tmp_path):
+    from gfftoneo4j_spark.corpus import CorpusConfig, write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, CorpusConfig(n_conversations=30, seed=11))
+
+    s1 = _run_cli(tmp_path, corpus)
+    assert s1["n_nodes"] > 0 and s1["n_edges"] > 0
+    assert s1["stages_computed"] == ["mentions", "canon", "linked", "edges"]
+
+    s2 = _run_cli(tmp_path, corpus)
+    assert s2["stages_reused"] == ["mentions", "canon", "linked", "edges"]
+    assert (s2["n_nodes"], s2["n_edges"]) == (s1["n_nodes"], s1["n_edges"])

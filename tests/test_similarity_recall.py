@@ -1,0 +1,62 @@
+"""ANN recall bounds vs the exact brute-force baseline (VERDICT round-1:
+fixed 16-bucket LSH degenerates at scale; plane count must track corpus
+size and multi-probe must buy back the recall single-probe loses)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfftoneo4j_spark.operators import similarity as SIM
+
+
+def test_n_planes_for_tracks_corpus_size():
+    assert SIM.n_planes_for(1_000, target_bucket_size=1024) == 2
+    assert SIM.n_planes_for(1_000_000, target_bucket_size=1024) == 10
+    assert SIM.n_planes_for(10**9, target_bucket_size=1024) == 20
+    # at 10^12 vectors the cap keeps bucket ids in int range
+    assert SIM.n_planes_for(10**12, target_bucket_size=1024) == 30
+    # a FIXED 4-plane config would leave N/16 per bucket at any N —
+    # the helper grows bucket count instead
+    assert SIM.n_planes_for(10**9) > 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _recall(got_df, want_df):
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_df.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in want_df.collect()}
+    return len(got & want) / len(want)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    qids = emb.where(F.col("vec_id") < 10).select("vec_id")
+    planes = SIM.make_planes(
+        spark, SIM.n_planes_for(n, target_bucket_size=64), dim, seed=7
+    )
+    exact = SIM.cosine_topk(emb, qids, k=3)
+    single = SIM.lsh_topk(emb, qids, planes, k=3, n_probes=0)
+    multi = SIM.lsh_topk(emb, qids, planes, k=3, n_probes=3)
+    r_single, r_multi = _recall(single, exact), _recall(multi, exact)
+    assert r_multi >= r_single
+    # measured curve on this seeded corpus (deterministic data+planes):
+    # probes 0/1/2/3 -> recall 0.167/0.267/0.433/0.6
+    assert r_multi >= 0.55
+
+
+def test_lsh_exact_duplicates_never_missed(spark, emb):
+    """Identical vectors share every sign bit, so exact dups always
+    collide regardless of plane count."""
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    dup = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    planes = SIM.make_planes(spark, SIM.n_planes_for(n, 64), dim, seed=7)
+    pairs = SIM.near_dup_pairs(corpus, planes, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 500_000) in got
