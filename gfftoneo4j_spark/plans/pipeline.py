@@ -46,7 +46,11 @@ from gfftoneo4j_spark.functions.extraction import (
 )
 from gfftoneo4j_spark.operators.connected_components import connected_components
 from gfftoneo4j_spark.operators.linking import link_mentions
-from gfftoneo4j_spark.operators.windows import stable_turn_order
+from gfftoneo4j_spark.operators.windows import (
+    segmented_lag,
+    segmented_lead,
+    stable_turn_order,
+)
 from gfftoneo4j_spark.plans.checkpoint import StageCheckpointer
 from gfftoneo4j_spark.plans.lineage import (
     lineage_for,
@@ -87,6 +91,7 @@ def build_kg(
     checkpointer: StageCheckpointer | None = None,
     fingerprint: str = "default",
     persist_intermediates: bool = False,
+    segment_rows: int | None = None,
 ) -> KGResult:
     """``persist_intermediates`` caches ``linked`` for interactive
     sessions that act on many outputs (nodes AND edges AND metrics...).
@@ -140,27 +145,54 @@ def build_kg(
     # tie-break would add 8 bytes x 10^12 rows to the pipeline's largest
     # exchange for zero semantic effect (the oracle agrees: its
     # (turn_idx, ts) sort yields key-identical survivors).
-    w_turn = stable_turn_order(order=("turn_idx",))
-    marked_turns = turns_raw.select(
-        "conv_id",
-        "turn_idx",
-        F.lag("turn_idx").over(w_turn).alias("prev_idx"),
-    )
+    #
+    # segment_rows: mega-conversation hardening. A plain window puts a
+    # whole conversation in ONE task; a 10^10-turn conversation is a
+    # straggler/OOM. segmented_lead/lag (operators/windows.py)
+    # range-split each conversation into turn_idx segments and stitch
+    # boundaries through a tiny per-segment table — identical output
+    # (pytest-asserted), bounded task size.
+    turn_cols = turns_raw.select("conv_id", "turn_idx")
+    if segment_rows:
+        marked_turns = segmented_lag(
+            turn_cols, "conv_id", ["turn_idx"], ["turn_idx"], segment_rows
+        ).withColumnRenamed("prev_turn_idx", "prev_idx")
+    else:
+        w_turn = stable_turn_order(order=("turn_idx",))
+        marked_turns = turn_cols.select(
+            "conv_id",
+            "turn_idx",
+            F.lag("turn_idx").over(w_turn).alias("prev_idx"),
+        )
     dup_turns = marked_turns.where(
         F.col("prev_idx") == F.col("turn_idx")
     ).select(_turn_id.alias("turn_id"), "conv_id")
-    turn_edges = (
-        marked_turns.where(
-            F.col("prev_idx").isNull() | (F.col("prev_idx") != F.col("turn_idx"))
+    kept_turns = marked_turns.where(
+        F.col("prev_idx").isNull() | (F.col("prev_idx") != F.col("turn_idx"))
+    ).drop("prev_idx")
+    if segment_rows:
+        _next_turn_id = F.when(
+            F.col("next_turn_idx").isNotNull(),
+            F.concat_ws(
+                ":", F.lit("turn"), F.col("conv_id"), F.col("next_turn_idx")
+            ),
         )
+        led_turns = segmented_lead(
+            kept_turns, "conv_id", ["turn_idx"], ["turn_idx"], segment_rows
+        ).select(
+            _turn_id.alias("turn_id"), "conv_id", _next_turn_id.alias("next_id")
+        )
+    else:
         # same window spec over the same partitioning: Catalyst reuses
         # the exchange and the sort order survives the filter, so this
         # second window adds no shuffle
-        .select(
+        led_turns = kept_turns.select(
             _turn_id.alias("turn_id"),
             "conv_id",
             F.lead(_turn_id).over(w_turn).alias("next_id"),
         )
+    turn_edges = (
+        led_turns
         .select(
             F.explode(
                 F.array(
@@ -229,25 +261,64 @@ def build_kg(
     # `mentions_seq` chain (consecutive kept mentions within a turn) —
     # no second window shuffle. has_mention / refers_to ride the same
     # row via the 4-struct explode.
-    w_conv_m = stable_turn_order(part=("conv_id",), order=("turn_idx", "pos"))
-    marked_mentions = linked.select(
-        "conv_id",
-        "turn_idx",
-        "pos",
-        "canonical_id",
-        F.lag("turn_idx").over(w_conv_m).alias("prev_t"),
-        F.lag("pos").over(w_conv_m).alias("prev_p"),
-    )
+    mention_cols = linked.select("conv_id", "turn_idx", "pos", "canonical_id")
+    if segment_rows:
+        marked_mentions = (
+            segmented_lag(
+                mention_cols,
+                "conv_id",
+                ["turn_idx", "pos"],
+                ["turn_idx", "pos"],
+                segment_rows,
+            )
+            .withColumnRenamed("prev_turn_idx", "prev_t")
+            .withColumnRenamed("prev_pos", "prev_p")
+        )
+    else:
+        w_conv_m = stable_turn_order(part=("conv_id",), order=("turn_idx", "pos"))
+        marked_mentions = mention_cols.select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            "canonical_id",
+            F.lag("turn_idx").over(w_conv_m).alias("prev_t"),
+            F.lag("pos").over(w_conv_m).alias("prev_p"),
+        )
     dup_mentions = marked_mentions.where(
         (F.col("prev_t") == F.col("turn_idx")) & (F.col("prev_p") == F.col("pos"))
     ).select(_mention_id.alias("mention_id"))
-    mention_edges = (
-        marked_mentions.where(
-            F.col("prev_t").isNull()
-            | (F.col("prev_t") != F.col("turn_idx"))
-            | (F.col("prev_p") != F.col("pos"))
+    kept_mentions = marked_mentions.where(
+        F.col("prev_t").isNull()
+        | (F.col("prev_t") != F.col("turn_idx"))
+        | (F.col("prev_p") != F.col("pos"))
+    ).drop("prev_t", "prev_p")
+    if segment_rows:
+        _next_mention_id = F.when(
+            F.col("next_turn_idx").isNotNull(),
+            F.concat_ws(
+                ":",
+                F.lit("mention"),
+                F.col("conv_id"),
+                F.col("next_turn_idx"),
+                F.col("next_pos"),
+            ),
         )
-        .select(
+        led_mentions = segmented_lead(
+            kept_mentions,
+            "conv_id",
+            ["turn_idx", "pos"],
+            ["turn_idx", "pos"],
+            segment_rows,
+        ).select(
+            _turn_id.alias("turn_id"),
+            "turn_idx",
+            _mention_id.alias("mention_id"),
+            "canonical_id",
+            _next_mention_id.alias("next_m"),
+            F.col("next_turn_idx").alias("next_t"),
+        )
+    else:
+        led_mentions = kept_mentions.select(
             _turn_id.alias("turn_id"),
             "turn_idx",
             _mention_id.alias("mention_id"),
@@ -255,6 +326,8 @@ def build_kg(
             F.lead(_mention_id).over(w_conv_m).alias("next_m"),
             F.lead("turn_idx").over(w_conv_m).alias("next_t"),
         )
+    mention_edges = (
+        led_mentions
         .select(
             F.explode(
                 F.array(

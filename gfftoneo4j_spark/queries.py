@@ -183,6 +183,102 @@ def null_encoding(spark, sf_dir):
     )
 
 
+_RAW_LINE_SQL = """
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN '#gff-version 3 ' || event_type
+              ELSE 'seq' || CAST(user_id % 50 AS VARCHAR)
+                   || '|' || event_type
+                   || '|' || (CASE WHEN value < 25 THEN 'exon'
+                                   WHEN value < 50 THEN 'CDS'
+                                   WHEN value < 75 THEN 'gene'
+                                   ELSE 'region' END)
+                   || '|' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+                   || '|' || CAST(CAST(floor(value * 100) AS BIGINT) + event_id % 1000 AS VARCHAR)
+                   || '|' || (CASE WHEN event_id % 3 = 0 THEN '.'
+                                   ELSE CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) END)
+                   || '|' || (CASE event_id % 3 WHEN 0 THEN '+' WHEN 1 THEN '-' ELSE '.' END)
+                   || '|' || (CASE WHEN event_id % 4 = 0 THEN '.'
+                                   ELSE CAST(event_id % 3 AS VARCHAR) END)
+                   || '|ID=' || CAST(event_id AS VARCHAR)
+         END AS line
+  FROM events
+"""
+
+
+@register(
+    "raw_line_parse",
+    f"""
+WITH raw AS ({_RAW_LINE_SQL})
+SELECT event_id,
+       split_part(line, '|', 1) AS seqname,
+       split_part(line, '|', 2) AS source,
+       split_part(line, '|', 3) AS feature,
+       CAST(split_part(line, '|', 4) AS BIGINT) AS start,
+       CAST(split_part(line, '|', 5) AS BIGINT) AS stop,
+       TRY_CAST(nullif(split_part(line, '|', 6), '.') AS BIGINT) AS score,
+       nullif(split_part(line, '|', 7), '.') AS strand,
+       TRY_CAST(nullif(split_part(line, '|', 8), '.') AS BIGINT) AS frame,
+       regexp_extract(split_part(line, '|', 9), 'ID=(.*)', 1) AS attr_id
+FROM raw WHERE NOT starts_with(line, '#')
+""",
+)
+def raw_line_parse(spark, sf_dir):
+    """The reference's literal core flow in one query: raw lines ->
+    drop '#' header/comment lines (S2, Application.scala:45-50;
+    GffParser.scala:29) -> split into the 9 typed GFF columns (P1,
+    GffParser.scala:102-122) with '.'-sentinel null encoding for
+    score/strand/frame (P2, orPeriod GffParser.scala:35-42) and the
+    attribute id pulled from the 9th field (P8 singleAttribute). Line
+    synthesis is deterministic from events on BOTH engines; the parse
+    side — filter, split, casts, nullif — is the operator under test,
+    and the whole plan stays in whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    start = F.floor(F.col("value") * 100).cast("long")
+    line = F.when(
+        F.col("event_id") % 10 == 0,
+        F.concat(F.lit("#gff-version 3 "), F.col("event_type")),
+    ).otherwise(
+        F.concat_ws(
+            "|",
+            F.concat(F.lit("seq"), F.pmod(F.col("user_id"), F.lit(50)).cast("string")),
+            F.col("event_type"),
+            F.when(F.col("value") < 25, "exon")
+            .when(F.col("value") < 50, "CDS")
+            .when(F.col("value") < 75, "gene")
+            .otherwise("region"),
+            start.cast("string"),
+            (start + F.pmod(F.col("event_id"), F.lit(1000))).cast("string"),
+            F.when(F.col("event_id") % 3 == 0, ".").otherwise(
+                F.floor("value").cast("long").cast("string")
+            ),
+            F.when(F.col("event_id") % 3 == 0, "+")
+            .when(F.col("event_id") % 3 == 1, "-")
+            .otherwise("."),
+            F.when(F.col("event_id") % 4 == 0, ".").otherwise(
+                F.pmod(F.col("event_id"), F.lit(3)).cast("string")
+            ),
+            F.concat(F.lit("ID="), F.col("event_id").cast("string")),
+        )
+    )
+    raw = ev.select("event_id", line.alias("line"))
+    parts = F.split(F.col("line"), r"\|")
+    return (
+        raw.where(~F.col("line").startswith("#"))
+        .select(
+            "event_id",
+            parts.getItem(0).alias("seqname"),
+            parts.getItem(1).alias("source"),
+            parts.getItem(2).alias("feature"),
+            parts.getItem(3).cast("long").alias("start"),
+            parts.getItem(4).cast("long").alias("stop"),
+            F.nullif(parts.getItem(5), F.lit(".")).try_cast("long").alias("score"),
+            F.nullif(parts.getItem(6), F.lit(".")).alias("strand"),
+            F.nullif(parts.getItem(7), F.lit(".")).try_cast("long").alias("frame"),
+            F.regexp_extract(parts.getItem(8), r"ID=(.*)", 1).alias("attr_id"),
+        )
+    )
+
+
 @register(
     "attr_kv_parse",
     """
