@@ -71,8 +71,10 @@ def main() -> None:
     spark = get_spark(app="gfftoneo4j-bench", cpus=cpus)
 
     # warm the JVM/Arrow paths so per-query numbers measure the plan,
-    # not first-job initialization
-    _force(QUERIES["kg_transcripts"](spark, sf_dir))
+    # not first-job initialization: the flagship pipeline compiles the
+    # whole-stage-codegen classes (windows, joins, explodes) and spins
+    # the Arrow python worker pool that most other queries reuse
+    _force(QUERIES["kg_triples"](spark, sf_dir))
 
     n_turns = _force(QUERIES["kg_transcripts"](spark, sf_dir))
 

@@ -141,19 +141,23 @@ def connected_components(
             out = _local_union_find([(r["u"], r["v"]) for r in head])
             return spark.createDataFrame(out, "node string, component string")
 
+    # reads the checkpointed `cur` twice, once per branch of the union —
+    # cheap, and used exactly once at the end, so no checkpoint of its own
     all_nodes = (
         cur.select(F.col("u").alias("node"))
         .unionByName(cur.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    if cur.isEmpty():
-        return all_nodes.select("node", F.col("node").alias("component"))
-
     prev_sig = _checksum(cur)
+    if prev_sig[0] == 0:
+        return all_nodes.select("node", F.col("node").alias("component"))
     converged = False
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the checksum job materializes it as a side
+        # effect — ONE Spark job per round instead of two (checkpoint
+        # then checksum), halving the loop's fixed cost; lineage is
+        # still truncated for the next round's plan
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             converged = True
