@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "duplicate_spans",
+    "repetition_scores",
+    "graph_khop",
     "text_analysis",
     "hourly_rollup",
 ]

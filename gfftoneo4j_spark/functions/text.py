@@ -80,3 +80,20 @@ def fingerprint(text: Column) -> Column:
     whitespace, md5. Stable dedup key across formatting variants."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+def word_bigrams(text: Column) -> Column:
+    """Array of space-joined word bigrams (empty tokens dropped).
+
+    Pure array expressions — zip_with over two shifted slices — so the
+    n-gram build never leaves whole-stage codegen. Docs with < 2 words
+    yield an empty array."""
+    w = F.filter(F.split(text, " "), lambda t: t != "")
+    n = F.size(w)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )

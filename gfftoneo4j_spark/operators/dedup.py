@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -209,3 +209,70 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return bits.select("id", sig.cast("long").alias("simhash"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+) -> DataFrame:
+    """Exact-substring duplicate-span detection (the training-data
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally instead of via
+    a suffix array).
+
+    Every ``width``-word shingle of every document is hashed; a shingle
+    that occurs in >= 2 distinct documents marks its position as
+    duplicated; maximal runs of adjacent duplicated positions merge
+    into spans via the classic pos - row_number() gaps-and-islands
+    trick (a per-document window over duplicated positions only).
+
+    Returns (doc_id, span_start, span_end, n_shingles) with token
+    positions 0-based and span_end inclusive of the last shingle's
+    last token.
+
+    Scale shape: one map-side-combinable two-level groupBy on the
+    shingle (never corpus-quadratic), one semi-join back on the
+    shingle hash, and a window whose partitions are per-document
+    duplicated positions (bounded by document length). At 100 TB,
+    shuffle xxhash64(shingle) instead of the string to cut shuffle
+    bytes ~width x; the verify-free design is exact because equal
+    shingles, not similar ones, are matched.
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    shingled = (
+        df.where(n >= width)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - width + 1),
+                    lambda i: F.array_join(F.slice(w, i, width), " "),
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    cross_doc = (
+        shingled.select("shingle", "doc_id")
+        .distinct()
+        .groupBy("shingle")
+        .count()
+        .where(F.col("count") >= 2)
+        .select("shingle")
+    )
+    dup_pos = shingled.join(cross_doc, "shingle", "left_semi").select(
+        "doc_id", "pos"
+    )
+    wg = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(wg))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + width - 1).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("grp")
+    )

@@ -258,3 +258,97 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (ties broken by smallest c_id).
+
+    ``centroids`` carries (c_id int, centroid array) — a handful of
+    rows, broadcast. The argmax is a map-side-combinable groupBy max
+    over struct(score, -c_id): one unamplified shuffle on the vector
+    id, no corpus-wide window sort. At 100 TB the assignment is the
+    cheap pass you materialize once (bucketBy(c_id)) so every probe
+    afterwards is partition-pruned.
+    """
+    c = centroids.select("c_id", _as_double(F.col("centroid")).alias("cv"))
+    scored = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).crossJoin(F.broadcast(c)).select(
+        "id",
+        "c_id",
+        F.round(cosine(F.col("v"), F.col("cv")), round_to).alias("cs"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("cs"), (-F.col("c_id")).alias("neg_c"))).alias("m")
+    )
+    return best.select("id", (-F.col("m.neg_c")).cast("int").alias("c_id"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 3,
+) -> DataFrame:
+    """IVF-flat ANN: exact cosine ranking restricted to the query's
+    ``n_probe`` nearest inverted lists (cells).
+
+    Complements lsh_topk: IVF cells adapt to the data distribution
+    (centroids live where vectors are dense) where hyperplane buckets
+    are data-oblivious. Centroid *training* (k-means) is an offline
+    job; this operator takes any deterministic centroid set. Probing
+    n_probe cells bounds scanned fraction to ~n_probe/|C| of the
+    corpus; the probe table is queries-only (tiny, broadcast), so the
+    corpus side joins without shuffling beyond its one assignment
+    groupBy."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col, round_to)
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    c = centroids.select("c_id", _as_double(F.col("centroid")).alias("cv"))
+    # per-QUERY centroid ranking: semi-join first so the window only
+    # ever sorts |Q| x |C| rows
+    qcs = (
+        v.join(query_ids, v["id"] == query_ids[id_col], "left_semi")
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col("id").alias("query_id"),
+            "c_id",
+            F.round(cosine(F.col("v"), F.col("cv")), round_to).alias("cs"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("c_id"))
+    probes = (
+        qcs.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "c_id")
+    )
+    qv = v.join(query_ids, v["id"] == query_ids[id_col], "left_semi").select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "c_id")
+        .where(F.col("id") != F.col("query_id"))
+        .join(v, "id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

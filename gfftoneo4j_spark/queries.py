@@ -65,9 +65,7 @@ def kg_transcripts(spark, sf_dir):
     return transcripts_from_events(spark, sf_dir)
 
 
-@register(
-    "kg_triples",
-    f"""
+_KG_TRIPLES_SQL = f"""
 WITH t AS ({_KG_TRANSCRIPTS_SQL}),
 turns AS (
   SELECT conv_id, turn_idx,
@@ -98,8 +96,10 @@ e AS (
   FROM m
 )
 SELECT src AS subj, type AS pred, dst AS obj FROM e WHERE dst IS NOT NULL
-""",
-)
+"""
+
+
+@register("kg_triples", _KG_TRIPLES_SQL)
 def kg_triples(spark, sf_dir):
     """Flagship: full extract->link->canonicalize->materialize pipeline
     (pandas-UDF extraction, broadcast linking, distributed CC). The
@@ -1333,3 +1333,239 @@ def media_frame_sample(spark, sf_dir):
         F.md5(F.col("frame").cast("string")).alias("frame_md5"),
         F.octet_length("frame").cast("long").alias("n_frame_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph queries over the materialized KG (the reference loads Neo4j
+# precisely so users can run these; a replacement engine must answer
+# them natively — GenesToNeo4j.scala:9-25's downstream consumers)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT subj AS node FROM triples
+    UNION ALL
+    SELECT obj AS node FROM triples
+  ) GROUP BY node
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Undirected degree distribution of the constructed KG — the
+    first sanity query every graph consumer runs. Two map-side-
+    combinable aggregations over the triples; the unionAll is a
+    no-shuffle concat. The lazy localCheckpoint materializes the KG
+    pipeline ONCE — both union branches read the snapshot instead of
+    re-deriving extraction->linking->CC per reference."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=False)
+    nodes = t.select(F.col("subj").alias("node")).unionAll(
+        t.select(F.col("obj").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_khop",
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+edges AS (
+  SELECT subj AS u, obj AS v FROM triples
+  UNION
+  SELECT obj AS u, subj AS v FROM triples
+),
+seeds AS (SELECT DISTINCT u AS node FROM edges WHERE u LIKE 'ent:%'),
+h1 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN seeds s ON e.u = s.node),
+h2 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN h1 ON e.u = h1.node)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM (
+  SELECT node, 0 AS hop FROM seeds
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+) GROUP BY node
+""",
+)
+def graph_khop(spark, sf_dir):
+    """2-hop neighborhood expansion from the entity nodes (frontier-
+    join BFS: one equi-join shuffle per hop, distinct per frontier so
+    the frontier never outgrows the node set; min-hop by a final
+    map-side-combinable groupBy). The Cypher `MATCH (e)-[*..2]-(n)`
+    every Neo4j consumer of the reference's graph runs. The lazy
+    localCheckpoint materializes the KG pipeline ONCE; the six
+    downstream references (edge union + three frontiers) read the
+    snapshot instead of re-deriving the whole pipeline each."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=False)
+    fwd = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    seeds = (
+        edges.where(F.col("u").startswith("ent:"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    h1 = (
+        edges.join(seeds, edges["u"] == seeds["node"], "left_semi")
+        .select(F.col("v").alias("node"))
+        .distinct()
+    )
+    h2 = (
+        edges.join(h1, edges["u"] == h1["node"], "left_semi")
+        .select(F.col("v").alias("node"))
+        .distinct()
+    )
+    hops = (
+        seeds.select("node", F.lit(0).alias("hop"))
+        .unionAll(h1.select("node", F.lit(1).alias("hop")))
+        .unionAll(h2.select("node", F.lit(2).alias("hop")))
+    )
+    return hops.groupBy("node").agg(F.min("hop").cast("int").alias("hop"))
+
+
+# --------------------------------------------------------------------------
+# training-data operators: exact-substring duplicate spans + repetition
+# --------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_spans",
+    f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+tpos AS (SELECT doc_id, w, generate_subscripts(w, 1) AS p FROM toks),
+sh AS (
+  SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos,
+         array_to_string(w[p:p + 4], ' ') AS shingle
+  FROM tpos WHERE p + 4 <= len(w)
+),
+dupsh AS (
+  SELECT shingle FROM (SELECT DISTINCT shingle, doc_id FROM sh)
+  GROUP BY shingle HAVING count(*) >= 2
+),
+dp AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupsh USING (shingle)),
+g AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + 4 AS INTEGER) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM g GROUP BY doc_id, grp
+""",
+)
+def duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate-span detection (Lee et al. 2021) over
+    the dup-injected corpus: 5-word shingles shared across >= 2 docs,
+    adjacent positions merged into maximal spans (gaps-and-islands)."""
+    return DD.duplicate_spans(_dup_corpus(spark, sf_dir), "doc_id", "text", width=5)
+
+
+@register(
+    "repetition_scores",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tpos AS (SELECT doc_id, w, generate_subscripts(w, 1) AS p FROM toks),
+bg AS (
+  SELECT doc_id, w[p] || ' ' || w[p + 1] AS bigram
+  FROM tpos WHERE p + 1 <= len(w)
+),
+per AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 3) AS top_bigram_frac,
+       round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 3) AS dup_bigram_frac
+FROM per GROUP BY doc_id
+""",
+)
+def repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality signals: fraction of word
+    bigrams taken by the single most frequent bigram, and fraction of
+    bigram occurrences that are repeats. Bigram build is pure array
+    expressions (functions/text.py word_bigrams); two map-side-
+    combinable groupBys, the first keyed (doc_id, bigram) so the hot
+    aggregation state is bounded by per-doc vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(TX.word_bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 3).alias("top_bigram_frac"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 3).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data operators: IVF ANN (data-adaptive companion to LSH)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+cents AS (SELECT vec_id - 9 AS c_id, i, x FROM ex WHERE vec_id BETWEEN 9 AND 16),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id, c.c_id, sum(e.x * c.x) AS dp
+  FROM ex e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.c_id
+),
+cscore AS (
+  SELECT d.vec_id, d.c_id, round(d.dp / (nv.nrm * nc.nrm), 3) AS cs
+  FROM cdots d
+  JOIN n nv ON nv.vec_id = d.vec_id
+  JOIN n nc ON nc.vec_id = d.c_id + 9
+),
+ranked AS (
+  SELECT vec_id, c_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+  FROM cscore
+),
+assign AS (SELECT vec_id AS id, c_id FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, c_id FROM ranked WHERE rn <= 2 AND vec_id < 5),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * e.x) AS dp
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex e ON e.vec_id = c.neighbor_id AND e.i = q.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dp / (nq.nrm * ne.nrm), 3) AS score
+  FROM dots
+  JOIN n nq ON nq.vec_id = query_id
+  JOIN n ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: corpus vectors 9..16 serve as the deterministic
+    coarse-quantizer centroids (k-means training is an offline job);
+    each query probes its 2 nearest cells. Data-adaptive companion to
+    the data-oblivious hyperplane LSH path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    cents = emb.where(F.col("vec_id").between(9, 16)).select(
+        (F.col("vec_id") - 9).cast("int").alias("c_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return SIM.ivf_topk(emb, qids, cents, k=3, n_probe=2)

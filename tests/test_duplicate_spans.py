@@ -1,0 +1,64 @@
+"""duplicate_spans semantics: exact-substring span detection with
+gaps-and-islands merging (Lee et al. 2021 re-expressed relationally)."""
+
+from pyspark.sql import functions as F
+
+from gfftoneo4j_spark.operators.dedup import duplicate_spans
+
+
+def _rows(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in df.collect()
+    }
+
+
+def test_shared_substring_merges_to_one_maximal_span(spark):
+    # docs 1 and 2 share the 7-word run "a b c d e f g" => with width=5,
+    # duplicated shingle positions {0,1,2} merge into one span [0, 6]
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x1 y1 z1"),
+            (2, "q2 a b c d e f g w2"),
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(duplicate_spans(df, width=5))
+    assert (1, 0, 6, 3) in got
+    assert (2, 1, 7, 3) in got
+    assert not any(d == 3 for d, *_ in got)
+
+
+def test_disjoint_runs_stay_separate_spans(spark):
+    # shared runs at the start AND end of doc 1, separated by a unique
+    # middle => two spans, not one
+    shared_a = "s1 s2 s3 s4 s5"
+    shared_b = "t1 t2 t3 t4 t5"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared_a} u1 u2 u3 u4 u5 u6 {shared_b}"),
+            (2, shared_a),
+            (3, shared_b),
+        ],
+        "doc_id long, text string",
+    )
+    spans1 = sorted(t for t in _rows(duplicate_spans(df, width=5)) if t[0] == 1)
+    assert spans1 == [(1, 0, 4, 1), (1, 11, 15, 1)]
+
+
+def test_within_doc_repeats_alone_do_not_mark(spark):
+    # duplication must be CROSS-document: a doc repeating itself with no
+    # partner doc yields nothing
+    df = spark.createDataFrame(
+        [(1, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"), (2, "other words x y z")],
+        "doc_id long, text string",
+    )
+    assert _rows(duplicate_spans(df, width=5)) == set()
+
+
+def test_short_docs_are_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert duplicate_spans(df, width=5).count() == 0

@@ -60,3 +60,31 @@ def test_lsh_exact_duplicates_never_missed(spark, emb):
     pairs = SIM.near_dup_pairs(corpus, planes, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 500_000) in got
+
+
+def test_ivf_recall_and_probe_monotonicity(spark, emb):
+    """IVF-flat with corpus-seeded centroids: probing more cells never
+    loses recall, and the measured floor on this seeded corpus holds."""
+    qids = emb.where(F.col("vec_id") < 10).select("vec_id")
+    cents = emb.where(F.col("vec_id").between(100, 115)).select(
+        (F.col("vec_id") - 100).cast("int").alias("c_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    exact = SIM.cosine_topk(emb, qids, k=3)
+    p1 = SIM.ivf_topk(emb, qids, cents, k=3, n_probe=1)
+    p4 = SIM.ivf_topk(emb, qids, cents, k=3, n_probe=4)
+    r1, r4 = _recall(p1, exact), _recall(p4, exact)
+    assert r4 >= r1
+    assert r4 >= 0.5, f"ivf n_probe=4 recall {r4}"
+
+
+def test_ivf_assignment_is_total_and_unique(spark, emb):
+    """Every corpus vector lands in exactly one cell."""
+    cents = emb.where(F.col("vec_id").between(100, 107)).select(
+        (F.col("vec_id") - 100).cast("int").alias("c_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assign = SIM.ivf_assign(emb, cents)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("id").distinct().count() == n
