@@ -276,3 +276,85 @@ def duplicate_spans(
         )
         .drop("grp")
     )
+
+
+def ngram_jaccard_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    band_col: str,
+    threshold: float = 0.8,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Token-set Jaccard with length-BANDED blocking.
+
+    Exact-length blocking (ngram_jaccard_pairs over (lang, n_chars))
+    misses near-dups of different length — e.g. a doc minus its last
+    word. Jaccard >= t bounds the size ratio of the pair, so near-dups
+    have near-equal lengths: bucket the numeric ``band_col`` (e.g.
+    n_chars) by ``bucket_width`` and emit each doc into its own AND
+    the next bucket, so every pair whose lengths differ by <
+    bucket_width shares a block. Blocking stays a candidate FILTER —
+    exact Jaccard verification decides membership, so widening buckets
+    can only add candidates, never wrong pairs.
+
+    Scale shape: the probe doubles token rows (2 blocks/doc, bounded
+    2x shuffle amplification); the pair space is per-(lang, bucket),
+    never corpus-quadratic ACROSS blocks; the distinct before the
+    intersection count collapses pairs meeting in both shared buckets.
+    Caveat measured on the synthetic corpus: when the corpus is
+    near-dup-DENSE (tiny shared vocabulary, most docs pairwise
+    J>=0.8), the true answer itself is ~quadratic in the block
+    population and no blocking scheme can make it small — cap
+    downstream with a representative-per-cluster reduction (CC over
+    the pair graph, operators/connected_components.py) rather than by
+    weakening the blocker.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("id", "lang").agg(F.count(F.lit(1)).alias("sz"))
+    bucket = F.floor(F.col(band_col) / bucket_width).cast("int")
+    blocks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(F.array(bucket, bucket + 1)).alias("block"),
+    )
+    keyed = tok.join(blocks, ["id", "lang"])
+    a = keyed.select(
+        F.col("id").alias("id_a"), "lang", "block", "token"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), "lang", "block", "token"
+    )
+    inter = (
+        a.join(b, ["lang", "block", "token"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "token")
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                3,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

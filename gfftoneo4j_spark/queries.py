@@ -1569,3 +1569,126 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("embedding").alias("centroid"),
     )
     return SIM.ivf_topk(emb, qids, cents, k=3, n_probe=2)
+
+
+_TRUNC_CORPUS_SQL = """
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, lang,
+         regexp_replace(text, ' [^ ]+$', '') AS text
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@register(
+    "ngram_jaccard_banded",
+    f"""
+WITH corpus AS ({_TRUNC_CORPUS_SQL}),
+tok AS (
+  SELECT DISTINCT c.doc_id AS id, c.lang, t.tok AS token
+  FROM corpus c, unnest(string_split(c.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+sizes AS (
+  SELECT id, lang, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY id, lang
+),
+blocks AS (
+  SELECT doc_id AS id, lang,
+         CAST(floor(length(text) / 16) AS INTEGER) + d.d AS block
+  FROM corpus, (VALUES (0), (1)) d(d)
+),
+keyed AS (
+  SELECT t.id, t.lang, b.block, t.token
+  FROM tok t JOIN blocks b ON b.id = t.id AND b.lang = t.lang
+),
+inter AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS i FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.token
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.block = b.block AND a.token = b.token
+     AND a.id < b.id
+  ) GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 3) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 3) >= 0.8
+""",
+)
+def ngram_jaccard_banded(spark, sf_dir):
+    """Length-banded Jaccard blocking (VERDICT round-1: exact-length
+    blocking misses near-dups of different length). The injected
+    near-dups are each 11th doc MINUS ITS LAST WORD — a different
+    n_chars, invisible to exact-length blocks, caught by the size
+    bound |A|/|B| >= threshold that banding exploits."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    trunc = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "lang",
+        F.regexp_replace(F.col("text"), r" [^ ]+$", "").alias("text"),
+    )
+    corpus = d.unionByName(trunc).withColumn("n_len", F.length("text"))
+    return DD.ngram_jaccard_pairs_banded(
+        corpus, "doc_id", "text", "lang", "n_len", threshold=0.8, bucket_width=16
+    )
+
+
+@register(
+    "graph_pagerank",
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+edges AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  )
+),
+outdeg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (
+  SELECT e.v AS node, sum((r.r * 85) // (100 * o.deg)) AS s
+  FROM edges e JOIN r0 r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r1 AS (
+  SELECT n.node, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c1 c ON c.node = n.node
+),
+c2 AS (
+  SELECT e.v AS node, sum((r.r * 85) // (100 * o.deg)) AS s
+  FROM edges e JOIN r1 r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r2 AS (
+  SELECT n.node, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c2 c ON c.node = n.node
+),
+c3 AS (
+  SELECT e.v AS node, sum((r.r * 85) // (100 * o.deg)) AS s
+  FROM edges e JOIN r2 r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r3 AS (
+  SELECT n.node, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c3 c ON c.node = n.node
+)
+SELECT node, r AS rank FROM r3
+""",
+)
+def graph_pagerank(spark, sf_dir):
+    """3-iteration damped PageRank over the constructed KG in integer
+    fixed-point (scale 10^6, damping 85/100): every iteration is
+    bit-exact across engines and cluster sizes, so an ITERATIVE
+    operator gates against an exact SQL oracle — the same determinism
+    the reference gets for free single-threaded, preserved
+    distributed. The oracle unrolls the three rounds as CTEs. The
+    triples snapshot is EAGER: a lazy checkpoint materializes lazily
+    per-partition inside the iterative job, and parallel stages racing
+    on uncached partitions recompute the whole upstream pipeline
+    (measured 126s -> ~50s at sf0.01 from this one flag)."""
+    from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return pagerank_fixed_point(edges, iters=3)

@@ -1,0 +1,35 @@
+"""pagerank_fixed_point: exact integer semantics, hand-checkable on a
+star, and bit-identical under different partitionings (the property the
+integer formulation exists to guarantee)."""
+
+from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_star_graph_exact_values(spark):
+    # 5 leaves -> hub. r0 = 1e6 everywhere.
+    # r1(hub) = 150000 + 5 * floor(1e6 * 85 / 100)    = 4_400_000
+    # r1(leaf) = 150000 (no in-edges)
+    # r2(hub) = 150000 + 5 * floor(150000 * 85 / 100) = 787_500
+    # r3(hub) = r2(hub) (leaves stay at 150000)
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(5)], "u string, v string"
+    )
+    assert _ranks(pagerank_fixed_point(edges, iters=1))["hub"] == 4_400_000
+    r3 = _ranks(pagerank_fixed_point(edges, iters=3))
+    assert r3["hub"] == 787_500
+    assert all(v == 150_000 for k, v in r3.items() if k != "hub")
+
+
+def test_partition_invariance_bit_exact(spark):
+    # the integer fixed-point recurrence must give IDENTICAL ranks no
+    # matter how the edges are partitioned — the determinism a float
+    # formulation cannot promise
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 50}") for i in range(200)]
+    edges = spark.createDataFrame(rows, "u string, v string")
+    a = _ranks(pagerank_fixed_point(edges.coalesce(1), iters=3))
+    b = _ranks(pagerank_fixed_point(edges.repartition(17, "v"), iters=3))
+    assert a == b
