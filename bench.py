@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "text_analysis",
     "hourly_rollup",
+    "sessionize_events",
+    "asof_join_events",
+    "tfidf_topk",
 ]
 
 

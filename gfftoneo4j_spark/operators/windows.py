@@ -131,3 +131,105 @@ def consecutive_pairs(
         )
         .where(F.col("dst").isNotNull())
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Event-time sessionization: a new session starts whenever the gap
+    to the previous event of the same key exceeds ``gap_seconds``.
+
+    One window exchange on the key does everything: lag for the gap,
+    a running sum of session-start flags for the session index — then
+    one map-side-combinable groupBy rolls sessions up. Returns
+    (key, session_id, n_events, t_start, t_end) with epoch-second
+    bounds (integers travel across engines; raw timestamps don't
+    hash portably).
+
+    The batch twin of Structured Streaming's session_window: the same
+    assignment logic a stream job applies with a watermark, expressed
+    over history. Skew note: partitions by key only — a single
+    pathological key serializes its own timeline (inherent to the
+    semantics); AQE splits the rest.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    with_sess = df.select(
+        F.col(key_col).alias("key"),
+        ep.alias("ep"),
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_id"),
+    )
+    return with_sess.groupBy("key", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ep").alias("t_start"),
+        F.max("ep").alias("t_end"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Distributed as-of join: for every left row, the latest right row
+    of the same key with right.ts <= left.ts (inclusive).
+
+    Spark has no ASOF JOIN operator; a range-join would explode to
+    |L|x|R| per key before filtering. The union trick does it in ONE
+    window exchange: tag right rows 0 and left rows 1, union, sort by
+    (key, ts, tag) and carry the last non-null right value forward
+    with last(..., ignoreNulls) — right rows at the exact left
+    timestamp sort first, so the match is inclusive. Cost is a single
+    shuffle of |L|+|R| rows; no pair blow-up at any key cardinality.
+
+    The right side is pre-aggregated to one row per (key, ts) (max of
+    ``val_col``) so the matched value is deterministic under
+    duplicate timestamps — the same tie rule DuckDB's native ASOF
+    JOIN oracle resolves to after the identical pre-aggregation.
+    """
+    r = right.groupBy(
+        F.col(on).alias("key"), F.col(ts_col).alias("ts")
+    ).agg(F.max(val_col).alias("r_val"))
+    l_tag = left.select(
+        F.col(on).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("r_ep"),
+        F.lit(None).cast(r.schema["r_val"].dataType).alias("r_val"),
+    )
+    r_tag = r.select(
+        "key",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.unix_timestamp("ts").alias("r_ep"),
+        "r_val",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l_tag.unionByName(r_tag).select(
+        "key",
+        "ts",
+        "tag",
+        F.last("r_ep", ignorenulls=True).over(w).alias("matched_ep"),
+        F.last("r_val", ignorenulls=True).over(w).alias("matched_val"),
+    )
+    return u.where(F.col("tag") == 1).select(
+        "key",
+        F.unix_timestamp("ts").alias("l_ep"),
+        "matched_ep",
+        "matched_val",
+    )

@@ -1692,3 +1692,129 @@ def graph_pagerank(spark, sf_dir):
     t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
     edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
     return pagerank_fixed_point(edges, iters=3)
+
+
+# --------------------------------------------------------------------------
+# event-time operators: sessionization + as-of join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+WITH base AS (
+  SELECT user_id AS key, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+  FROM events
+),
+flagged AS (
+  SELECT key, ts, event_id, ep,
+         CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM base
+),
+sess AS (
+  SELECT key, ep,
+         CAST(sum(is_new) OVER (
+           PARTITION BY key ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM flagged
+)
+SELECT key, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ep) AS t_start, max(ep) AS t_end
+FROM sess GROUP BY key, session_id
+""",
+)
+def sessionize_events(spark, sf_dir):
+    """Event-time sessionization (30-min gap) per user: one window
+    exchange (lag + running sum of session starts) + one combinable
+    rollup. The batch twin of a Structured Streaming session_window."""
+    from gfftoneo4j_spark.operators.windows import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+@register(
+    "asof_join_events",
+    """
+WITH l AS (SELECT user_id AS key, ts FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id AS key, ts, max(value) AS r_val
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT l.key, CAST(floor(epoch(l.ts)) AS BIGINT) AS l_ep,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS matched_ep, r.r_val AS matched_val
+FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts
+""",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest click at
+    or before it. Spark lacks ASOF JOIN; the union+last(ignoreNulls)
+    window trick does it in one |L|+|R| shuffle with no range-join
+    pair blow-up. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — a
+    genuinely independent implementation of the same semantics."""
+    from gfftoneo4j_spark.operators.windows import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    return asof_join(purchases, clicks, "user_id", "ts", "value")
+
+
+@register(
+    "tfidf_topk",
+    """
+WITH tok AS (
+  SELECT d.doc_id AS id, t.tok AS token
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY id, token),
+df AS (SELECT token, CAST(count(DISTINCT id) AS BIGINT) AS df FROM tok GROUP BY token),
+n AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM tok),
+scored AS (
+  SELECT tf.id AS doc_id, tf.token, tf.tf, df.df,
+         round(tf.tf * ln(n.n / CAST(df.df AS DOUBLE)), 4) AS score
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tf, df, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       ORDER BY score DESC, token) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document: term frequency and document
+    frequency are two combinable groupBys; the corpus size joins in as
+    a broadcast scalar; idf stays JVM-side (F.log). The relevance-
+    scoring primitive of a training-data curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("id").alias("df")
+    )
+    n = tok.agg(F.countDistinct("id").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+    )
