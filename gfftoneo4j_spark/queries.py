@@ -1818,3 +1818,38 @@ def tfidf_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 5)
     )
+
+
+@register(
+    "dedup_survivors",
+    f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM corpus
+)
+SELECT min(doc_id) AS keeper_id, fingerprint,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM fp GROUP BY fingerprint
+""",
+)
+def dedup_survivors(spark, sf_dir):
+    """Representative selection — the actual DEDUPLICATED OUTPUT of the
+    exact-dedup family (dedup_exact emits the duplicate groups; this
+    emits the surviving corpus): keep the min doc_id per canonical
+    fingerprint. One map-side-combinable groupBy; at 100 TB this is
+    the keep-list you semi-join the corpus against, and the same
+    keeper-per-cluster reduction caps the quadratic pair output of
+    near-dup detection on dense corpora (see
+    ngram_jaccard_pairs_banded's caveat)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("keeper_id", "fingerprint", "n_members")
+    )
