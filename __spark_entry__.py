@@ -38,7 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
         transcripts_from_events(spark, sf_dir),
         alias_dict_from_events(spark, sf_dir),
     )
-    out = "/tmp/kg_entry_graph"
+    # per-application output path: concurrent driver runs must not race
+    # on one shared directory (one would read the other's half-
+    # overwritten tables)
+    out = f"/tmp/kg_entry_graph_{spark.sparkContext.applicationId}"
     write_graph(res.nodes, res.edges, out, fingerprint=sf_dir)
     return read_graph(spark, out).triples
 

@@ -72,10 +72,19 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     """Order-insensitive edge-set signature, overflow-safe to ~10^15
     edges under ANSI mode: per-hash-bucket partial sums are each
     re-reduced mod M before the final (<=65536-value) sum, so no
-    running LongType sum ever exceeds ~(edges/65536) * M."""
+    running LongType sum ever exceeds ~(edges/65536) * M.
+
+    Buckets key on the FULL edge hash, not xxhash64(u): hashing only
+    the source would land every edge of a high-degree hub in one
+    bucket, and that bucket's running sum overflows at ~9.2e9 edges on
+    one node — star graphs are exactly the shape large-star/small-star
+    produces. The full-edge hash spreads population uniformly
+    regardless of degree skew."""
     h = F.pmod(F.xxhash64(F.concat_ws("|", "u", "v")), F.lit(MOD))
     partials = edges.groupBy(
-        F.pmod(F.xxhash64("u"), F.lit(65536)).alias("bucket")
+        F.pmod(F.xxhash64(F.concat_ws("|", "u", "v")), F.lit(65536)).alias(
+            "bucket"
+        )
     ).agg(
         F.count(F.lit(1)).alias("pn"),
         F.pmod(F.sum(h), F.lit(MOD)).alias("ph"),

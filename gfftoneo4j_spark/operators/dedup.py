@@ -216,6 +216,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 5,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact-substring duplicate-span detection (the training-data
     dedup of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -235,13 +236,24 @@ def duplicate_spans(
     Scale shape: one map-side-combinable two-level groupBy on the
     shingle (never corpus-quadratic), one semi-join back on the
     shingle hash, and a window whose partitions are per-document
-    duplicated positions (bounded by document length). At 100 TB,
-    shuffle xxhash64(shingle) instead of the string to cut shuffle
-    bytes ~width x; the verify-free design is exact because equal
-    shingles, not similar ones, are matched.
+    duplicated positions (bounded by document length).
+
+    Shuffle bytes: every exchange (the distinct, the count, the
+    semi-join) carries ``xxhash64(shingle)`` — 8 bytes — instead of
+    the ``width``-word string, cutting shuffled shingle bytes ~width
+    x avg-word-length / 8 (typically ~4x at width=5). A 64-bit
+    collision marks a position duplicated that isn't; expected false
+    positives stay << 1 until ~2^32 distinct shingles PER COLLIDING
+    PAIR meet — negligible for span *marking* (pass
+    ``hash_shingles=False`` to shuffle the exact strings when
+    verifying). The design is otherwise exact because equal shingles,
+    not similar ones, are matched.
     """
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
+    shingle_key = (
+        (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    )
     shingled = (
         df.where(n >= width)
         .select(
@@ -253,16 +265,17 @@ def duplicate_spans(
                 )
             ).alias("pos", "shingle"),
         )
+        .select("doc_id", "pos", shingle_key(F.col("shingle")).alias("sk"))
     )
     cross_doc = (
-        shingled.select("shingle", "doc_id")
+        shingled.select("sk", "doc_id")
         .distinct()
-        .groupBy("shingle")
+        .groupBy("sk")
         .count()
         .where(F.col("count") >= 2)
-        .select("shingle")
+        .select("sk")
     )
-    dup_pos = shingled.join(cross_doc, "shingle", "left_semi").select(
+    dup_pos = shingled.join(cross_doc, "sk", "left_semi").select(
         "doc_id", "pos"
     )
     wg = Window.partitionBy("doc_id").orderBy("pos")

@@ -49,20 +49,29 @@ def pagerank_fixed_point(
     per-round localCheckpoint truncates lineage so the plan stays
     O(1)-deep across iterations (same discipline as the CC loop).
     Total ranks stay ~scale * |V|, so BIGINT holds to ~10^12 nodes.
+
+    The loop invariants (deduped edges, node set, out-degrees) are
+    EAGER-checkpointed once before the loop: lazily checkpointed, each
+    of the ``iters`` rounds re-ran the edge distinct and the degree
+    aggregation from scratch (round-2 bench: 34.6s at sf0.1 with the
+    recompute, ~31% of the whole 22-query suite — pure fixed cost,
+    not part of the recurrence).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     base = int(scale * (damping_den - damping_num) // damping_den)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):

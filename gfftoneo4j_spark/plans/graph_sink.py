@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gfftoneo4j_spark.plans.checkpoint import fs_read_json, fs_write_json
+from gfftoneo4j_spark.plans.checkpoint import _fs, fs_read_json, fs_write_json
 
 GRAPH_MANIFEST = "_GRAPH_MANIFEST.json"
 
@@ -44,6 +44,15 @@ def write_graph(
     manifest dict."""
     path = path.rstrip("/")
     spark = nodes.sparkSession
+    # Rewrite atomicity: the manifest lives OUTSIDE the table dirs, so
+    # on a REwrite the old manifest would survive while nodes/ is
+    # overwritten first and edges/ second — a crash between the two
+    # overwrites would leave a valid-looking manifest over a
+    # mixed-version graph (new nodes, old edges). Invalidate it FIRST:
+    # a torn rewrite is then detectable exactly like a torn first write.
+    fs, mpath = _fs(spark, f"{path}/{GRAPH_MANIFEST}")
+    if fs.exists(mpath):
+        fs.delete(mpath, False)
     # K2 `create unique`: unique by natural key at the sink boundary.
     # partitionBy repartitions on the partition column first so each
     # task writes one directory (no small-file explosion across tasks).

@@ -798,7 +798,13 @@ def graph_sink_roundtrip(spark, sf_dir):
             )
         )
     )
-    out = f"/tmp/kg_gate_graph_{os.path.basename(sf_dir.rstrip('/'))}"
+    # keyed by application id as well as sf: two concurrent driver runs
+    # (gate + bench, or two sessions) must not race on one directory —
+    # the loser would read back the winner's half-overwritten tables
+    out = (
+        f"/tmp/kg_gate_graph_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
     write_graph(nodes, edges, out, fingerprint=sf_dir)
     g = read_graph(spark, out)
     edge_counts = g.edges.groupBy("type").agg(F.count(F.lit(1)).alias("n")).select(
@@ -1361,10 +1367,12 @@ def graph_degree_distribution(spark, sf_dir):
     """Undirected degree distribution of the constructed KG — the
     first sanity query every graph consumer runs. Two map-side-
     combinable aggregations over the triples; the unionAll is a
-    no-shuffle concat. The lazy localCheckpoint materializes the KG
-    pipeline ONCE — both union branches read the snapshot instead of
-    re-deriving extraction->linking->CC per reference."""
-    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=False)
+    no-shuffle concat. The EAGER localCheckpoint materializes the KG
+    pipeline ONCE before the fan-out — a lazy checkpoint materializes
+    per-partition inside the job, and the two union branches racing on
+    uncached partitions recompute extraction->linking->CC upstream
+    (same measured pathology as graph_pagerank's docstring)."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
     nodes = t.select(F.col("subj").alias("node")).unionAll(
         t.select(F.col("obj").alias("node"))
     )
@@ -1396,11 +1404,14 @@ def graph_khop(spark, sf_dir):
     join BFS: one equi-join shuffle per hop, distinct per frontier so
     the frontier never outgrows the node set; min-hop by a final
     map-side-combinable groupBy). The Cypher `MATCH (e)-[*..2]-(n)`
-    every Neo4j consumer of the reference's graph runs. The lazy
+    every Neo4j consumer of the reference's graph runs. The EAGER
     localCheckpoint materializes the KG pipeline ONCE; the six
-    downstream references (edge union + three frontiers) read the
-    snapshot instead of re-deriving the whole pipeline each."""
-    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=False)
+    downstream references (edge union both directions + three
+    frontier joins) read the cached snapshot — lazy here let parallel
+    stages race on uncached partitions and recompute the whole
+    upstream pipeline several times (round-2 bench: 13.8s wall vs
+    5.3s for kg_triples itself, the recompute tax)."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
     fwd = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     seeds = (

@@ -46,19 +46,26 @@ def _chain_group(key, pdf_iter, state: GroupState):
     (conv_id,) = key
     last = state.get[0] if state.exists else None
     subjs, preds, objs = [], [], []
+    # Accumulate across ALL Arrow chunks before sorting: a large group
+    # spans multiple pdf chunks, and sorting per chunk would misclassify
+    # a chunk-2 turn with lower idx than chunk-1's max as a late_turn
+    # straggler even though it arrived in the same (in-order) batch —
+    # diverging from batch-pipeline parity.
+    idxs: list[int] = []
     for pdf in pdf_iter:
-        for t in sorted(int(x) for x in pdf["turn_idx"].dropna()):
-            if last is not None and t <= last:
-                # duplicate or out-of-order straggler: lineage, not edge
-                subjs.append(f"turn:{conv_id}:{t}")
-                preds.append("late_turn")
-                objs.append(f"conv:{conv_id}")
-                continue
-            if last is not None:
-                subjs.append(f"turn:{conv_id}:{last}")
-                preds.append("next_turn")
-                objs.append(f"turn:{conv_id}:{t}")
-            last = t
+        idxs.extend(int(x) for x in pdf["turn_idx"].dropna())
+    for t in sorted(idxs):
+        if last is not None and t <= last:
+            # duplicate or out-of-order straggler: lineage, not edge
+            subjs.append(f"turn:{conv_id}:{t}")
+            preds.append("late_turn")
+            objs.append(f"conv:{conv_id}")
+            continue
+        if last is not None:
+            subjs.append(f"turn:{conv_id}:{last}")
+            preds.append("next_turn")
+            objs.append(f"turn:{conv_id}:{t}")
+        last = t
     state.update((last,))
     yield pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs})
 
