@@ -11,6 +11,19 @@ The headline metric is end-to-end KG-pipeline throughput in turns/sec
 families. Each query is forced with a cheap count-style action so the
 full plan executes but nothing large lands on the driver.
 
+Each query runs REPS times (default 3, $SPARK_GRAFT_BENCH_REPS) with a
+FRESH plan per run — re-collecting the same DataFrame would reuse
+shuffle map outputs (stage skipping) and measure nothing. "queries"
+carries the per-query MEDIAN (single-shot walls on this host drift
+±20%; medians make round-over-round comparison meaningful);
+"query_walls" carries every wall.
+
+Regression guard: when $SPARK_GRAFT_BENCH_REF (default BENCH_r02.json
+next to this file) holds a prior run at the same sf, any query whose
+median exceeds 2x its prior value is listed in "regressions" and
+flagged on stderr — a silently-regressed plan fails loudly instead of
+hiding in host noise.
+
 Scaling protocol (BASELINE.md): run this twice, SPARK_GRAFT_CPUS=8 and
 =32, same input; efficiency = (throughput_32 / throughput_8) / 4.
 """
@@ -43,6 +56,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_scaled_topk",
     "duplicate_spans",
     # ngram_jaccard_banded is gate-only: the synthetic corpus is
     # near-dup-DENSE (tiny vocab), so its true pair set is ~quadratic
@@ -89,11 +103,40 @@ def main() -> None:
 
     n_turns = _force(QUERIES["kg_transcripts"](spark, sf_dir))
 
-    times: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    walls: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _force(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        ws = []
+        for _ in range(reps):
+            t0 = time.time()
+            # fresh plan per rep: resubmitting the same DataFrame would
+            # skip already-computed shuffle stages and measure ~0
+            _force(QUERIES[name](spark, sf_dir))
+            ws.append(round(time.time() - t0, 3))
+        walls[name] = ws
+    times = {n: sorted(ws)[len(ws) // 2] for n, ws in walls.items()}
+
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    ref_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_REF",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"),
+    )
+    regressions: list[str] = []
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f)
+        if ref.get("sf") == sf_num:
+            for name, med in times.items():
+                prior = ref.get("queries", {}).get(name)
+                if prior and med > 2 * prior:
+                    regressions.append(name)
+                    print(
+                        f"REGRESSION {name}: median {med}s > 2x prior "
+                        f"{prior}s ({ref_path})",
+                        file=sys.stderr,
+                    )
+    except (OSError, ValueError):
+        pass
 
     flagship = times["kg_triples"]
     print(
@@ -103,7 +146,10 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "query_walls": walls,
+                "reps": reps,
+                "regressions": regressions,
+                "sf": sf_num,
                 "cpus": cpus,
                 "n_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / flagship, 1),

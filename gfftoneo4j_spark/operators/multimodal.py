@@ -112,14 +112,27 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(out)
 
 
-def extract_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    partitions: int | None = None,
+    decode_fn=None,
+    schema: T.StructType = DECODED_SCHEMA,
+) -> DataFrame:
     """Feature extraction over the media envelope via mapInPandas.
+
+    ``decode_fn`` is the injection point for a real decoder: any
+    ``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` (a Pillow/
+    ffmpeg-backed batch function in a deployment that has the codecs)
+    drops into the same Arrow-batched slot without editing this
+    module; pass a matching ``schema`` if its output shape differs.
+    Defaults to ``fake_decode_batch``, the deterministic env-blocked
+    stand-in.
 
     ``repartition`` first when asked: media rows are MBs each, so the
     right partition count is bytes-driven, not row-count-driven —
     at scale set partitions ~= total_bytes / 128MB."""
     src = media.repartition(partitions) if partitions else media
-    return src.mapInPandas(fake_decode_batch, schema=DECODED_SCHEMA)
+    return src.mapInPandas(decode_fn or fake_decode_batch, schema=schema)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:

@@ -36,10 +36,40 @@ def n_planes_for(
     return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_bucket_size))))
 
 
-def make_planes(spark, n_planes: int, dim: int, seed: int = 42) -> DataFrame:
+def make_planes(
+    spark, n_planes: int, dim: int, seed: int = 42, method: str = "gaussian"
+) -> DataFrame:
     """Deterministic pseudo-random hyperplanes (plane_idx, plane) —
     tiny, driver-built, always broadcast. Pair with ``n_planes_for`` so
-    bucket count tracks corpus size."""
+    bucket count tracks corpus size.
+
+    ``method="gaussian"``: spherically-uniform numpy normals — the
+    default for production recall.
+    ``method="md5_rademacher"``: ±1 components from md5 digit parity,
+    h[j][i] = +1 iff the first hex digit of md5("seed:j:i") >= '8'
+    (i 1-based). Rademacher planes are valid sign-LSH hyperplanes
+    (Achlioptas-style sparse projections), and — unlike numpy
+    normals — any SQL engine with md5/substr reproduces them exactly,
+    so the corpus-SCALED blocking path itself can face the DuckDB
+    correctness gate (see queries.ann_scaled_topk)."""
+    if method == "md5_rademacher":
+        import hashlib
+
+        rows = [
+            (
+                j,
+                [
+                    1.0
+                    if hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0] >= "8"
+                    else -1.0
+                    for i in range(1, dim + 1)
+                ],
+            )
+            for j in range(n_planes)
+        ]
+        return spark.createDataFrame(rows, "plane_idx int, plane array<double>")
+    if method != "gaussian":
+        raise ValueError(f"unknown plane method {method!r}")
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -289,6 +319,88 @@ def ivf_assign(
         F.max(F.struct(F.col("cs"), (-F.col("c_id")).alias("neg_c"))).alias("m")
     )
     return best.select("id", (-F.col("m.neg_c")).cast("int").alias("c_id"))
+
+
+def train_centroids_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    round_to: int = 3,
+) -> DataFrame:
+    """Deterministic in-engine k-means for the IVF coarse quantizer —
+    the piece that makes the IVF family self-contained (previously the
+    caller had to supply centroids from an offline job).
+
+    Bit-exact across engines, runs, and cluster sizes, by the same two
+    devices the other gated iterative operators use:
+
+    - assignment = ``ivf_assign`` (cosine rounded to ``round_to`` before
+      the argmax, ties to the smallest c_id) — fp-sum-order noise lives
+      far below the rounding grain;
+    - the centroid UPDATE is integer fixed-point (pagerank_fixed_point's
+      discipline): components scale by ``scale``, truncate to BIGINT,
+      sum (order-free, exact), then integer-divide by the member count.
+      A double-precision mean would depend on distributed summation
+      order and could flip a rounded cosine on the next assignment.
+
+    Seeding: the ``k`` vectors with the smallest
+    ``md5(seed || ':' || id)`` (ties by id) — a deterministic uniform
+    draw both engines can reproduce; Spark executes the orderBy+limit
+    as TakeOrdered (per-partition top-k, no global sort shuffle).
+
+    Per iteration: one broadcast assignment pass + one
+    map-side-combinable groupBy on (c_id, dim) — k*dim rows out, which
+    collapse to the driver (centroids are broadcast-sized by
+    definition). Empty clusters keep their previous centroid.
+    Returns (c_id int, centroid array<double>).
+    """
+    spark = emb.sparkSession
+    seed_rows = (
+        emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.md5(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))), "id")
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+    cent_schema = "c_id int, centroid array<double>"
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, cent_schema)
+        assign = ivf_assign(emb, cdf, id_col, vec_col, round_to)
+        comp = (
+            emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+            .join(assign, "id")
+            .select("c_id", F.posexplode("v").alias("pos", "x"))
+            .select(
+                "c_id",
+                "pos",
+                (F.col("x") * scale).cast("long").alias("fx"),
+            )
+            .groupBy("c_id", "pos")
+            .agg(F.sum("fx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "c_id",
+                "pos",
+                # integer truncating division — Spark `div` and DuckDB
+                # `//` agree (both round toward zero), so the oracle
+                # reproduces the update bit-for-bit
+                F.expr("s div n").alias("q"),
+            )
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                    lambda st: st["q"].cast("double") / scale,
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        updated = {r["c_id"]: list(r["centroid"]) for r in comp}
+        cents = [(cid, updated.get(cid, v)) for cid, v in cents]
+    return spark.createDataFrame(cents, cent_schema)
 
 
 def ivf_topk(

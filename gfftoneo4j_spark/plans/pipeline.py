@@ -60,6 +60,24 @@ from gfftoneo4j_spark.plans.lineage import (
 )
 
 
+class StrictModeViolation(ValueError):
+    """Raised by ``build_kg(..., strict=True)`` when any input row
+    would be quarantined — the analogue of the reference's fail-fast
+    parse (Application.scala:47 throws IllegalArgumentException on the
+    first bad line). Carries the violation count and a bounded sample
+    so the error is actionable without collecting the quarantine set."""
+
+    def __init__(self, n_bad: int, sample: list[tuple]):
+        self.n_bad = n_bad
+        self.sample = sample
+        super().__init__(
+            f"strict mode: {n_bad} transcript row(s) failed the parse "
+            f"contract (null/empty text or null turn_idx); first "
+            f"{len(sample)} (conv_id, turn_idx): {sample}. Re-run with "
+            f"strict=False to quarantine them to lineage instead."
+        )
+
+
 @dataclass
 class KGResult:
     turns: DataFrame
@@ -92,6 +110,7 @@ def build_kg(
     fingerprint: str = "default",
     persist_intermediates: bool = False,
     segment_rows: int | None = None,
+    strict: bool = False,
 ) -> KGResult:
     """``persist_intermediates`` caches ``linked`` for interactive
     sessions that act on many outputs (nodes AND edges AND metrics...).
@@ -99,13 +118,31 @@ def build_kg(
     recompute (measured at local[32]: +40s cache build vs 11s recompute
     of the extraction+linking plan), and production multi-output runs
     pass a ``checkpointer``, which materializes stages as parquet
-    snapshots — the resumable, cluster-correct equivalent."""
+    snapshots — the resumable, cluster-correct equivalent.
+
+    ``strict=True`` raises :class:`StrictModeViolation` if any row
+    fails the parse contract instead of quarantining it — the
+    reference's abort-on-bad-line semantics (Application.scala:47) for
+    invariant testing and data-quality gates; default ``False`` keeps
+    the engine's quarantine-to-lineage behavior (quirk Q3)."""
     bad = (
         F.col("text").isNull()
         | (F.col("text") == "")
         | F.col("turn_idx").isNull()
     )
     quarantined = transcripts.where(bad)
+    if strict:
+        # Fail-fast data-quality gate (quirk Q3, Application.scala:47;
+        # SURVEY §3.3). The limit(6) probe short-circuits: Spark stops
+        # scanning once 6 violations surface, so a CLEAN corpus pays
+        # one pushed-filter scan and a dirty one aborts early; the full
+        # count runs only on the failure path.
+        sample = [
+            (r["conv_id"], r["turn_idx"])
+            for r in quarantined.select("conv_id", "turn_idx").limit(6).collect()
+        ]
+        if sample:
+            raise StrictModeViolation(quarantined.count(), sample[:5])
     # turns fans out into 4 edge/node families. Deliberately NOT
     # persisted: the source is columnar parquet, so each branch re-scans
     # only the columns it needs (pruned, ~free), while caching 10^12

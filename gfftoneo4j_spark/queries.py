@@ -1118,6 +1118,93 @@ def ann_multiprobe_topk(spark, sf_dir):
 
 
 @register(
+    "ann_scaled_topk",
+    f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+nb AS (
+  SELECT CAST(coalesce(min(j.b), 30) AS INTEGER) AS b
+  FROM (SELECT count(*) AS n FROM embeddings) c,
+       (SELECT unnest(range(2, 31)) AS b) j
+  WHERE c.n <= 64 * power(2, j.b)
+),
+planes AS (
+  SELECT j.p AS plane_idx, dims.i,
+         CASE WHEN substr(md5('7:' || CAST(j.p AS VARCHAR) || ':'
+                    || CAST(dims.i AS VARCHAR)), 1, 1) >= '8'
+              THEN 1.0 ELSE -1.0 END AS x
+  FROM nb, (SELECT unnest(range(0, 30)) AS p) j,
+       (SELECT DISTINCT i FROM ex) dims
+  WHERE j.p < nb.b
+),
+bitdots AS (
+  SELECT e.vec_id, p.plane_idx, sum(e.x * p.x) AS dp
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.plane_idx
+),
+buckets AS (
+  SELECT vec_id AS id,
+         CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, plane_idx) AS INTEGER) ELSE 0 END) AS INTEGER) AS bucket
+  FROM bitdots GROUP BY vec_id
+),
+qprobes AS (
+  SELECT b.id AS query_id, b.bucket FROM buckets b WHERE b.id < 5
+  UNION ALL
+  SELECT d.vec_id AS query_id,
+         xor(b.bucket, CAST(power(2, d.plane_idx) AS INTEGER)) AS bucket
+  FROM (
+    SELECT vec_id, plane_idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY abs(dp), plane_idx) AS mr
+    FROM bitdots WHERE vec_id < 5
+  ) d JOIN buckets b ON b.id = d.vec_id
+  WHERE d.mr <= 2
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, be.id AS neighbor_id
+  FROM qprobes qp
+  JOIN buckets be ON be.bucket = qp.bucket AND be.id <> qp.query_id
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, sum(q.x * e.x) AS dp
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex e ON e.vec_id = c.neighbor_id AND e.i = q.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dp / (nq.nrm * ne.nrm), 3) AS score
+  FROM dots JOIN n nq ON nq.vec_id = query_id JOIN n ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def ann_scaled_topk(spark, sf_dir):
+    """Corpus-SCALED multi-probe ANN — the full 100 TB blocking logic
+    on the gated path: ``n_planes_for(count)`` picks the plane count
+    from the actual corpus size (so bucket population stays ~constant
+    as N grows; 3 planes at sf0.01, 7 at sf0.1), ``make_planes``
+    generates md5-Rademacher hyperplanes the SQL oracle reproduces
+    digit-for-digit, and each query probes its 2 lowest-margin flip
+    buckets. Round-2 VERDICT: the scaling functions were pytest-only
+    while every gated ANN query used 4 fixed planes; this row puts the
+    scaling decision itself in front of the independent engine. The
+    oracle computes the plane count as min b in [2,30] with
+    n <= target * 2^b — integer arithmetic equivalent to
+    ceil(log2(n/target)), immune to cross-libm log2 rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").head()[0])
+    b = SIM.n_planes_for(n_vec, target_bucket_size=64)
+    planes = SIM.make_planes(spark, b, dim, seed=7, method="md5_rademacher")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    return SIM.lsh_topk(emb, qids, planes, k=3, n_probes=2)
+
+
+@register(
     "embedding_near_dup",
     f"""
 WITH corpus AS (
@@ -1525,17 +1612,69 @@ def repetition_scores(spark, sf_dir):
     "ann_ivf_topk",
     f"""
 WITH ex AS ({_EMB_EXPLODE_SQL}),
-cents AS (SELECT vec_id - 9 AS c_id, i, x FROM ex WHERE vec_id BETWEEN 9 AND 16),
 n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS c_id FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 8
+),
+c0 AS (SELECT s.c_id, e.i, e.x FROM seeds s JOIN ex e ON e.vec_id = s.vec_id),
+nc0 AS (SELECT c_id, sqrt(sum(x * x)) AS nrm FROM c0 GROUP BY c_id),
+d0 AS (
+  SELECT e.vec_id, c.c_id, sum(e.x * c.x) AS dp
+  FROM ex e JOIN c0 c ON c.i = e.i GROUP BY e.vec_id, c.c_id
+),
+a0 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT d.vec_id, d.c_id, row_number() OVER (PARTITION BY d.vec_id
+      ORDER BY round(d.dp / (nv.nrm * nc.nrm), 3) DESC, d.c_id) AS rn
+    FROM d0 d JOIN n nv ON nv.vec_id = d.vec_id JOIN nc0 nc ON nc.c_id = d.c_id
+  ) WHERE rn = 1
+),
+u0 AS (
+  SELECT a.c_id, e.i, sum(CAST(trunc(e.x * 1000000) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM a0 a JOIN ex e ON e.vec_id = a.vec_id GROUP BY a.c_id, e.i
+),
+c1 AS (
+  SELECT c_id, i, CAST(s // cnt AS DOUBLE) / 1000000 AS x FROM u0
+  UNION ALL
+  SELECT c_id, i, x FROM c0 WHERE c_id NOT IN (SELECT c_id FROM u0)
+),
+nc1 AS (SELECT c_id, sqrt(sum(x * x)) AS nrm FROM c1 GROUP BY c_id),
+d1 AS (
+  SELECT e.vec_id, c.c_id, sum(e.x * c.x) AS dp
+  FROM ex e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.c_id
+),
+a1 AS (
+  SELECT vec_id, c_id FROM (
+    SELECT d.vec_id, d.c_id, row_number() OVER (PARTITION BY d.vec_id
+      ORDER BY round(d.dp / (nv.nrm * nc.nrm), 3) DESC, d.c_id) AS rn
+    FROM d1 d JOIN n nv ON nv.vec_id = d.vec_id JOIN nc1 nc ON nc.c_id = d.c_id
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.c_id, e.i, sum(CAST(trunc(e.x * 1000000) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM a1 a JOIN ex e ON e.vec_id = a.vec_id GROUP BY a.c_id, e.i
+),
+c2 AS (
+  SELECT c_id, i, CAST(s // cnt AS DOUBLE) / 1000000 AS x FROM u1
+  UNION ALL
+  SELECT c_id, i, x FROM c1 WHERE c_id NOT IN (SELECT c_id FROM u1)
+),
+nc2 AS (SELECT c_id, sqrt(sum(x * x)) AS nrm FROM c2 GROUP BY c_id),
 cdots AS (
   SELECT e.vec_id, c.c_id, sum(e.x * c.x) AS dp
-  FROM ex e JOIN cents c ON e.i = c.i GROUP BY e.vec_id, c.c_id
+  FROM ex e JOIN c2 c ON e.i = c.i GROUP BY e.vec_id, c.c_id
 ),
 cscore AS (
   SELECT d.vec_id, d.c_id, round(d.dp / (nv.nrm * nc.nrm), 3) AS cs
   FROM cdots d
   JOIN n nv ON nv.vec_id = d.vec_id
-  JOIN n nc ON nc.vec_id = d.c_id + 9
+  JOIN nc2 nc ON nc.c_id = d.c_id
 ),
 ranked AS (
   SELECT vec_id, c_id,
@@ -1569,16 +1708,17 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """,
 )
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-flat ANN: corpus vectors 9..16 serve as the deterministic
-    coarse-quantizer centroids (k-means training is an offline job);
-    each query probes its 2 nearest cells. Data-adaptive companion to
-    the data-oblivious hyperplane LSH path."""
+    """IVF-flat ANN with IN-ENGINE centroid training: 2 rounds of
+    deterministic k-means (md5-seeded init, rounded-cosine assignment,
+    integer fixed-point centroid update — similarity.
+    train_centroids_kmeans) make the IVF family self-contained; each
+    query then probes its 2 nearest trained cells. The oracle unrolls
+    both k-means rounds as CTEs, so the TRAINING loop itself — not
+    just the probe — faces the independent-engine gate. Data-adaptive
+    companion to the data-oblivious hyperplane LSH path."""
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.where(F.col("vec_id") < 5).select("vec_id")
-    cents = emb.where(F.col("vec_id").between(9, 16)).select(
-        (F.col("vec_id") - 9).cast("int").alias("c_id"),
-        F.col("embedding").alias("centroid"),
-    )
+    cents = SIM.train_centroids_kmeans(emb, k=8, iters=2, seed=42)
     return SIM.ivf_topk(emb, qids, cents, k=3, n_probe=2)
 
 

@@ -67,3 +67,35 @@ def test_frame_sample_slices(media):
     for r in pdf:
         off = r.frame_idx * step
         assert bytes(r.frame) == src[off : off + 64]
+
+
+def test_decode_fn_injection(media):
+    """A deployment's real decoder drops into the same mapInPandas
+    slot: inject a custom batch fn + schema and get its output through
+    identical plumbing (no module edits)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    custom_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("first_byte", T.IntegerType(), True),
+        ]
+    )
+
+    def first_byte_decoder(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "first_byte": pdf["content"].map(
+                        lambda b: int(b[0]) if b else -1
+                    ),
+                }
+            )
+
+    out = extract_features(media, decode_fn=first_byte_decoder, schema=custom_schema)
+    rows = {r.media_id: r.first_byte for r in out.collect()}
+    src = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert rows.keys() == src.keys()
+    assert all(rows[m] == src[m][0] for m in rows)

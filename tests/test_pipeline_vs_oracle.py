@@ -117,3 +117,35 @@ def test_extraction_udf_matches_sql_variant(spark):
     _, got_p, _ = _run_both(spark, turns, dict_rows, "pandas")
     _, got_s, _ = _run_both(spark, turns, dict_rows, "sql")
     assert got_p == got_s
+
+
+def test_strict_mode_raises_on_bad_row(spark):
+    """Q3's other half (Application.scala:47): strict=True aborts on
+    the first quarantine-worthy row, with count + bounded sample."""
+    from gfftoneo4j_spark.plans.pipeline import StrictModeViolation
+
+    tdf = spark.createDataFrame(FIXTURE_A_TURNS, TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(FIXTURE_A_DICT, ALIAS_DICT_SCHEMA)
+    with pytest.raises(StrictModeViolation) as ei:
+        build_kg(spark, tdf, ddf, strict=True)
+    # FIXTURE_A has exactly one bad row: ("cB", 2, "")
+    assert ei.value.n_bad == 1
+    assert ei.value.sample == [("cB", 2)]
+
+
+def test_strict_mode_passes_on_clean_corpus(spark):
+    clean = [t for t in FIXTURE_A_TURNS if t["text"]]
+    tdf = spark.createDataFrame(clean, TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(FIXTURE_A_DICT, ALIAS_DICT_SCHEMA)
+    res = build_kg(spark, tdf, ddf, strict=True)
+    assert res.triples.count() > 0
+    # strict on a clean corpus behaves exactly like the default path
+    got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+    want = oracle.build_graph(clean, FIXTURE_A_DICT)
+    assert got == want["triples"]
+
+
+def test_default_mode_quarantines_not_raises(spark):
+    res, _, _ = _run_both(spark, FIXTURE_A_TURNS, FIXTURE_A_DICT)
+    q = res.lineage.where("reason = 'quarantine_empty_text'")
+    assert q.agg({"n": "sum"}).collect()[0][0] == 1

@@ -88,3 +88,33 @@ def test_ivf_assignment_is_total_and_unique(spark, emb):
     n = emb.count()
     assert assign.count() == n
     assert assign.select("id").distinct().count() == n
+
+
+def test_trained_centroids_shape_and_determinism(spark, emb):
+    """k-means trainer: k centroids, right dim, bit-identical across
+    two independent runs (the property the gate depends on)."""
+    c1 = SIM.train_centroids_kmeans(emb, k=8, iters=2, seed=42)
+    c2 = SIM.train_centroids_kmeans(emb, k=8, iters=2, seed=42)
+    rows1 = sorted((r["c_id"], tuple(r["centroid"])) for r in c1.collect())
+    rows2 = sorted((r["c_id"], tuple(r["centroid"])) for r in c2.collect())
+    assert rows1 == rows2
+    assert len(rows1) == 8
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(c) == dim for _, c in rows1)
+
+
+def test_trained_ivf_recall_beats_arbitrary_centroids(spark, emb):
+    """Trained cells adapt to the data: recall@3 with trained centroids
+    must meet the bound and be >= the hand-picked corpus-vector
+    centroids the gated query used before training existed."""
+    qids = emb.where(F.col("vec_id") < 10).select("vec_id")
+    exact = SIM.cosine_topk(emb, qids, k=3)
+    handpicked = emb.where(F.col("vec_id").between(9, 16)).select(
+        (F.col("vec_id") - 9).cast("int").alias("c_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    trained = SIM.train_centroids_kmeans(emb, k=8, iters=2, seed=42)
+    r_hand = _recall(SIM.ivf_topk(emb, qids, handpicked, k=3, n_probe=2), exact)
+    r_trained = _recall(SIM.ivf_topk(emb, qids, trained, k=3, n_probe=2), exact)
+    assert r_trained >= r_hand
+    assert r_trained >= 0.5
