@@ -103,6 +103,15 @@ def main() -> None:
 
     n_turns = _force(QUERIES["kg_transcripts"](spark, sf_dir))
 
+    def _drop_cached_blocks() -> None:
+        """Unpersist every persistent RDD (the graph queries' eager
+        localCheckpoints). Without this, checkpoint blocks from prior
+        reps pile up in the block manager and later reps measure
+        storage-memory pressure instead of the plan (observed: pagerank
+        walls rising 17 -> 25s across 3 reps in one session)."""
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     walls: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -113,6 +122,7 @@ def main() -> None:
             # skip already-computed shuffle stages and measure ~0
             _force(QUERIES[name](spark, sf_dir))
             ws.append(round(time.time() - t0, 3))
+            _drop_cached_blocks()
         walls[name] = ws
     times = {n: sorted(ws)[len(ws) // 2] for n, ws in walls.items()}
 

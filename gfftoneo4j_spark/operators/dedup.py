@@ -241,7 +241,11 @@ def duplicate_spans(
     Shuffle bytes: every exchange (the distinct, the count, the
     semi-join) carries ``xxhash64(shingle)`` — 8 bytes — instead of
     the ``width``-word string, cutting shuffled shingle bytes ~width
-    x avg-word-length / 8 (typically ~4x at width=5). A 64-bit
+    x avg-word-length / 8 pre-compression (measured at sf0.1,
+    identical 3,596 output rows: 7.39 MB vs 14.48 MB total shuffle
+    write — 1.96x post-lz4, because the tiny-vocabulary synthetic
+    shingles compress unusually well; real corpora sit nearer the
+    raw ratio). A 64-bit
     collision marks a position duplicated that isn't; expected false
     positives stay << 1 until ~2^32 distinct shingles PER COLLIDING
     PAIR meet — negligible for span *marking* (pass

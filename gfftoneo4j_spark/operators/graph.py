@@ -61,6 +61,19 @@ def pagerank_fixed_point(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        # re-key the snapshot on the per-round join key BEFORE
+        # checkpointing: distinct() leaves hash(u, v) partitioning, so
+        # every iteration would re-shuffle the edge table — the loop's
+        # biggest input — to hash(u) for the rank join. One extra
+        # exchange here buys zero edge exchanges per round
+        # (localCheckpoint preserves outputPartitioning, and outdeg /
+        # ranks arrive hash(u)-compatible from their own shuffles).
+        # Verified on the physical plan with broadcast disabled (the
+        # 10^12-node regime where ranks can't broadcast): 2 -> 1
+        # Exchange per iteration. At gate scale the rank side
+        # broadcasts, so this is wall-neutral locally and pays off
+        # exactly when the graph is big.
+        .repartition("u")
         .localCheckpoint(eager=True)
     )
     nodes = (

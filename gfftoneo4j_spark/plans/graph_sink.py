@@ -89,6 +89,44 @@ class GraphTables:
         )
 
 
+def write_bucketed_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Bucketed variant of the sink for JOIN-heavy consumers.
+
+    The partitioned layout (write_graph) prunes per-label/per-type
+    scans, but every graph JOIN — edges x nodes attribute lookup,
+    edges x edges multi-hop — still re-shuffles the edge table, and at
+    10^12 edges that shuffle dominates every downstream query.
+    ``bucketBy`` pre-pays it ONCE at write: ``<prefix>_nodes`` buckets
+    + sorts on node_id, ``<prefix>_edges`` on src, with the same
+    bucket count, so Catalyst plans bucket-local SortMergeJoins with
+    ZERO Exchange on either side (asserted by
+    tests/test_bucketed_sink.py). Dedup-on-write (K2) rides the
+    bucketing shuffle itself.
+
+    Requires saveAsTable (bucket metadata lives in the catalog — the
+    in-memory catalog locally, a metastore on a cluster); ``path``
+    makes the tables external. Pick ``n_buckets`` so one bucket is
+    100-500 MB at the target scale: ~4096 for a 10^12-edge graph.
+    """
+    spark = nodes.sparkSession
+    for name, df, key in (
+        ("nodes", nodes.dropDuplicates(["node_id"]), "node_id"),
+        ("edges", edges.dropDuplicates(["src", "dst", "type"]), "src"),
+    ):
+        table = f"{table_prefix}_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+        if path:
+            w = w.option("path", f"{path.rstrip('/')}/{name}")
+        w.saveAsTable(table)
+
+
 def read_graph(spark: SparkSession, path: str) -> GraphTables:
     """Read a written graph back; raises if the manifest is absent
     (i.e. the writing run tore before committing both tables)."""

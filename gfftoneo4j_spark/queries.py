@@ -1500,7 +1500,14 @@ def graph_khop(spark, sf_dir):
     5.3s for kg_triples itself, the recompute tax)."""
     t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
     fwd = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
-    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # the undirected edge set fans into FOUR consumers (seeds + three
+    # frontier joins); without its own snapshot each consumer re-runs
+    # the 2|E|-row union+distinct shuffle from t
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     seeds = (
         edges.where(F.col("u").startswith("ent:"))
         .select(F.col("u").alias("node"))
@@ -2003,4 +2010,46 @@ def dedup_survivors(spark, sf_dir):
             F.count(F.lit(1)).alias("n_members"),
         )
         .select("keeper_id", "fingerprint", "n_members")
+    )
+
+
+@register(
+    "dataset_split",
+    """
+WITH s AS (
+  SELECT CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         lang, length(text) AS n_chars
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang
+""",
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split — the
+    assignment primitive of a training-data pipeline. The split key is
+    the first hex digit of md5(text): '0'-'b' -> train (12/16 = 75%),
+    'c'-'d' -> val, 'e'-'f' -> test. Content addressing (not RNG, not
+    row numbers) means re-runs, resumes, and re-partitionings assign
+    every document identically, duplicate texts land in the SAME split
+    (no train/test leakage through near-copies of an exact dup), and
+    any engine reproduces the assignment. At 100 TB the split is a
+    pure map expression + one map-side-combinable rollup — zero
+    shuffle beyond the count aggregation; to materialize the split,
+    the same expression becomes a partitionBy("split") at the sink."""
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(digit < "c", "train").when(digit < "e", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", F.length("text").alias("n_chars"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
     )
