@@ -22,6 +22,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the compact-forward / degree-orientation algorithm, relational.
+
+    Naive triangle enumeration joins the edge list with itself on
+    shared endpoints: a hub of degree d contributes d^2 wedge rows, so
+    one celebrity node in a 10^12-edge graph explodes the join. The
+    classic fix (Latapy's compact-forward; also how GraphX counts
+    triangles) orients every edge from the endpoint with the SMALLER
+    (degree, id) to the larger: out-degree under this orientation is
+    bounded by ~sqrt(2m), so wedge generation — the only quadratic
+    step — is bounded per node by sqrt(2m)^2 = 2m regardless of hub
+    skew.
+
+    Plan: canonicalize+dedup edges (one shuffle), degree aggregation
+    (combinable), orient (two broadcast-or-shuffle joins against the
+    degree table), wedge self-join on the oriented source, close each
+    wedge with a semi-ish join against the oriented edge set, then
+    explode each triangle to its 3 corners and count per node
+    (combinable). Every triangle (x, y, z) with pi(x) < pi(y) < pi(z)
+    is generated exactly once, as the wedge at x closed by y->z.
+
+    Returns (node string, n_triangles long), nodes with >= 1 triangle.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    # pi(n) = (deg, id); orient low -> high so out-degree <= ~sqrt(2m)
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dy"),
+    )
+    e1 = oriented.select(F.col("x"), F.col("y"), F.col("dy"))
+    e2 = oriented.select(
+        F.col("x"), F.col("y").alias("z"), F.col("dy").alias("dz")
+    )
+    wedges = e1.join(e2, "x").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(
+        F.col("x").alias("y"), F.col("y").alias("z")
+    )
+    tris = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    corners = tris.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = 3,

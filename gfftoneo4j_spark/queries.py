@@ -2053,3 +2053,105 @@ def dataset_split(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cohorts AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM acts a JOIN cohorts c USING (user_id)
+WHERE date_diff('day', c.cohort_day, a.day) <= 7
+GROUP BY c.cohort_day, day_offset
+""",
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention — the product-analytics rollup every event
+    warehouse runs: users grouped by first-active day, counted again
+    at each day offset (0..7). Three map-side-combinable aggregations
+    and ONE self-join keyed on user_id; the activity distinct and the
+    cohort groupBy hash-partition identically, so AQE reuses the
+    exchange. Nothing is corpus-quadratic: rows after the distinct are
+    (user, active-day) pairs, and the join fan-out is each user's
+    active-day count."""
+    e = load_table(spark, sf_dir, "events")
+    acts = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohorts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offs = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        acts.join(cohorts, "user_id")
+        .where(offs <= 7)
+        .select("cohort_day", offs.cast("int").alias("day_offset"), "user_id")
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "graph_triangles",
+    """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+keyed AS (
+  SELECT u.a, u.b, x.d AS da, y.d AS db
+  FROM und u JOIN deg x ON x.n = u.a JOIN deg y ON y.n = u.b
+),
+o AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS x,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS y,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dy
+  FROM keyed
+),
+w AS (
+  SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.x = e2.x
+  WHERE e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y)
+),
+t AS (SELECT w.x, w.y, w.z FROM w JOIN o c ON c.x = w.y AND c.y = w.z)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+) GROUP BY node
+""",
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts via degree-ordered orientation
+    (operators/graph.triangle_counts) — the clustering-coefficient
+    ingredient, and the operator where a naive self-join dies on hub
+    skew at 10^12 edges (a degree-d hub contributes d^2 wedges; the
+    orientation bounds out-degree by ~sqrt(2m), so wedge work is
+    bounded by 2m regardless of skew). Input: a deterministic
+    multi-generator circulant graph over the documents' id space
+    (i -> i+1, 2i, 3i mod N) — wrap collisions give it genuine
+    triangles while both engines rebuild it bit-identically."""
+    from gfftoneo4j_spark.operators.graph import triangle_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t"))
+        )
+        .unionAll(
+            base.select(F.col("i").alias("s"), ((F.col("i") * 3) % m).alias("t"))
+        )
+    )
+    return triangle_counts(raw, "s", "t")

@@ -33,3 +33,27 @@ def test_partition_invariance_bit_exact(spark):
     a = _ranks(pagerank_fixed_point(edges.coalesce(1), iters=3))
     b = _ranks(pagerank_fixed_point(edges.repartition(17, "v"), iters=3))
     assert a == b
+
+
+def test_triangle_counts_k4_plus_star(spark):
+    """K4: every vertex sits in C(3,2)=3 triangles. A star hub of any
+    degree sits in none — the degree-orientation keeps its wedge work
+    bounded AND its count zero."""
+    from gfftoneo4j_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    star = [("hub", f"leaf{i}") for i in range(20)]
+    edges = spark.createDataFrame(k4 + star, "u string, v string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    """Reversed / duplicated edges are the same undirected graph."""
+    from gfftoneo4j_spark.operators.graph import triangle_counts
+
+    tri = [("x", "y"), ("y", "z"), ("z", "x")]
+    messy = tri + [(b, a) for a, b in tri] + tri
+    edges = spark.createDataFrame(messy, "u string, v string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {"x": 1, "y": 1, "z": 1}
