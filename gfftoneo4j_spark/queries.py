@@ -2056,6 +2056,65 @@ def dataset_split(spark, sf_dir):
 
 
 @register(
+    "near_dup_survivors",
+    f"""
+WITH RECURSIVE pairs AS ({{MINHASH_SQL}}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+pnodes AS (SELECT DISTINCT u AS node FROM und),
+reach AS (
+  SELECT node, node AS r FROM pnodes
+  UNION
+  SELECT re.node, u2.v AS r FROM reach re JOIN und u2 ON u2.u = re.r
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+corpus AS ({_DUP_CORPUS_SQL})
+SELECT coalesce(cc.component, c.doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
+GROUP BY 1
+""",
+)
+def near_dup_survivors(spark, sf_dir):
+    """NEAR-dup representative selection — transitive closure of the
+    MinHash+LSH pair graph via distributed CC, one keeper (min doc_id)
+    per similarity cluster, singletons keeping themselves. This is the
+    cap on quadratic near-dup output that the banded-Jaccard caveat
+    prescribes: downstream consumes |clusters| keeper rows, never the
+    pair list. Composition of two already-gated operators (minhash
+    pairs -> large/small-star CC); the oracle closes the pair graph
+    with a recursive reachability CTE and takes the per-node min — a
+    genuinely different algorithm for the same fixpoint. Dense-corpus
+    caveat: the PAIR stage is near-quadratic on the synthetic
+    tiny-vocabulary corpus, so this stays gate-only (sf0.01), like
+    ngram_jaccard_banded."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = DD.minhash_lsh_dedup(
+        corpus, "doc_id", "text", k=8, bands=4, threshold=0.8
+    )
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    cc = connected_components(edges)
+    return (
+        corpus.join(cc, corpus["doc_id"] == cc["node"], "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper_id")
+        )
+        .groupBy("keeper_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+
+
+# splice the (already-registered) minhash pair oracle in as the pairs
+# CTE — the two gates share one source of truth for pair semantics
+ORACLE["near_dup_survivors"] = ORACLE["near_dup_survivors"].replace(
+    "{MINHASH_SQL}", ORACLE["minhash_lsh_pairs"]
+)
+
+
+@register(
     "cohort_retention",
     """
 WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
