@@ -18,8 +18,9 @@ carries the per-query MEDIAN (single-shot walls on this host drift
 ±20%; medians make round-over-round comparison meaningful);
 "query_walls" carries every wall.
 
-Regression guard: when $SPARK_GRAFT_BENCH_REF (default BENCH_r02.json
-next to this file) holds a prior run at the same sf, any query whose
+Regression guard: when $SPARK_GRAFT_BENCH_REF (default: the newest
+BENCH_r*.json next to this file) holds a prior run at the same sf, any
+query whose
 median exceeds 2x its prior value is listed in "regressions" and
 flagged on stderr — a silently-regressed plan fails loudly instead of
 hiding in host noise.
@@ -127,10 +128,19 @@ def main() -> None:
     times = {n: sorted(ws)[len(ws) // 2] for n, ws in walls.items()}
 
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
-    ref_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_REF",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"),
-    )
+    ref_path = os.environ.get("SPARK_GRAFT_BENCH_REF")
+    if not ref_path:
+        # newest prior round's recorded bench (numeric round order —
+        # lexicographic would put r10 before r2)
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        ref_path = cands[-1] if cands else ""
     regressions: list[str] = []
     try:
         with open(ref_path) as f:

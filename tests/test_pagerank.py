@@ -57,3 +57,31 @@ def test_triangle_counts_direction_and_dup_invariant(spark):
     edges = spark.createDataFrame(messy, "u string, v string")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_pagerank_iteration_is_single_exchange_at_scale(spark):
+    """Freeze the loop's plan shape in the regime where ranks can't
+    broadcast (the 10^12-node case): with broadcast disabled, one
+    iteration's plan must contain exactly ONE hash exchange (the
+    contribution groupBy). The edge snapshot is pre-partitioned on the
+    join key before its eager checkpoint, so neither join re-shuffles
+    it — measured 2 -> 1 exchanges from that one repartition."""
+    import re
+
+    from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.range(0, 2000).selectExpr(
+        "cast(id % 499 as string) as u", "cast((id * 7) % 499 as string) as v"
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = pagerank_fixed_point(edges, iters=1)
+        plan = ranks._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
