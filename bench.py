@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "sessionize_events",
     "asof_join_events",
     "tfidf_topk",
+    "value_quantiles",
+    "cohort_retention",
 ]
 
 

@@ -2150,6 +2150,41 @@ def cohort_retention(spark, sf_dir):
 
 
 @register(
+    "value_quantiles",
+    """
+WITH b AS (
+  SELECT event_type AS g, value AS v, event_id AS t
+  FROM events WHERE value IS NOT NULL
+),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn FROM b
+),
+q(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT r.g AS event_type, q.q AS quantile, r.v AS qvalue
+FROM r JOIN n USING (g)
+JOIN q ON r.rn = CAST(ceil(q.q * n.n) AS BIGINT)
+""",
+)
+def value_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of value per event_type via two-phase
+    histogram selection (operators/quantiles.py) — approx_percentile
+    is a sketch (unreproducible, can't face an oracle) and the naive
+    exact plan sorts each whole group in one task (the skew trap). The
+    oracle computes the same k-th smallest (k = ceil(q*n), order
+    (value, event_id)) with the naive full window sort — a different
+    algorithm agreeing on the exact answer is the point of the gate;
+    the engine's plan touches only the pinned histogram buckets
+    (~n/1024 rows) in its final sort."""
+    from gfftoneo4j_spark.operators.quantiles import exact_group_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return exact_group_quantiles(
+        e, "event_type", "value", "event_id", qs=(0.5, 0.9, 0.99)
+    )
+
+
+@register(
     "graph_triangles",
     """
 WITH m AS (SELECT count(*) AS m FROM documents),
