@@ -2150,6 +2150,93 @@ def cohort_retention(spark, sf_dir):
 
 
 @register(
+    "json_props_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props::JSON->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(props::JSON->>'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured column surface: extract a field from the JSON
+    ``props`` payload (get_json_object — JVM-side JSON path, no UDF)
+    and aggregate it. The schema-on-read pattern for event property
+    bags: the string column scans pruned, the parse happens inside
+    whole-stage codegen, and the rollup is map-side combinable. For
+    hot fields at 100 TB, promote to a materialized column at ingest
+    (from_json once) instead of re-parsing per query."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "rollup_day_type",
+    """
+SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""",
+)
+def rollup_day_type(spark, sf_dir):
+    """OLAP grouping-sets surface: ROLLUP over (event_type, day) with
+    per-column GROUPING flags — detail rows, per-type subtotals, and
+    the grand total in ONE combinable aggregation pass (Spark expands
+    the grouping sets map-side; no per-level re-scan)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    f"""
+SELECT user_id % 100 AS cohort,
+       {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot (long -> wide) surface: per-cohort event counts, one
+    column per event type. The pivot values are EXPLICIT — with an
+    inferred value list Spark first runs a distinct over the pivot
+    column (an extra full pass at 100 TB) and the output schema
+    becomes data-dependent, which breaks downstream contracts; the
+    explicit list compiles to the same conditional-aggregate plan as
+    the oracle's CASE sums."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 100).alias("cohort"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+
+
+@register(
     "value_quantiles",
     """
 WITH b AS (
