@@ -2150,6 +2150,62 @@ def cohort_retention(spark, sf_dir):
 
 
 @register(
+    "set_except_intersect",
+    """
+WITH cust AS (SELECT c_custkey AS key FROM customer),
+oc AS (SELECT o_custkey AS key FROM orders),
+no_orders AS (SELECT key FROM cust EXCEPT SELECT key FROM oc),
+has_orders AS (SELECT key FROM cust INTERSECT SELECT key FROM oc)
+SELECT 'no_orders' AS tag, key FROM no_orders
+UNION ALL
+SELECT 'has_orders' AS tag, key FROM has_orders
+""",
+)
+def set_except_intersect(spark, sf_dir):
+    """§2.6 completion: EXCEPT and INTERSECT (distinct set semantics)
+    — customers without orders vs with. Both compile to a single
+    hash-partitioned anti/semi aggregation on the key (one shuffle
+    each, map-side partial dedup); no driver-side set logic."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    oc = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    no_orders = cust.subtract(oc).select(F.lit("no_orders").alias("tag"), "key")
+    has_orders = cust.intersect(oc).select(F.lit("has_orders").alias("tag"), "key")
+    return no_orders.unionByName(has_orders)
+
+
+@register(
+    "moving_window_stats",
+    """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS mov_avg3,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 3) AS run_sum
+FROM events
+""",
+)
+def moving_window_stats(spark, sf_dir):
+    """§2.5 frame variants: a 3-row sliding average and a running
+    cumulative sum per user, both riding ONE window exchange (same
+    partition + order spec). ROWS frames with an explicit (ts,
+    event_id) total order make the result deterministic; fp
+    summation-order noise between engines lives below the 3dp
+    rounding grain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 3).alias("mov_avg3"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 3
+        ).alias("run_sum"),
+    )
+
+
+@register(
     "json_props_stats",
     """
 SELECT event_type,
