@@ -295,6 +295,62 @@ def duplicate_spans(
     )
 
 
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection — the decontamination step of
+    a training-data pipeline (GPT-3 appendix C / The Pile style):
+    flag every training document sharing a ``width``-word shingle with
+    the held-out evaluation set, with the contaminated fraction so
+    callers can threshold (drop doc vs excise span).
+
+    Scale shape: shingle both sides once; the eval side reduces to
+    DISTINCT shingle keys (tiny next to the corpus — AQE broadcasts it
+    when it fits, else it's a shuffled semi-join keyed on an 8-byte
+    hash); one combinable groupBy for totals and one for hits. Nothing
+    is corpus-quadratic, and with ``hash_shingles`` every exchange
+    carries xxhash64 keys, not strings (same trade as
+    duplicate_spans).
+
+    Returns (doc_id, n_shingles, n_contaminated, frac) for corpus
+    docs with >= 1 overlapping shingle occurrence (occurrences counted
+    with multiplicity).
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+
+    def shingles(df: DataFrame) -> DataFrame:
+        w = F.split(F.col(text_col), " ")
+        n = F.size(w)
+        return df.where(n >= width).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - width + 1),
+                    lambda i: F.array_join(F.slice(w, i, width), " "),
+                )
+            ).alias("shingle"),
+        ).select("doc_id", key(F.col("shingle")).alias("sk"))
+    corpus_sh = shingles(corpus)
+    eval_sh = shingles(eval_set).select("sk").distinct()
+    tot = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(eval_sh, "sk", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return tot.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 3).alias("frac"),
+    )
+
+
 def ngram_jaccard_pairs_banded(
     df: DataFrame,
     id_col: str,

@@ -2150,6 +2150,59 @@ def cohort_retention(spark, sf_dir):
 
 
 @register(
+    "contamination_check",
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+tpos AS (SELECT doc_id, w, generate_subscripts(w, 1) AS p FROM toks),
+sh AS (
+  SELECT doc_id, array_to_string(w[p:p + 4], ' ') AS shingle
+  FROM tpos WHERE p + 4 <= len(w)
+),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 3000000 AND doc_id % 97 = 0
+),
+corpus_sh AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE doc_id >= 3000000 OR doc_id % 97 <> 0
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM corpus_sh GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM corpus_sh c JOIN eval_sh e USING (shingle) GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_shingles, h.n_contaminated,
+       round(h.n_contaminated / CAST(t.n_shingles AS DOUBLE), 3) AS frac
+FROM tot t JOIN hits h USING (doc_id)
+""",
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.
+    cross_corpus_contamination): training docs sharing any 5-word
+    shingle with the held-out eval slice (every 97th doc), with the
+    contaminated fraction. The train side carries injected verbatim
+    copies of the eval docs (doc_id + 3,000,000) — the leak the
+    operator exists to catch, each flagged at frac 1.0 — plus
+    whatever organic 5-gram overlap the corpus has. The oracle
+    shuffles shingle STRINGS while the engine shuffles xxhash64 keys,
+    so the gate doubles as a collision check on the hashed path."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = d.where(F.col("doc_id") % 97 == 0)
+    leaked = eval_set.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    train = d.where(F.col("doc_id") % 97 != 0).unionByName(leaked)
+    return DD.cross_corpus_contamination(train, eval_set, "doc_id", "text", width=5)
+
+
+@register(
     "set_except_intersect",
     """
 WITH cust AS (SELECT c_custkey AS key FROM customer),
