@@ -211,6 +211,63 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bits.select("id", sig.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 4,
+    hamming_max: int = 2,
+) -> DataFrame:
+    """Near-dup pairs from 16-bit SimHash signatures by banded Hamming
+    blocking: split each signature into ``n_bands`` nibbles; a pair is
+    a candidate iff >= 1 band matches exactly; verify with
+    bit_count(xor) <= ``hamming_max``.
+
+    Recall is EXACT, by pigeonhole: hamming_max differing bits can
+    touch at most hamming_max of the n_bands bands, so any pair within
+    the threshold has >= n_bands - hamming_max untouched bands and is
+    always a candidate (requires hamming_max < n_bands). The self-join
+    is per (band, nibble) bucket — 2^band_bits * n_bands buckets —
+    never corpus-global; the verify is a single JVM popcount on the
+    8-byte signatures, no token re-shuffle (contrast with MinHash's
+    exact-Jaccard verify, which re-joins tokens). Returns
+    (id_a, id_b, hamming int) with id_a < id_b.
+    """
+    if hamming_max >= n_bands:
+        raise ValueError("pigeonhole recall needs hamming_max < n_bands")
+    mask = (1 << band_bits) - 1
+    nibbles = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col(sig_col), band_bits * j)
+                .bitwiseAND(F.lit(mask))
+                .alias("nib"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"), F.explode(nibbles).alias("b")
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.nib").alias("nib"))
+    other = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "nib"
+    )
+    cand = (
+        banded.join(other, ["band", "nib"])
+        .where(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"), "id_b", F.col("sig").alias("sig_a"), "sig_b"
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= hamming_max)
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -907,6 +907,51 @@ def simhash_signatures(spark, sf_dir):
 
 
 @register(
+    "simhash_near_dup",
+    f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+tok AS (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM corpus, unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''
+),
+votes AS (
+  SELECT id, j.j,
+         CASE WHEN substring(md5(token), j.j + 1, 1) IN
+              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+  FROM tok, (SELECT unnest(generate_series(0, 15)) AS j) j
+),
+bits AS (SELECT id, j, sum(vote) AS s FROM votes GROUP BY id, j),
+sigs AS (
+  SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY id
+),
+banded AS (
+  SELECT id, sig, b.b AS band, (sig >> (4 * b.b)) & 15 AS nib
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, o.id AS id_b, a.sig AS sig_a, o.sig AS sig_b
+  FROM banded a JOIN banded o
+    ON a.band = o.band AND a.nib = o.nib AND a.id < o.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+""",
+)
+def simhash_near_dup(spark, sf_dir):
+    """SimHash family completion: signatures were gated round 2; this
+    gates the PAIRING — banded nibble blocking (>= 1 of 4 exact-match
+    bands) then a JVM popcount verify at hamming <= 2. Pigeonhole
+    makes recall exact (2 flipped bits can break at most 2 of 4
+    bands), and the verify touches only the 8-byte signatures — no
+    token re-shuffle, SimHash's whole advantage over MinHash verify.
+    Run over the dup-injected corpus so hamming-0 pairs provably
+    exist."""
+    sigs = DD.simhash16(_dup_corpus(spark, sf_dir), "doc_id", "text")
+    return DD.simhash_near_dup_pairs(sigs, hamming_max=2)
+
+
+@register(
     "minhash_lsh_pairs",
     f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
@@ -2146,6 +2191,62 @@ def cohort_retention(spark, sf_dir):
         .select("cohort_day", offs.cast("int").alias("day_offset"), "user_id")
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS conv_ts
+  FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.signup_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(s.signup_ts AS DATE) AS signup_day,
+       CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(count(p.conv_ts) AS BIGINT) AS n_converted,
+       CAST(sum(CASE WHEN p.conv_ts IS NOT NULL THEN
+            floor(epoch(p.conv_ts)) - floor(epoch(s.signup_ts)) END) AS BIGINT)
+         AS sum_conv_secs
+FROM s LEFT JOIN p USING (user_id)
+GROUP BY 1
+""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Event-sequence funnel: first signup per user, first purchase AT
+    OR AFTER it (ordering matters — an earlier purchase doesn't
+    convert), rolled up by signup-day cohort with total time-to-
+    convert. Two combinable first-event aggregations and two joins
+    keyed on user_id — the same hash partitioning end-to-end, so AQE
+    reuses the exchange; no window over the full event stream."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    secs = F.unix_timestamp("conv_ts") - F.unix_timestamp("signup_ts")
+    return (
+        s.join(p, "user_id", "left")
+        .groupBy(F.to_date("signup_ts").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("conv_ts").alias("n_converted"),
+            F.sum(F.when(F.col("conv_ts").isNotNull(), secs)).alias(
+                "sum_conv_secs"
+            ),
+        )
     )
 
 
