@@ -98,3 +98,36 @@ def test_banded_blocking_catches_cross_length_near_dups(spark):
         threshold=0.8,
     )
     assert exact.count() == 0
+
+
+def test_simhash_banding_pigeonhole(spark):
+    """Recall contract: every pair within hamming_max=2 of a 4-band
+    16-bit signature MUST be found (2 flips break <= 2 of 4 bands);
+    pairs beyond the threshold are excluded by the verify. Expected
+    set computed brute-force."""
+    from gfftoneo4j_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = 0b1010_0110_0011_1100
+    raw = {
+        1: base,
+        2: base,                          # hamming 0 to base
+        3: base ^ 0b1,                    # 1 flip
+        4: base ^ 0b1000_0000_0001,       # 2 flips in 2 bands
+        5: base ^ 0b0001_0000_0001_0001,  # 3 flips in 3 bands
+    }
+    expected = {}
+    for a in raw:
+        for b in raw:
+            if a < b:
+                h = bin(raw[a] ^ raw[b]).count("1")
+                if h <= 2:
+                    expected[(a, b)] = h
+    assert any(
+        bin(raw[a] ^ raw[b]).count("1") == 3 for a in raw for b in raw if a < b
+    ), "fixture must contain an over-threshold pair"
+    sigs = spark.createDataFrame(list(raw.items()), "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(sigs, hamming_max=2).collect()
+    }
+    assert got == expected
