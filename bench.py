@@ -72,6 +72,18 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "value_quantiles",
     "cohort_retention",
+    "funnel_conversion",
+    "dataset_split",
+    "json_props_stats",
+    "rollup_day_type",
+    "pivot_event_counts",
+    "moving_window_stats",
+    "set_except_intersect",
+    "contamination_check",
+    "graph_triangles",
+    # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
+    # gate-only: the synthetic corpus is near-dup-DENSE, so their true
+    # answer is ~quadratic and the wall measures answer size
 ]
 
 
