@@ -2481,6 +2481,114 @@ def value_quantiles(spark, sf_dir):
     )
 
 
+def _circulant_edges(spark, sf_dir):
+    """Deterministic multi-generator circulant graph over the
+    documents' id space (i -> i+1, 2i, 3i mod N): both engines rebuild
+    it bit-identically, and the modular wrap gives it genuine
+    triangles (shared source of graph_triangles and
+    graph_clustering_coeff)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    return (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t"))
+        )
+        .unionAll(
+            base.select(F.col("i").alias("s"), ((F.col("i") * 3) % m).alias("t"))
+        )
+    )
+
+
+_CIRCULANT_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+)
+"""
+
+
+@register(
+    "graph_clustering_coeff",
+    f"""
+{_CIRCULANT_SQL},
+und AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+keyed AS (
+  SELECT u.a, u.b, x.d AS da, y.d AS db
+  FROM und u JOIN deg x ON x.n = u.a JOIN deg y ON y.n = u.b
+),
+o AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS x,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS y,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dy
+  FROM keyed
+),
+w AS (
+  SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.x = e2.x
+  WHERE e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y)
+),
+t AS (SELECT w.x, w.y, w.z FROM w JOIN o c ON c.x = w.y AND c.y = w.z),
+tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM t
+    UNION ALL SELECT y FROM t
+    UNION ALL SELECT z FROM t
+  ) GROUP BY node
+)
+SELECT d.n AS node, coalesce(tc.n_triangles, 0) AS n_triangles, d.d AS degree,
+       round(2.0 * coalesce(tc.n_triangles, 0) / (d.d * (d.d - 1)), 4) AS coeff
+FROM deg d LEFT JOIN tc ON tc.node = d.n
+WHERE d.d >= 2
+""",
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient — 2*T(v) / (d(v)*(d(v)-1)), the
+    canonical consumer of triangle counts: how close each node's
+    neighborhood is to a clique. Triangles from the degree-oriented
+    operator, degrees from one combinable aggregation, one left join;
+    degree-1 nodes excluded (undefined denominator)."""
+    from gfftoneo4j_spark.operators.graph import triangle_counts
+
+    raw = _circulant_edges(spark, sf_dir)
+    a, b = F.least("s", "t"), F.greatest("s", "t")
+    und = (
+        raw.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tc = triangle_counts(raw, "s", "t")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.join(tc, "node", "left")
+        .where(F.col("degree") >= 2)
+        .select(
+            "node",
+            nt.alias("n_triangles"),
+            "degree",
+            F.round(
+                2.0 * nt / (F.col("degree") * (F.col("degree") - 1)), 4
+            ).alias("coeff"),
+        )
+    )
+
+
 @register(
     "graph_triangles",
     """
@@ -2533,16 +2641,4 @@ def graph_triangles(spark, sf_dir):
     triangles while both engines rebuild it bit-identically."""
     from gfftoneo4j_spark.operators.graph import triangle_counts
 
-    d = load_table(spark, sf_dir, "documents")
-    m = d.count()
-    base = d.select((F.col("doc_id") % m).alias("i"))
-    raw = (
-        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
-        .unionAll(
-            base.select(F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t"))
-        )
-        .unionAll(
-            base.select(F.col("i").alias("s"), ((F.col("i") * 3) % m).alias("t"))
-        )
-    )
-    return triangle_counts(raw, "s", "t")
+    return triangle_counts(_circulant_edges(spark, sf_dir), "s", "t")
