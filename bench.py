@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "set_except_intersect",
     "contamination_check",
     "graph_triangles",
+    "pii_redaction",
+    "sequence_packing",
+    "posting_lists",
+    "fuzzy_linking",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size

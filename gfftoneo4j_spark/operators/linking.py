@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,66 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> LinkResult:
         "n_candidates", "entity_id", "entity_type"
     )
     return LinkResult(linked=linked, unlinked=unlinked, ambiguous=ambiguous)
+
+
+def link_mentions_fuzzy(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy entity linking: levenshtein-scored candidate match with
+    length-band blocking.
+
+    The reference's id index is exact-probe only (GeneReader.scala:43-56);
+    real transcript mentions carry typos, so the linking stage needs a
+    fuzzy tier behind the exact one. Semantics: for each mention find
+    the dictionary alias with minimum edit distance <= ``max_dist``
+    (ties broken by lexicographically smallest alias); unmatched
+    mentions survive with NULL entity columns (the quarantine path).
+
+    Scale shape: the dictionary is small (aliases << mentions), so the
+    candidate join is a BROADCAST on a *blocking key* — the alias length
+    banded to +-max_dist via an exploded dict side — never a cross
+    join. Probe-side work per mention is |aliases in band|, and the
+    mention table itself never shuffles for candidate generation; only
+    the best-pick window repartitions by mention id. An edit distance
+    <= d requires a length difference <= d, so banding loses no
+    candidates (classic blocking completeness argument).
+
+    ``mentions`` must carry ``mention_id`` and ``alias`` (lowercased).
+    Returns mention cols + (matched_alias, entity_id, dist).
+    """
+    bands = F.sequence(
+        F.length("alias") - max_dist, F.length("alias") + max_dist
+    )
+    dict_side = (
+        alias_dict.select(
+            F.lower("alias").alias("cand_alias"),
+            "entity_id",
+            F.explode(bands).alias("len_key"),
+        )
+        .where(F.col("len_key") > 0)
+    )
+    cand = (
+        mentions.withColumn("len_key", F.length("alias"))
+        .join(F.broadcast(dict_side), "len_key")
+        .withColumn("dist", F.levenshtein("alias", "cand_alias"))
+        .where(F.col("dist") <= max_dist)
+        .drop("len_key")
+    )
+    w = Window.partitionBy("mention_id").orderBy("dist", "cand_alias")
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return mentions.join(
+        best.select(
+            "mention_id",
+            F.col("cand_alias").alias("matched_alias"),
+            "entity_id",
+            "dist",
+        ),
+        "mention_id",
+        "left",
+    )

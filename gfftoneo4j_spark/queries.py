@@ -2642,3 +2642,283 @@ def graph_triangles(spark, sf_dir):
     from gfftoneo4j_spark.operators.graph import triangle_counts
 
     return triangle_counts(_circulant_edges(spark, sf_dir), "s", "t")
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing stage)
+# --------------------------------------------------------------------------
+
+_PII_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN 1 THEN ' call 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                       CAST(CAST(floor(doc_id / 256) AS BIGINT) % 256 AS VARCHAR)
+           ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '{PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{IPV4}')) AS INTEGER) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '{EMAIL}', '<EMAIL>', 'g'), '{PHONE}', '<PHONE>', 'g'),
+           '{IPV4}', '<IP>', 'g')) AS red_md5
+FROM s
+"""
+
+
+def _pii_sql() -> str:
+    from gfftoneo4j_spark.functions.pii import PII_PATTERNS
+
+    sql = _PII_SQL
+    for kind, (pat, _) in PII_PATTERNS.items():
+        sql = sql.replace("{" + kind.upper() + "}", pat)
+    return sql
+
+
+@register("pii_redaction", _pii_sql())
+def pii_redaction(spark, sf_dir):
+    """PII scrub stage of a training-data pipeline: count then redact
+    emails / phone numbers / IPv4s (functions/pii.py). Pure chained
+    regexp_replace inside WholeStageCodegen — per-row, zero shuffle;
+    at 100 TB it rides the scan stage. The corpus is word soup, so the
+    query deterministically salts each document with PII derived from
+    doc_id (same expression on the oracle side) before scrubbing; the
+    gate hashes the md5 of the redacted text plus the per-kind counts.
+    RE2-compatible patterns keep Spark (Java regex) and DuckDB (RE2)
+    bit-identical."""
+    from gfftoneo4j_spark.functions import pii as PII
+
+    m = (F.col("doc_id") % 5).cast("int")
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" call 555-000-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.floor(F.col("doc_id") / 256).cast("bigint") % 256).cast(
+                    "string"
+                ),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", salted.alias("t"))
+        .select(
+            "doc_id",
+            PII.pii_count(t, "email").alias("n_email"),
+            PII.pii_count(t, "phone").alias("n_phone"),
+            PII.pii_count(t, "ipv4").alias("n_ip"),
+            F.md5(PII.redact_pii(t)).alias("red_md5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (pretraining context-window assembly)
+# --------------------------------------------------------------------------
+
+_PACK_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tok,
+         CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM documents
+),
+p AS (
+  SELECT shard, doc_id, tok, rn, CAST(0 AS BIGINT) AS bin, tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.tok, o.rn,
+         CASE WHEN p.fill > 0 AND p.fill + o.tok > 256
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill > 0 AND p.fill + o.tok > 256
+              THEN o.tok ELSE p.fill + o.tok END
+  FROM p JOIN d o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, doc_id, tok, bin, fill FROM p
+"""
+
+
+@register("sequence_packing", _PACK_SQL)
+def sequence_packing(spark, sf_dir):
+    """Next-fit sequence packing into 256-token bins, sharded by
+    doc_id % 8 (operators/packing.py). The distributed-packing shape:
+    one shuffle (groupBy shard), sequential next-fit per shard inside
+    an Arrow-batched applyInPandas, O(1) state per shard. The oracle
+    replays the identical policy as a per-shard recursive CTE — an
+    inherently order-sensitive stateful scan the gate can still check
+    hash-exactly because the walk order (ascending doc_id within
+    shard) is deterministic on both engines."""
+    from gfftoneo4j_spark.operators.packing import pack_next_fit
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    return pack_next_fit(d, capacity=256)
+
+
+# --------------------------------------------------------------------------
+# Inverted index: token posting lists with positions
+# --------------------------------------------------------------------------
+
+_POSTING_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1) AS pos
+  FROM documents
+)
+SELECT term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(doc_id * 1000000 + pos) AS BIGINT) AS first_posting,
+       CAST(sum(pos) AS BIGINT) AS pos_sum
+FROM tok GROUP BY term
+"""
+
+
+@register("posting_lists", _POSTING_SQL)
+def posting_lists(spark, sf_dir):
+    """Positional inverted-index build: posexplode tokens with their
+    1-based in-document position, aggregate per term into document
+    frequency, total term frequency, the first posting (encoded
+    doc_id*1e6+pos so min() finds it without a sort), and a position
+    checksum. One explode + one groupBy; tf/first/pos_sum are map-side
+    combinable, df is count(distinct) which Spark plans as a two-phase
+    partial-distinct expand — still a single shuffle on term. At 100 TB
+    the term key is zipfian; AQE skew handling splits the hot terms,
+    and the posting payload per group is O(1) here by design (full
+    posting lists would be collect_list — emitted to a sink table
+    partitioned by term hash instead)."""
+    arr = F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(arr).alias("pos0", "term"))
+        .select(
+            "doc_id", "term", (F.col("pos0") + 1).cast("bigint").alias("pos")
+        )
+    )
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+        F.min(F.col("doc_id") * 1000000 + F.col("pos"))
+        .cast("bigint")
+        .alias("first_posting"),
+        F.sum("pos").cast("bigint").alias("pos_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity linking (levenshtein tier behind the exact broadcast probe)
+# --------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH aliases AS (
+  SELECT event_type || CAST(d AS VARCHAR) AS alias,
+         'E_' || event_type || CAST(d AS VARCHAR) AS entity_id
+  FROM (SELECT DISTINCT event_type FROM events),
+       (SELECT unnest([0, 1, 2, 3, 4]) AS d)
+),
+m AS (
+  SELECT event_id AS mention_id,
+         event_type || CAST(CAST(floor(value) AS BIGINT) % 5 AS VARCHAR)
+             AS full_alias
+  FROM events
+),
+typo AS (
+  SELECT mention_id,
+         substr(full_alias, 1,
+                CAST(mention_id % length(full_alias) AS INTEGER))
+         || substr(full_alias,
+                   CAST(mention_id % length(full_alias) AS INTEGER) + 2)
+             AS alias
+  FROM m
+),
+cand AS (
+  SELECT t.mention_id, t.alias, a.alias AS cand_alias, a.entity_id,
+         CAST(levenshtein(t.alias, a.alias) AS INTEGER) AS dist
+  FROM typo t JOIN aliases a
+    ON abs(length(t.alias) - length(a.alias)) <= 1
+  WHERE levenshtein(t.alias, a.alias) <= 1
+),
+best AS (
+  SELECT mention_id, cand_alias, entity_id, dist,
+         row_number() OVER (PARTITION BY mention_id
+                            ORDER BY dist, cand_alias) AS rk
+  FROM cand
+)
+SELECT t.mention_id, t.alias, b.cand_alias AS matched_alias, b.entity_id,
+       b.dist
+FROM typo t
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (mention_id)
+"""
+
+
+@register("fuzzy_linking", _FUZZY_SQL)
+def fuzzy_linking(spark, sf_dir):
+    """Fuzzy tier of the entity-linking stage
+    (operators/linking.link_mentions_fuzzy): each mention's alias has
+    one character deterministically deleted (position event_id % len),
+    then re-linked against the alias dictionary by minimum levenshtein
+    distance <= 1 with length-band blocking. The reference only
+    exact-probes its id index (GeneReader.scala:43-56); typo'd
+    transcript mentions need this recovery path before falling to
+    quarantine. Scale shape: dict side broadcast and exploded to
+    length-band keys (completeness: edit distance <= d implies length
+    delta <= d), so the mention table never shuffles for candidate
+    generation; only the per-mention best-pick window repartitions by
+    mention_id."""
+    from gfftoneo4j_spark.operators.linking import link_mentions_fuzzy
+
+    ev = load_table(spark, sf_dir, "events")
+    full = F.concat(
+        F.col("event_type"),
+        (F.floor(F.col("value")).cast("bigint") % 5).cast("string"),
+    )
+    p = (F.col("mention_id") % F.length("full_alias")).cast("int")
+    mentions = (
+        ev.select(F.col("event_id").alias("mention_id"), full.alias("full_alias"))
+        .select(
+            "mention_id",
+            F.concat(
+                F.expr("substr(full_alias, 1, mention_id % length(full_alias))"),
+                F.substring(
+                    "full_alias", p + F.lit(2), F.length("full_alias")
+                ),
+            ).alias("alias"),
+        )
+    )
+    return link_mentions_fuzzy(
+        mentions, alias_dict_from_events(spark, sf_dir), max_dist=1
+    )
