@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     "posting_lists",
     "fuzzy_linking",
+    "cdc_upsert",
+    "stratified_sample",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size

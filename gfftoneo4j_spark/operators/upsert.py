@@ -1,0 +1,64 @@
+"""CDC merge: last-writer-wins upsert of a change batch into a base
+table (MERGE INTO semantics as a pure DataFrame op).
+
+The reference's only write-idempotency tool is Cypher ``CREATE UNIQUE``
+(Neo4JUtils.scala:40-44) — insert-if-absent, no update path. A KG that
+ingests transcript streams continuously needs the scale-world version:
+periodic change batches merged into the persisted graph with
+deterministic conflict resolution.
+
+Semantics of :func:`merge_latest`: for each key, keep the single row
+with the highest ``version_col``; ties break toward the change batch
+(``is_update`` desc), then by the lexicographically greatest payload
+hash — fully deterministic for any input. Deletes are rows in the
+change batch with ``op = 'D'``: they win like any update, then are
+dropped from the output (tombstone semantics).
+
+Scale shape: one union (no shuffle) + one shuffle on the merge key for
+the per-key window. With the base stored bucketed by the key
+(write_bucketed_graph), the base side's exchange disappears and only
+the (small) change batch shuffles — the standard CDC-merge plan. The
+window state is O(1) per key (row_number over a 2-3 row group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_latest(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    op_col: str | None = None,
+) -> DataFrame:
+    """Merge ``changes`` into ``base``; one surviving row per key.
+
+    ``changes`` must share ``base``'s schema (plus optionally
+    ``op_col`` with 'U'/'D'). Returns the merged table without the
+    bookkeeping columns.
+    """
+    data_cols = base.columns
+    b = base.withColumn("_upd", F.lit(0))
+    c = changes.withColumn("_upd", F.lit(1))
+    if op_col is not None:
+        b = b.withColumn("_del", F.lit(0))
+        c = c.withColumn(
+            "_del", F.when(F.col(op_col) == "D", F.lit(1)).otherwise(F.lit(0))
+        ).drop(op_col)
+    else:
+        b = b.withColumn("_del", F.lit(0))
+        c = c.withColumn("_del", F.lit(0))
+
+    payload = F.md5(F.concat_ws("", *[F.col(x) for x in data_cols]))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("_upd").desc(), payload.desc()
+    )
+    return (
+        b.unionByName(c)
+        .withColumn("_rk", F.row_number().over(w))
+        .where((F.col("_rk") == 1) & (F.col("_del") == 0))
+        .select(*data_cols)
+    )

@@ -2922,3 +2922,103 @@ def fuzzy_linking(spark, sf_dir):
     return link_mentions_fuzzy(
         mentions, alias_dict_from_events(spark, sf_dir), max_dist=1
     )
+
+
+# --------------------------------------------------------------------------
+# CDC upsert (MERGE INTO semantics over the persisted graph's tables)
+# --------------------------------------------------------------------------
+
+_CDC_SQL = """
+WITH base AS (
+  SELECT 'n:' || CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+         event_id AS v, round(value, 3) AS val,
+         0 AS upd, 0 AS del
+  FROM events WHERE event_id % 2 = 0
+),
+chg AS (
+  SELECT 'n:' || CAST(user_id AS VARCHAR) || ':' || event_type AS k,
+         event_id AS v, round(value, 3) AS val,
+         1 AS upd,
+         CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS del
+  FROM events WHERE event_id % 2 = 1
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC, upd DESC) AS rk
+  FROM u
+)
+SELECT k, v, val FROM r WHERE rk = 1 AND del = 0
+"""
+
+
+@register("cdc_upsert", _CDC_SQL)
+def cdc_upsert(spark, sf_dir):
+    """Last-writer-wins CDC merge (operators/upsert.merge_latest): a
+    change batch (updates + 'D' tombstones) merged into a base table,
+    one surviving row per key, highest version wins, deletes drop the
+    key. The scale-world version of the reference's CREATE-UNIQUE
+    insert-only idempotency (Neo4JUtils.scala:40-44). One union + one
+    key-shuffle window; with the base bucketed by key
+    (write_bucketed_graph) only the change batch exchanges. Base =
+    even event_ids, changes = odd, version = event_id, every 7th
+    change a delete — identical derivation on the oracle side."""
+    from gfftoneo4j_spark.operators.upsert import merge_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat(
+        F.lit("n:"),
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("event_type"),
+    )
+    rows = ev.select(
+        k.alias("k"),
+        F.col("event_id").alias("v"),
+        F.round("value", 3).alias("val"),
+    )
+    base = rows.where(F.col("v") % 2 == 0)
+    changes = rows.where(F.col("v") % 2 == 1).withColumn(
+        "op", F.when(F.col("v") % 7 == 0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    return merge_latest(base, changes, ["k"], "v", op_col="op")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+_STRAT_SAMPLE_SQL = """
+WITH h AS (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, hkey,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+              AS BIGINT) AS rk
+  FROM h
+)
+SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+"""
+
+
+@register("stratified_sample", _STRAT_SAMPLE_SQL)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly-k-per-stratum (k=20
+    per language) chosen by md5(doc_id) rank — reproducible across
+    partitionings, re-runs, and engines, unlike rand()-based
+    df.sample. This is the eval-holdout / human-review sampler of a
+    training-data pipeline. Plan: one shuffle on the stratum key for
+    the rank window. At 100 TB, exact-k keeps this shape (AQE splits
+    skewed strata); rate-based sampling drops the window entirely and
+    filters on a hash threshold map-side — same md5 key, zero
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+    )

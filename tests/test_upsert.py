@@ -1,0 +1,93 @@
+"""Semantic invariants of the CDC merge operator (operators/upsert.py).
+
+The gated `cdc_upsert` query proves hash parity with the SQL twin on a
+version-unique corpus; these tests pin the conflict-resolution rules
+the gate never exercises (version ties, late-arriving deletes losing
+to newer base rows, duplicate keys in both inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from gfftoneo4j_spark.operators.upsert import merge_latest
+
+
+def _merge(spark, base_rows, chg_rows, op_col="op"):
+    base = spark.createDataFrame(base_rows, "k string, v long, val double")
+    chg = spark.createDataFrame(
+        chg_rows, "k string, v long, val double, op string"
+    )
+    out = merge_latest(base, chg, ["k"], "v", op_col=op_col)
+    return {r["k"]: (r["v"], r["val"]) for r in out.collect()}
+
+
+def test_update_wins_on_higher_version(spark):
+    got = _merge(
+        spark,
+        [("a", 1, 1.0), ("b", 1, 2.0)],
+        [("a", 2, 9.0, "U")],
+    )
+    assert got == {"a": (2, 9.0), "b": (1, 2.0)}
+
+
+def test_stale_update_loses_to_newer_base(spark):
+    got = _merge(spark, [("a", 5, 1.0)], [("a", 3, 9.0, "U")])
+    assert got == {"a": (5, 1.0)}
+
+
+def test_delete_tombstone_drops_key(spark):
+    got = _merge(
+        spark,
+        [("a", 1, 1.0), ("b", 1, 2.0)],
+        [("a", 2, 0.0, "D")],
+    )
+    assert got == {"b": (1, 2.0)}
+
+
+def test_stale_delete_does_not_drop(spark):
+    got = _merge(spark, [("a", 5, 1.0)], [("a", 3, 0.0, "D")])
+    assert got == {"a": (5, 1.0)}
+
+
+def test_version_tie_breaks_toward_change_batch(spark):
+    got = _merge(spark, [("a", 2, 1.0)], [("a", 2, 9.0, "U")])
+    assert got == {"a": (2, 9.0)}
+
+
+def test_multirow_base_and_batch_collapse_to_latest(spark):
+    got = _merge(
+        spark,
+        [("a", 1, 1.0), ("a", 4, 4.0)],
+        [("a", 2, 2.0, "U"), ("a", 3, 3.0, "U")],
+    )
+    assert got == {"a": (4, 4.0)}
+
+
+def test_insert_only_batch_without_op_col(spark):
+    base = spark.createDataFrame([("a", 1, 1.0)], "k string, v long, val double")
+    chg = spark.createDataFrame([("c", 1, 3.0)], "k string, v long, val double")
+    out = merge_latest(base, chg, ["k"], "v")
+    assert {r["k"]: r["val"] for r in out.collect()} == {"a": 1.0, "c": 3.0}
+
+
+def test_deterministic_under_repartition(spark):
+    base_rows = [(f"k{i % 17}", i, float(i)) for i in range(200)]
+    chg_rows = [
+        (f"k{i % 17}", i + 100, float(-i), "D" if i % 5 == 0 else "U")
+        for i in range(100)
+    ]
+    base = spark.createDataFrame(base_rows, "k string, v long, val double")
+    chg = spark.createDataFrame(
+        chg_rows, "k string, v long, val double, op string"
+    )
+    a = sorted(map(tuple, merge_latest(base, chg, ["k"], "v", "op").collect()))
+    b = sorted(
+        map(
+            tuple,
+            merge_latest(
+                base.repartition(13), chg.repartition(3), ["k"], "v", "op"
+            ).collect(),
+        )
+    )
+    assert a == b
