@@ -104,6 +104,28 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_dedup_turns(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once turn stream from an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` on the turn's natural key.
+
+    Kafka-style sources replay records on rebalance/retry, so the
+    ingest edge of the KG pipeline needs a dedup stage BEFORE triple
+    extraction or every replayed turn re-emits its edges. Keying on
+    (conv_id, turn_idx) with a watermark bounds the dedup state: keys
+    older than the watermark are evicted, so state is O(keys per
+    watermark window), not O(stream history) — the only shape that
+    survives an unbounded 10^12-turn stream. (Plain dropDuplicates on
+    a stream never evicts and OOMs; the reference has no streaming
+    surface at all — its idempotency is Cypher CREATE UNIQUE,
+    Neo4JUtils.scala:40-44, which this mirrors at the stream edge.)
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -55,3 +55,34 @@ def test_stream_hourly_rollup_matches_batch(spark, corpus):
         .select(F.col("win.start").alias("hour"), "role", "n_turns")
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_dedup_within_watermark(spark, corpus, tmp_path):
+    """An at-least-once source (every file delivered twice) must yield
+    exactly the unique turn set after streaming_dedup_turns."""
+    import shutil
+
+    from gfftoneo4j_spark.streaming.incremental import streaming_dedup_turns
+
+    t_path, _ = corpus
+    dup_dir = str(tmp_path / "dup_stream")
+    os.makedirs(dup_dir)
+    for f in os.listdir(t_path):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(t_path, f), os.path.join(dup_dir, f))
+            shutil.copy(
+                os.path.join(t_path, f), os.path.join(dup_dir, "replay_" + f)
+            )
+
+    stream = read_transcript_stream(spark, dup_dir)
+    got = run_available_now(
+        streaming_dedup_turns(stream).select("conv_id", "turn_idx", "text"),
+        "stream_dedup",
+    )
+    rows = got.collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicates survived dedup"
+    batch = read_transcripts(spark, t_path).select(
+        "conv_id", "turn_idx", "text"
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in batch.collect()}
