@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "fuzzy_linking",
     "cdc_upsert",
     "stratified_sample",
+    "window_rank_family",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size
@@ -165,6 +166,11 @@ def main() -> None:
     try:
         with open(ref_path) as f:
             ref = json.load(f)
+        # the driver's BENCH_r*.json wraps this script's JSON line
+        # under "parsed" — unwrap, or the guard compares against
+        # nothing and every regression sails through silently
+        if "parsed" in ref and "queries" not in ref:
+            ref = {**ref, **ref["parsed"]}
         if ref.get("sf") == sf_num:
             for name, med in times.items():
                 prior = ref.get("queries", {}).get(name)

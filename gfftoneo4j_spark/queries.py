@@ -3022,3 +3022,37 @@ def stratified_sample(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .select("lang", "doc_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Window rank family (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+_RANK_FAMILY_SQL = """
+SELECT event_id,
+       user_id,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("window_rank_family", _RANK_FAMILY_SQL)
+def window_rank_family(spark, sf_dir):
+    """The remaining ranking window functions over the per-user event
+    stream: quartile bucketing (ntile), relative rank (percent_rank),
+    cumulative distribution (cume_dist) — all three share ONE window
+    spec so Catalyst plans a single exchange + single sort (same
+    exchange-sharing discipline as the pipeline's W1/W2/W3 windows,
+    plans/pipeline.py). Deterministic under the (ts, event_id) total
+    order per partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
