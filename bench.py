@@ -90,7 +90,10 @@ BENCH_QUERIES = [
     "window_rank_family",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
-    # answer is ~quadratic and the wall measures answer size
+    # answer is ~quadratic and the wall measures answer size.
+    # graph_sssp_bounded is gate-only too: its wall is 6 rounds of
+    # per-iteration job fixed cost (the pattern graph_khop already
+    # measures), not operator throughput
 ]
 
 

@@ -183,3 +183,61 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    max_depth: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Single-source shortest hop distances (unweighted BFS) up to
+    ``max_depth``, frontier-based.
+
+    The scale-correct relational BFS expands only the FRONTIER (nodes
+    first discovered last round), not the whole visited set: per round
+    one equi-join frontier x edges + one anti-join against visited, so
+    total work is O(sum of frontier degrees) = O(m) over the whole
+    run — a dist-table re-expansion (the naive relational transcription)
+    re-joins every settled node every round and goes O(m * depth).
+    BFS level = first-discovery round = minimal hop count, so no min()
+    re-aggregation is ever needed.
+
+    Iterative-loop discipline (same as pagerank_fixed_point /
+    connected_components): the undirected edge snapshot and each new
+    frontier are EAGER localCheckpoints — a lazy one re-materializes
+    the upstream plan per downstream read, and lineage must truncate
+    per round or the plan doubles each iteration.
+
+    Returns (node, dist): every node reachable within max_depth hops,
+    including the source at dist 0. Deterministic for any input.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = (
+        spark.range(1)
+        .select(F.lit(source).cast("bigint").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        reached = (
+            frontier.join(und, frontier["node"] == und["s"])
+            .select(und["t"].alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited

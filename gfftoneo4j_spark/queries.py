@@ -3056,3 +3056,45 @@ def window_rank_family(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded single-source BFS distances
+# --------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION SELECT t, s FROM raw WHERE s <> t
+),
+bfs AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT u.t AS node, b.d + 1 FROM bfs b JOIN und u ON u.s = b.node
+  WHERE b.d < 6
+)
+SELECT node, CAST(min(d) AS INTEGER) AS dist FROM bfs GROUP BY node
+"""
+
+
+@register("graph_sssp_bounded", _BFS_SQL)
+def graph_sssp_bounded(spark, sf_dir):
+    """Frontier-based BFS from node 0 to depth 6 over the circulant
+    graph (operators/graph.bfs_distances): per round one frontier x
+    edges equi-join + one anti-join vs visited, eager-checkpointed —
+    total O(m) work across the run, vs O(m * depth) for the naive
+    dist-table re-expansion. The oracle is a depth-bounded recursive
+    CTE whose UNION-dedup arm terminates on the cyclic graph; min(d)
+    per node equals the Spark side's first-discovery level."""
+    from gfftoneo4j_spark.operators.graph import bfs_distances
+
+    return bfs_distances(
+        _circulant_edges(spark, sf_dir), source=0, max_depth=6, src="s", dst="t"
+    )
