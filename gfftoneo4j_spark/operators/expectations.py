@@ -1,0 +1,91 @@
+"""Data-quality expectations: declarative column checks evaluated in
+ONE aggregation pass.
+
+The reference's only data-quality machinery is parse-or-abort
+(Application.scala:47) / parse-or-quarantine; a production ingest adds
+*table-level* contracts checked before data is allowed downstream
+(Great-Expectations-style: null fraction, uniqueness, value ranges,
+set/pattern membership). The scale-critical property is that N checks
+over a 100 TB table must cost ONE scan + ONE combinable aggregation,
+never N passes: every check compiles to a conditional-sum expression
+inside the same agg, and the single result row is then unpivoted to
+one row per check (driver-side-free `stack`).
+
+Uniqueness is the one non-combinable check (count distinct); Spark
+plans it as a two-phase partial-distinct expand in the SAME
+aggregation, so the pass count stays one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative check; ``violations`` is a Column summing rows
+    that break the contract (NULL-safe: NULL comparisons count as
+    violations only for not_null)."""
+
+    name: str
+    column: str
+    violations: Column
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(
+        f"not_null_{col}",
+        col,
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+    )
+
+
+def in_range(col: str, lo: float, hi: float) -> Expectation:
+    bad = F.col(col).isNotNull() & ~F.col(col).between(lo, hi)
+    return Expectation(
+        f"in_range_{col}", col, F.sum(F.when(bad, 1).otherwise(0))
+    )
+
+
+def in_set(col: str, allowed: tuple[str, ...]) -> Expectation:
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(*allowed)
+    return Expectation(f"in_set_{col}", col, F.sum(F.when(bad, 1).otherwise(0)))
+
+
+def matches(col: str, pattern: str) -> Expectation:
+    bad = F.col(col).isNotNull() & ~F.col(col).rlike(pattern)
+    return Expectation(
+        f"matches_{col}", col, F.sum(F.when(bad, 1).otherwise(0))
+    )
+
+
+def unique(col: str) -> Expectation:
+    return Expectation(
+        f"unique_{col}",
+        col,
+        F.count(F.col(col)) - F.countDistinct(F.col(col)),
+    )
+
+
+def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all expectations in one aggregation; returns one row
+    per check: (check_name, column, n_violations, passed)."""
+    aggs = [
+        F.coalesce(e.violations.cast("bigint"), F.lit(0)).alias(f"_v{i}")
+        for i, e in enumerate(expectations)
+    ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{e.name}', '{e.column}', _v{i}" for i, e in enumerate(expectations)
+    )
+    return one.selectExpr(
+        f"stack({len(expectations)}, {pairs}) AS (check_name, column, n_violations)"
+    ).select(
+        "check_name",
+        "column",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

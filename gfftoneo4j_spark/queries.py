@@ -3098,3 +3098,68 @@ def graph_sssp_bounded(spark, sf_dir):
     return bfs_distances(
         _circulant_edges(spark, sf_dir), source=0, max_depth=6, src="s", dst="t"
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (one-pass table contract check)
+# --------------------------------------------------------------------------
+
+_DQ_SQL = """
+WITH a AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN value IS NOT NULL
+                   AND NOT (value BETWEEN 0.0 AND 1000.0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                   ('click', 'view', 'purchase', 'error', 'signup')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(sum(CASE WHEN event_type IS NOT NULL
+                   AND NOT regexp_matches(event_type, '^[a-z_]+$')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS v5
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'not_null_event_type' AS check_name, 'event_type' AS column,
+         v0 AS n_violations, v0 = 0 AS passed FROM a
+  UNION ALL SELECT 'not_null_ts', 'ts', v1, v1 = 0 FROM a
+  UNION ALL SELECT 'in_range_value', 'value', v2, v2 = 0 FROM a
+  UNION ALL SELECT 'in_set_event_type', 'event_type', v3, v3 = 0 FROM a
+  UNION ALL SELECT 'matches_event_type', 'event_type', v4, v4 = 0 FROM a
+  UNION ALL SELECT 'unique_event_id', 'event_id', v5, v5 = 0 FROM a
+)
+"""
+
+
+@register("dq_expectations", _DQ_SQL)
+def dq_expectations(spark, sf_dir):
+    """Declarative table contract over events
+    (operators/expectations.py): six checks — null, range, set,
+    pattern, uniqueness — compiled into ONE combinable aggregation
+    (uniqueness rides the same agg as a two-phase partial distinct),
+    then unpivoted via stack() to one row per check. N checks over
+    100 TB = one scan, regardless of N; the Great-Expectations shape
+    without the per-check passes."""
+    from gfftoneo4j_spark.operators import expectations as DQ
+
+    ev = load_table(spark, sf_dir, "events")
+    checks = [
+        DQ.not_null("event_type"),
+        DQ.not_null("ts"),
+        DQ.in_range("value", 0.0, 1000.0),
+        DQ.in_set(
+            "event_type", ("click", "view", "purchase", "error", "signup")
+        ),
+        DQ.matches("event_type", "^[a-z_]+$"),
+        DQ.unique("event_id"),
+    ]
+    # align check_name order/labels with the SQL twin
+    named = dict(zip(
+        [c.name for c in checks],
+        ["not_null_event_type", "not_null_ts", "in_range_value",
+         "in_set_event_type", "matches_event_type", "unique_event_id"],
+    ))
+    assert all(k == v for k, v in named.items())
+    return DQ.check_expectations(ev, checks)
