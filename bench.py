@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "window_rank_family",
     "dq_expectations",
+    "mixture_sample",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

@@ -3163,3 +3163,50 @@ def dq_expectations(spark, sf_dir):
     ))
     assert all(k == v for k, v in named.items())
     return DQ.check_expectations(ev, checks)
+
+
+# --------------------------------------------------------------------------
+# Training-mixture sampling (per-stratum rate-based, zero shuffle)
+# --------------------------------------------------------------------------
+
+_MIXTURE_SQL = """
+WITH rated AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0.75 WHEN 'zh' THEN 0.5
+                   WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                   ELSE 0.125 END AS rate,
+         CAST(('0x' || md5(CAST(doc_id AS VARCHAR))[1:8]) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, lang, rate FROM rated
+WHERE h < CAST(rate * 4294967296 AS BIGINT)
+"""
+
+
+@register("mixture_sample", _MIXTURE_SQL)
+def mixture_sample(spark, sf_dir):
+    """Training-mixture construction: per-language sampling RATES
+    (en 0.75, zh 0.5, de/fr 0.25, rest 0.125) applied as a pure
+    map-side hash-threshold filter — keep the row iff the first 32
+    bits of md5(doc_id) fall under rate * 2^32. ZERO shuffle (compare
+    stratified_sample's exact-k window, which needs one): at 100 TB
+    the mixture re-weighting costs only the scan, composes with
+    partition pruning, and is reproducible across engines, runs, and
+    partitionings — rand()-based sampling is none of those. Expected
+    stratum size is rate * n with binomial concentration; exact-k is
+    the other gated operator when hard counts are required."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.75))
+        .when(F.col("lang") == "zh", F.lit(0.5))
+        .when(F.col("lang").isin("de", "fr"), F.lit(0.25))
+        .otherwise(F.lit(0.125))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "lang", rate.alias("rate"), h.alias("h"))
+        .where(F.col("h") < (F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+        .select("doc_id", "lang", "rate")
+    )
