@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "window_rank_family",
     "dq_expectations",
     "mixture_sample",
+    "ewma_features",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

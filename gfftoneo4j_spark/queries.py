@@ -3210,3 +3210,51 @@ def mixture_sample(spark, sf_dir):
         .where(F.col("h") < (F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
         .select("doc_id", "lang", "rate")
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing EWMA features (sequence feature engineering)
+# --------------------------------------------------------------------------
+
+def _ewma_sql(k: int = 8, alpha: float = 0.5) -> str:
+    num, den = [], []
+    for i in range(k):
+        w = (1 - alpha) ** i
+        num.append(
+            f"COALESCE(lag(value, {i}) OVER w, 0.0) * {w!r}"
+        )
+        den.append(
+            f"CASE WHEN lag(value, {i}) OVER w IS NULL THEN 0.0 ELSE {w!r} END"
+        )
+    return f"""
+SELECT event_id, user_id, value,
+       round(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("ewma_features", _ewma_sql())
+def ewma_features(spark, sf_dir):
+    """Trailing exponential moving average (k=8, alpha=0.5) of each
+    user's event values — the streaming-feature shape sequence models
+    train on. Expressed as a weight-folded composition of k lag()
+    calls over ONE shared window spec: single exchange + single sort,
+    pure JVM, no per-row state and no collect_list ordering hazards.
+    Early rows renormalize over the available history (missing lags
+    leave both numerator and denominator), so the feature is defined
+    from the first event. Weights are exact binary fractions, keeping
+    Spark and DuckDB float arithmetic bit-identical before the final
+    rounding."""
+    k, alpha = 8, 0.5
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(k):
+        wt = float((1 - alpha) ** i)
+        lv = F.lag("value", i).over(w)
+        num = num + F.coalesce(lv, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lv.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.round(num / den, 6).alias("ewma")
+    )
