@@ -140,3 +140,136 @@ def read_graph(spark: SparkSession, path: str) -> GraphTables:
         nodes=spark.read.parquet(f"{path}/nodes"),
         edges=spark.read.parquet(f"{path}/edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned sink (Iceberg-style pointer-swap commits)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_MANIFEST = "_SNAPSHOTS.json"
+
+
+def _write_manifest_atomic(spark: SparkSession, path: str, obj: dict) -> None:
+    """Create-temp-then-rename: Hadoop rename is atomic on HDFS/local
+    (and effectively so for the single-object PUT S3A maps it to), so
+    a reader never observes a half-written manifest."""
+    fs, final = _fs(spark, path)
+    tmp = f"{path}.tmp"
+    fs_write_json(spark, tmp, obj)
+    fs2, tpath = _fs(spark, tmp)
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs2.rename(tpath, final)
+
+
+def _snapshots(spark: SparkSession, path: str) -> dict:
+    m = fs_read_json(spark, f"{path.rstrip('/')}/{SNAPSHOT_MANIFEST}")
+    return m or {"current": None, "versions": {}}
+
+
+def write_graph_snapshot(
+    nodes: DataFrame,
+    edges: DataFrame,
+    path: str,
+    fingerprint: str = "default",
+) -> dict:
+    """Commit a NEW immutable snapshot and atomically swap the current
+    pointer to it — the Iceberg commit model over plain parquet.
+
+    Unlike :func:`write_graph` (overwrite-in-place), concurrent readers
+    of any existing snapshot are never disturbed: data lands in a fresh
+    ``v<N>/`` directory first, and the ONLY mutation visible to readers
+    is the single atomic manifest rename at the end. A crash mid-write
+    leaves an orphan v<N> directory the next commit skips past (version
+    numbers are taken from max(manifest, existing dirs) + 1), never a
+    readable-but-torn graph. Old snapshots remain time-travel readable
+    until expire_graph_snapshots.
+    """
+    path = path.rstrip("/")
+    spark = nodes.sparkSession
+    man = _snapshots(spark, path)
+    used = {int(v) for v in man["versions"]}
+    fs, root = _fs(spark, path)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                used.add(int(name[1:]))
+    version = (max(used) + 1) if used else 1
+    vdir = f"{path}/v{version}"
+    (
+        nodes.dropDuplicates(["node_id"])
+        .repartition("label")
+        .write.mode("errorifexists")
+        .partitionBy("label")
+        .parquet(f"{vdir}/nodes")
+    )
+    (
+        edges.dropDuplicates(["src", "dst", "type"])
+        .repartition("type")
+        .write.mode("errorifexists")
+        .partitionBy("type")
+        .parquet(f"{vdir}/edges")
+    )
+    man["versions"][str(version)] = {"fingerprint": fingerprint}
+    man["current"] = version
+    _write_manifest_atomic(spark, f"{path}/{SNAPSHOT_MANIFEST}", man)
+    return {"version": version, **man["versions"][str(version)]}
+
+
+def read_graph_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> GraphTables:
+    """Read the current snapshot, or time-travel to ``version``."""
+    path = path.rstrip("/")
+    man = _snapshots(spark, path)
+    v = version if version is not None else man["current"]
+    if v is None or str(v) not in man["versions"]:
+        raise FileNotFoundError(
+            f"{path}: no committed snapshot v{v} (committed: "
+            f"{sorted(man['versions'])})"
+        )
+    return GraphTables(
+        nodes=spark.read.parquet(f"{path}/v{v}/nodes"),
+        edges=spark.read.parquet(f"{path}/v{v}/edges"),
+    )
+
+
+def rollback_graph(spark: SparkSession, path: str, version: int) -> dict:
+    """Point current back at an older committed snapshot — one atomic
+    manifest swap, no data movement."""
+    path = path.rstrip("/")
+    man = _snapshots(spark, path)
+    if str(version) not in man["versions"]:
+        raise ValueError(f"cannot roll back to uncommitted v{version}")
+    man["current"] = version
+    _write_manifest_atomic(spark, f"{path}/{SNAPSHOT_MANIFEST}", man)
+    return man
+
+
+def expire_graph_snapshots(
+    spark: SparkSession, path: str, keep: int = 2
+) -> list[int]:
+    """GC: drop all but the newest ``keep`` committed snapshots (the
+    current one is always kept). Orphan dirs from torn writes (present
+    on disk, absent from the manifest) are removed too. Returns the
+    deleted version numbers."""
+    path = path.rstrip("/")
+    man = _snapshots(spark, path)
+    committed = sorted(int(v) for v in man["versions"])
+    keep_set = set(committed[-keep:]) | ({man["current"]} - {None})
+    fs, root = _fs(spark, path)
+    deleted: list[int] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            v = int(name[1:])
+            if v in keep_set:
+                continue
+            fs.delete(st.getPath(), True)
+            deleted.append(v)
+            man["versions"].pop(str(v), None)
+    _write_manifest_atomic(spark, f"{path}/{SNAPSHOT_MANIFEST}", man)
+    return sorted(deleted)

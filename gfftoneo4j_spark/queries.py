@@ -3258,3 +3258,73 @@ def ewma_features(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", F.round(num / den, 6).alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot sink: commit + time travel under the gate
+# --------------------------------------------------------------------------
+
+_SNAP_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p:' || CAST(l_partkey AS VARCHAR) AS dst,
+                  'q' || CAST(l_linenumber % 3 AS VARCHAR) AS type,
+                  l_orderkey % 2 AS half
+  FROM lineitem
+)
+SELECT 'v1' AS snapshot, type, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT src, dst, type FROM e WHERE half = 0) GROUP BY type
+UNION ALL
+SELECT 'v2', type, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT src, dst, type FROM e) GROUP BY type
+"""
+
+
+@register("snapshot_time_travel", _SNAP_SQL)
+def snapshot_time_travel(spark, sf_dir):
+    """Snapshot-versioned sink under the gate
+    (plans/graph_sink.write_graph_snapshot): commit snapshot v1 (half
+    the edge set), commit v2 (all of it), then aggregate edge counts
+    from the CURRENT read and a TIME-TRAVEL read of v1 — covering the
+    immutable v<N> layout, the atomic manifest pointer swap, and that
+    a past snapshot is bit-stable after later commits. The Iceberg
+    commit model over plain parquet; `writeTo(...).append()` is the
+    drop-in when that runtime exists on the cluster."""
+    import os
+
+    from gfftoneo4j_spark.plans.graph_sink import (
+        read_graph_snapshot,
+        write_graph_snapshot,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.concat(
+            F.lit("q"), F.pmod(F.col("l_linenumber"), F.lit(3)).cast("string")
+        ).alias("type"),
+        F.pmod(F.col("l_orderkey"), F.lit(2)).alias("half"),
+    )
+    nodes = edges.select(F.col("src").alias("node_id")).distinct().select(
+        "node_id", F.lit("order").alias("label")
+    )
+    out = (
+        f"/tmp/kg_gate_snap_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    write_graph_snapshot(
+        nodes, edges.where(F.col("half") == 0).drop("half"), out, "half"
+    )
+    write_graph_snapshot(nodes, edges.drop("half"), out, "full")
+
+    def counts(g, tag):
+        return (
+            g.edges.groupBy("type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(tag).alias("snapshot"), "type", "n")
+        )
+
+    v1 = read_graph_snapshot(spark, out, version=1)
+    v2 = read_graph_snapshot(spark, out)  # current pointer
+    return counts(v1, "v1").unionByName(counts(v2, "v2"))

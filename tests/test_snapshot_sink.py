@@ -1,0 +1,85 @@
+"""Snapshot-versioned graph sink: commit isolation, time travel,
+rollback, torn-write recovery, GC."""
+
+from __future__ import annotations
+
+import pytest
+
+from gfftoneo4j_spark.plans.graph_sink import (
+    expire_graph_snapshots,
+    read_graph_snapshot,
+    rollback_graph,
+    write_graph_snapshot,
+)
+
+
+def _graph(spark, tag):
+    nodes = spark.createDataFrame(
+        [(f"n{i}", "entity", tag) for i in range(5)],
+        "node_id string, label string, props string",
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", "links") for i in range(4)],
+        "src string, dst string, type string",
+    )
+    return nodes, edges
+
+
+def test_commit_time_travel_rollback(spark, tmp_path):
+    out = str(tmp_path / "g")
+    m1 = write_graph_snapshot(*_graph(spark, "v1"), out, fingerprint="a")
+    m2 = write_graph_snapshot(*_graph(spark, "v2"), out, fingerprint="b")
+    assert (m1["version"], m2["version"]) == (1, 2)
+
+    cur = read_graph_snapshot(spark, out)
+    assert cur.nodes.first()["props"] == "v2"
+    old = read_graph_snapshot(spark, out, version=1)
+    assert old.nodes.first()["props"] == "v1"
+
+    rollback_graph(spark, out, 1)
+    assert read_graph_snapshot(spark, out).nodes.first()["props"] == "v1"
+    with pytest.raises(ValueError):
+        rollback_graph(spark, out, 99)
+
+
+def test_reader_snapshot_survives_new_commit(spark, tmp_path):
+    """A reader holding v1 must see identical data after a new commit
+    (no overwrite-in-place)."""
+    out = str(tmp_path / "g")
+    write_graph_snapshot(*_graph(spark, "v1"), out)
+    held = read_graph_snapshot(spark, out, version=1)
+    before = sorted(map(tuple, held.triples.collect()))
+    write_graph_snapshot(*_graph(spark, "v2"), out)
+    assert sorted(map(tuple, held.triples.collect())) == before
+
+
+def test_torn_write_is_invisible_and_skipped(spark, tmp_path):
+    """An orphan v<N> dir without a manifest entry: readers ignore it,
+    the next commit does not reuse its number."""
+    import os
+
+    out = str(tmp_path / "g")
+    write_graph_snapshot(*_graph(spark, "v1"), out)
+    os.makedirs(out + "/v2/nodes")  # torn write: dir exists, no commit
+    assert read_graph_snapshot(spark, out).nodes.first()["props"] == "v1"
+    with pytest.raises(FileNotFoundError):
+        read_graph_snapshot(spark, out, version=2)
+    m = write_graph_snapshot(*_graph(spark, "v3"), out)
+    assert m["version"] == 3
+    assert read_graph_snapshot(spark, out).nodes.first()["props"] == "v3"
+
+
+def test_expire_keeps_current_and_newest(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "g")
+    for tag in ("a", "b", "c", "d"):
+        write_graph_snapshot(*_graph(spark, tag), out)
+    deleted = expire_graph_snapshots(spark, out, keep=2)
+    assert deleted == [1, 2]
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("v") and d[1:].isdigit()
+    ) == ["v3", "v4"]
+    assert read_graph_snapshot(spark, out).nodes.first()["props"] == "d"
+    with pytest.raises(FileNotFoundError):
+        read_graph_snapshot(spark, out, version=1)
