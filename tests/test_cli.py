@@ -44,3 +44,34 @@ def test_cli_end_to_end_and_resume(tmp_path):
     s2 = _run_cli(tmp_path, corpus)
     assert s2["stages_reused"] == ["mentions", "canon", "linked", "edges"]
     assert (s2["n_nodes"], s2["n_edges"]) == (s1["n_nodes"], s1["n_edges"])
+
+
+def test_cli_incremental_mode(tmp_path):
+    """Two incremental invocations commit snapshots v1 and v2; edge
+    count grows monotonically and the pointer follows."""
+    from gfftoneo4j_spark.corpus import CorpusConfig, write_corpus
+
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    write_corpus(c1, CorpusConfig(n_conversations=10, seed=21))
+    write_corpus(c2, CorpusConfig(n_conversations=10, seed=22))
+    out = str(tmp_path / "graph")
+
+    def run(corpus):
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_pipeline.py"),
+            "--transcripts", os.path.join(corpus, "transcripts.parquet"),
+            "--alias-dict", os.path.join(corpus, "alias_dict.parquet"),
+            "--out", out, "--mode", "incremental", "--cpus", "4",
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(
+            [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(c1)
+    s2 = run(c2)
+    assert (s1["version"], s2["version"]) == (1, 2)
+    assert s2["n_edges"] > s1["n_edges"]
+    assert s1["mode"] == s2["mode"] == "incremental"

@@ -39,6 +39,20 @@ def main(argv: list[str] | None = None) -> None:
         default="sql",
         help="mention extraction: pure-JVM regexp (default) or Arrow pandas UDF",
     )
+    p.add_argument(
+        "--mode",
+        choices=["overwrite", "snapshot", "incremental"],
+        default="overwrite",
+        help="sink mode: overwrite-in-place (default), commit a new "
+        "immutable snapshot, or merge this batch into the current "
+        "snapshot (incremental ingest)",
+    )
+    p.add_argument(
+        "--strict",
+        action="store_true",
+        help="abort on any unparseable row (the reference's fail-fast) "
+        "instead of quarantining to lineage",
+    )
     p.add_argument("--master", default=None, help="override spark master")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument(
@@ -47,7 +61,8 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     from gfftoneo4j_spark.plans.checkpoint import StageCheckpointer
-    from gfftoneo4j_spark.plans.graph_sink import write_graph
+    from gfftoneo4j_spark.plans.graph_sink import write_graph, write_graph_snapshot
+    from gfftoneo4j_spark.plans.incremental_build import build_kg_incremental
     from gfftoneo4j_spark.plans.pipeline import build_kg
     from gfftoneo4j_spark.session import get_spark
     from gfftoneo4j_spark.sources.transcripts import read_alias_dict, read_transcripts
@@ -59,22 +74,45 @@ def main(argv: list[str] | None = None) -> None:
         if args.checkpoint_dir
         else None
     )
-    res = build_kg(
-        spark,
-        read_transcripts(spark, args.transcripts),
-        read_alias_dict(spark, args.alias_dict),
-        extraction=args.extraction,
-        checkpointer=ck,
-        fingerprint=args.fingerprint,
-    )
-    write_graph(res.nodes, res.edges, args.out, fingerprint=args.fingerprint)
-    if args.lineage_out:
+    transcripts = read_transcripts(spark, args.transcripts)
+    alias_dict = read_alias_dict(spark, args.alias_dict)
+    version = None
+    if args.mode == "incremental":
+        # per-batch pipeline + snapshot merge; checkpointer/lineage are
+        # per-batch concepts here, so the simple path applies
+        m = build_kg_incremental(
+            spark, transcripts, alias_dict, args.out,
+            fingerprint=args.fingerprint, extraction=args.extraction,
+        )
+        version = m["version"]
+        res = None
+    else:
+        res = build_kg(
+            spark,
+            transcripts,
+            alias_dict,
+            extraction=args.extraction,
+            checkpointer=ck,
+            fingerprint=args.fingerprint,
+            strict=args.strict,
+        )
+        if args.mode == "snapshot":
+            m = write_graph_snapshot(
+                res.nodes, res.edges, args.out, fingerprint=args.fingerprint
+            )
+            version = m["version"]
+        else:
+            write_graph(res.nodes, res.edges, args.out, fingerprint=args.fingerprint)
+    if args.lineage_out and res is not None:
         res.lineage.write.mode("overwrite").parquet(f"{args.lineage_out}/lineage")
         res.metrics.write.mode("overwrite").parquet(f"{args.lineage_out}/metrics")
+    tables = args.out if version is None else f"{args.out}/v{version}"
     summary = {
         "out": args.out,
-        "n_nodes": spark.read.parquet(f"{args.out}/nodes").count(),
-        "n_edges": spark.read.parquet(f"{args.out}/edges").count(),
+        "mode": args.mode,
+        "version": version,
+        "n_nodes": spark.read.parquet(f"{tables}/nodes").count(),
+        "n_edges": spark.read.parquet(f"{tables}/edges").count(),
         "stages_reused": ck.reused if ck else [],
         "stages_computed": ck.computed if ck else [],
         "wall_sec": round(time.time() - t0, 2),
