@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "dq_expectations",
     "mixture_sample",
     "ewma_features",
+    "dense_ids",
+    "outer_join_family",
+    "array_functions",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

@@ -3328,3 +3328,154 @@ def snapshot_time_travel(spark, sf_dir):
     v1 = read_graph_snapshot(spark, out, version=1)
     v2 = read_graph_snapshot(spark, out)  # current pointer
     return counts(v1, "v1").unionByName(counts(v2, "v2"))
+
+
+# --------------------------------------------------------------------------
+# Dense id assignment without a global window
+# --------------------------------------------------------------------------
+
+_DENSE_IDS_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+FROM documents
+"""
+
+
+@register("dense_ids", _DENSE_IDS_SQL)
+def dense_ids(spark, sf_dir):
+    """Deterministic dense 0..n-1 ids in doc_id order WITHOUT the
+    single-partition global window the naive row_number() plan
+    collapses to. Two-phase: (1) bucket each row by a range of the
+    sort key and count per bucket (combinable agg over ~1k rows of
+    state), (2) broadcast the cumulative bucket offsets and add the
+    bucket-local row_number — every window runs per-bucket, fully
+    parallel. The oracle IS the naive global row_number: identical
+    output, scale-opposite plan. (monotonically_increasing_id is the
+    built-in alternative but is partitioning-dependent, hence neither
+    deterministic nor gateable.)"""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_buckets = 32
+    # range-bucket on the sort key: bucket boundaries must follow the
+    # same total order as the key, so bucket i's rows all precede
+    # bucket i+1's (modulo would interleave and break the order)
+    mx = d.agg(F.max("doc_id").alias("m"))
+    b = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col("doc_id") * n_buckets / (F.col("m") + 1)).cast("int"),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna(0, ["offset"])
+    local = W.partitionBy("bucket").orderBy("doc_id")
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.row_number().over(local) - 1 + F.col("offset"))
+            .cast("bigint")
+            .alias("dense_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer-join family
+# --------------------------------------------------------------------------
+
+_OUTER_JOIN_SQL = """
+WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT
+  CAST(count(*) FILTER (WHERE o.o_custkey IS NULL) AS BIGINT) AS customers_without_orders,
+  CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS orphan_order_groups,
+  CAST(count(*) FILTER (WHERE c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL) AS BIGINT) AS matched,
+  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS total_order_groups
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("outer_join_family", _OUTER_JOIN_SQL)
+def outer_join_family(spark, sf_dir):
+    """FULL OUTER join coverage (the join type the pipeline itself
+    never needs — linking uses left/anti — but a complete engine
+    surface must cover; one row of reconciliation counts keeps the gate
+    payload O(1)). Full outer cannot broadcast (both sides must
+    surface unmatched rows), so it shuffles both sides on the key —
+    the honest plan at any scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("customers_without_orders"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_order_groups"),
+        F.sum(
+            F.when(
+                F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("matched"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("bigint").alias(
+            "total_order_groups"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array higher-order functions
+# --------------------------------------------------------------------------
+
+_ARRAY_FN_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER) AS n_long,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+       CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_len,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), '-') AS head3
+FROM t
+"""
+
+
+@register("array_functions", _ARRAY_FN_SQL)
+def array_functions(spark, sf_dir):
+    """Higher-order array functions (§2.7/§2.8 widening): lambda
+    filter, transform, aggregate-sum, max, slice+join — all inside
+    whole-stage codegen, the idiomatic replacement for every UDF a
+    row-engine port would write. DuckDB's list lambdas are the
+    independent twin."""
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+    lens = F.transform(toks, lambda x: F.length(x))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.array_max(lens).alias("max_len"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "-"
+        ).alias("head3"),
+    )
