@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dense_ids",
     "outer_join_family",
     "array_functions",
+    "time_functions",
+    "group_quantiles",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

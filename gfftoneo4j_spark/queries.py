@@ -3479,3 +3479,70 @@ def array_functions(spark, sf_dir):
             F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "-"
         ).alias("head3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-function family
+# --------------------------------------------------------------------------
+
+_TIME_FN_SQL = """
+SELECT event_id,
+       strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(date_part('hour', ts) AS INTEGER) AS hr,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+"""
+
+
+@register("time_functions", _TIME_FN_SQL)
+def time_functions(spark, sf_dir):
+    """Event-time scalar family: week truncation, day-of-week (pinned
+    to Spark's Sunday=1 convention — DuckDB's dow is Sunday=0, the
+    oracle shifts explicitly), hour extraction, unix epoch seconds,
+    and day formatting. All codegen scalars, zero shuffle; the
+    cross-engine day-numbering pin is exactly the kind of quirk a
+    portability layer must freeze rather than assume."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.unix_timestamp("ts").cast("bigint").alias("unix_sec"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group exact quantiles
+# --------------------------------------------------------------------------
+
+_GROUP_QUANT_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("group_quantiles", _GROUP_QUANT_SQL)
+def group_quantiles(spark, sf_dir):
+    """Exact per-group percentiles (linear interpolation) — the
+    per-cohort latency/score profile every metrics consumer asks for.
+    Spark's percentile() buffers one group's values per agg state, so
+    this is safe when groups are bounded (5 event types here); for
+    unbounded/hot groups the engine's two-phase histogram selection
+    (operators/quantiles.py, `value_quantiles`) or the sketch path
+    (test_approx_aggs.py) are the scale alternatives — three tiers,
+    each tested."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
