@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "array_functions",
     "time_functions",
     "group_quantiles",
+    "stats_aggregates",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

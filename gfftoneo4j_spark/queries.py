@@ -3546,3 +3546,42 @@ def group_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregate family
+# --------------------------------------------------------------------------
+
+_STATS_SQL = """
+SELECT event_type,
+       round(avg(value), 6) AS mean_v,
+       round(stddev_samp(value), 6) AS sd_v,
+       round(var_samp(value), 6) AS var_v,
+       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events GROUP BY event_type
+"""
+
+
+@register("stats_aggregates", _STATS_SQL)
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregate family (§2.4 widening): mean, sample
+    stddev/variance, Pearson correlation, sample covariance, min/max —
+    all single-pass combinable (Welford-style merge states), one
+    shuffle on the group key. The numeric results are rounded at 6dp
+    on both engines; distributed float summation order can differ
+    below that grain, which is exactly why the iterative operators
+    (PageRank, k-means) use integer fixed-point instead."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
