@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "time_functions",
     "group_quantiles",
     "stats_aggregates",
+    "string_functions",
+    "conditional_aggs",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

@@ -3585,3 +3585,92 @@ def stats_aggregates(spark, sf_dir):
         F.round(F.min("value"), 6).alias("min_v"),
         F.round(F.max("value"), 6).alias("max_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# String-function family
+# --------------------------------------------------------------------------
+
+_STRING_FN_SQL = """
+SELECT event_id,
+       translate(event_type, 'aeiou', 'AEIOU') AS translated,
+       split_part(event_type || '_' || CAST(event_id % 10 AS VARCHAR), '_', 2)
+           AS part2,
+       CAST(strpos(event_type, 'e') AS INTEGER) AS e_pos,
+       reverse(event_type) AS rev,
+       repeat(substr(event_type, 1, 1), 3) AS rep3,
+       lpad(CAST(event_id % 1000 AS VARCHAR), 6, '0') AS padded
+FROM events
+"""
+
+
+@register("string_functions", _STRING_FN_SQL)
+def string_functions(spark, sf_dir):
+    """Portable string-scalar family (§2.7 widening): translate,
+    split_part, 1-based substring position (instr/strpos share
+    0-means-absent semantics), reverse, repeat, zero-padding. All
+    codegen, zero shuffle. initcap is deliberately absent: DuckDB
+    lacks it, and a portability surface only claims what both engines
+    define identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.translate("event_type", "aeiou", "AEIOU").alias("translated"),
+        F.split_part(
+            F.concat(
+                F.col("event_type"),
+                F.lit("_"),
+                (F.col("event_id") % 10).cast("string"),
+            ),
+            F.lit("_"),
+            F.lit(2),
+        ).alias("part2"),
+        F.instr("event_type", "e").alias("e_pos"),
+        F.reverse("event_type").alias("rev"),
+        F.repeat(F.substring("event_type", 1, 1), 3).alias("rep3"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 6, "0").alias(
+            "padded"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional / selective aggregate family
+# --------------------------------------------------------------------------
+
+_COND_AGG_SQL = """
+SELECT user_id,
+       CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+       bool_or(event_type = 'error') AS ever_errored,
+       bool_and(value >= 0) AS all_nonneg,
+       max_by(event_type, event_id) AS last_type,
+       min_by(event_type, event_id) AS first_type,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6)
+           AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("conditional_aggs", _COND_AGG_SQL)
+def conditional_aggs(spark, sf_dir):
+    """Conditional aggregate family (§2.4 widening): count_if,
+    bool_or/bool_and, argmax/argmin via max_by/min_by (deterministic
+    here because event_id is unique), and filtered sums — all
+    combinable, one shuffle on the group key. This is the per-user
+    feature vector a downstream model consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.bool_or(F.col("event_type") == "error").alias("ever_errored"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("purchase_value"),
+    )
