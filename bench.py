@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "stats_aggregates",
     "string_functions",
     "conditional_aggs",
+    "cube_rollup",
+    "null_safe_join",
+    "explode_outer_family",
+    "bitwise_aggs",
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

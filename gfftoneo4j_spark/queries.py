@@ -3674,3 +3674,143 @@ def conditional_aggs(spark, sf_dir):
             6,
         ).alias("purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets
+# --------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT event_type,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(grouping(event_type) AS INTEGER) AS g_type,
+       CAST(grouping(CAST(dayofweek(ts) + 1 AS INTEGER)) AS INTEGER) AS g_dow,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE(event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
+"""
+
+
+@register("cube_rollup", _CUBE_SQL)
+def cube_rollup(spark, sf_dir):
+    """CUBE grouping sets (all four marginal combinations of
+    event_type x day-of-week in one pass) with GROUPING flags
+    disambiguating real NULLs from subtotal rows — ROLLUP's companion
+    (rollup_day_type). One combinable aggregation with a 4x expand;
+    at scale the expand multiplies shuffle rows by the number of
+    grouping sets, which is the documented cost of asking for every
+    marginal at once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("dow").cast("int").alias("g_dow"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("event_type", "dow", "g_type", "g_dow", "n")
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join
+# --------------------------------------------------------------------------
+
+_NULLSAFE_SQL = """
+WITH l AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+  FROM events WHERE event_id % 2 = 0
+),
+r AS (
+  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+         CAST(count(*) AS BIGINT) AS n_right
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+)
+SELECT l.event_id, l.k, r.n_right
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+@register("null_safe_join", _NULLSAFE_SQL)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equality join (Spark `<=>` == SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of silently dropping —
+    the semantics a quarantine-reconciliation join needs when the key
+    itself may be the failure marker. Plans as a normal hash join on
+    the coalesced key domain; no nested-loop fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    left = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", k.alias("k")
+    )
+    right = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return left.join(right, left["k"].eqNullSafe(right["k"])).select(
+        left["event_id"], left["k"], right["n_right"]
+    )
+
+
+# --------------------------------------------------------------------------
+# explode_outer (left-lateral unnest)
+# --------------------------------------------------------------------------
+
+_EXPLODE_OUTER_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\b[a-z]*w[a-z]*\\b') AS zz
+  FROM documents
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(zz) = 0 THEN [NULL] ELSE zz END) AS tok
+FROM t
+"""
+
+
+@register("explode_outer_family", _EXPLODE_OUTER_SQL)
+def explode_outer_family(spark, sf_dir):
+    """explode_outer semantics: documents whose extraction array is
+    EMPTY (17 of 500 at sf0.01 — both paths live) survive with a NULL
+    token instead of vanishing — the shape
+    audits need ('every input row accounted for', the lineage
+    invariant) vs plain explode's inner-join behavior. The oracle
+    emulates the outer lateral with a [NULL] substitution."""
+    zz = F.regexp_extract_all(
+        "text", F.lit(r"\b[a-z]*w[a-z]*\b"), F.lit(0)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", zz.alias("zz"))
+        .select("doc_id", F.explode_outer("zz").alias("tok"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregate family
+# --------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+SELECT event_type,
+       CAST(bit_and(event_id % 256) AS BIGINT) AS band,
+       CAST(bit_or(event_id % 256) AS BIGINT) AS bor,
+       CAST(bit_xor(event_id % 256) AS BIGINT) AS bxor
+FROM events GROUP BY event_type
+"""
+
+
+@register("bitwise_aggs", _BITWISE_SQL)
+def bitwise_aggs(spark, sf_dir):
+    """Bitwise AND/OR/XOR aggregates per group — set-membership masks
+    and parity checksums in one combinable pass (XOR aggregation is
+    order-independent, so it is also the cheap distributed-checksum
+    primitive the CC convergence probe builds on)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.col("event_id") % 256
+    return ev.groupBy("event_type").agg(
+        F.bit_and(b).cast("bigint").alias("band"),
+        F.bit_or(b).cast("bigint").alias("bor"),
+        F.bit_xor(b).cast("bigint").alias("bxor"),
+    )
