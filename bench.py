@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "null_safe_join",
     "explode_outer_family",
     "bitwise_aggs",
+    # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true
     # answer is ~quadratic and the wall measures answer size.

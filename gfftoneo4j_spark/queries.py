@@ -3814,3 +3814,65 @@ def bitwise_aggs(spark, sf_dir):
         F.bit_or(b).cast("bigint").alias("bor"),
         F.bit_xor(b).cast("bigint").alias("bxor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (audit the change between two graph versions)
+# --------------------------------------------------------------------------
+
+_SNAP_DIFF_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p:' || CAST(l_partkey AS VARCHAR) AS dst,
+                  'q' || CAST(l_linenumber % 3 AS VARCHAR) AS type,
+                  l_orderkey % 2 AS half
+  FROM lineitem
+),
+v1 AS (SELECT DISTINCT src, dst, type FROM e WHERE half = 0),
+v2 AS (SELECT DISTINCT src, dst, type FROM e)
+SELECT 'A' AS op, src, dst, type FROM (
+  SELECT src, dst, type FROM v2 EXCEPT SELECT src, dst, type FROM v1
+)
+UNION ALL
+SELECT 'R', src, dst, type FROM (
+  SELECT src, dst, type FROM v1 EXCEPT SELECT src, dst, type FROM v2
+)
+"""
+
+
+@register("snapshot_diff", _SNAP_DIFF_SQL)
+def snapshot_diff(spark, sf_dir):
+    """Audit diff between graph versions
+    (plans/graph_sink.diff_snapshots): commits the same two snapshots
+    as snapshot_time_travel (v1 = even-orderkey edges, v2 = all) then
+    reports added/removed edges via two anti-joins — here every diff
+    row is an 'A' (v1 ⊂ v2), and the oracle's EXCEPT twin agrees
+    edge-for-edge."""
+    import os
+
+    from gfftoneo4j_spark.plans.graph_sink import (
+        diff_snapshots,
+        write_graph_snapshot,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        F.concat(
+            F.lit("q"), F.pmod(F.col("l_linenumber"), F.lit(3)).cast("string")
+        ).alias("type"),
+        F.pmod(F.col("l_orderkey"), F.lit(2)).alias("half"),
+    )
+    nodes = edges.select(F.col("src").alias("node_id")).distinct().select(
+        "node_id", F.lit("order").alias("label")
+    )
+    out = (
+        f"/tmp/kg_gate_snapdiff_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    write_graph_snapshot(
+        nodes, edges.where(F.col("half") == 0).drop("half"), out, "half"
+    )
+    write_graph_snapshot(nodes, edges.drop("half"), out, "full")
+    return diff_snapshots(spark, out, 1, 2)

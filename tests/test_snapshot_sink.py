@@ -83,3 +83,30 @@ def test_expire_keeps_current_and_newest(spark, tmp_path):
     assert read_graph_snapshot(spark, out).nodes.first()["props"] == "d"
     with pytest.raises(FileNotFoundError):
         read_graph_snapshot(spark, out, version=1)
+
+
+def test_diff_snapshots_both_directions(spark, tmp_path):
+    from gfftoneo4j_spark.plans.graph_sink import diff_snapshots
+
+    out = str(tmp_path / "g")
+    n1, e1 = _graph(spark, "v1")  # edges n0->n1..n3->n4
+    write_graph_snapshot(n1, e1, out)
+    n2 = n1
+    e2 = spark.createDataFrame(
+        [("n0", "n1", "links"), ("n9", "n0", "links")],  # drops 3, adds 1
+        "src string, dst string, type string",
+    )
+    write_graph_snapshot(n2, e2, out)
+    got = {(r["op"], r["src"], r["dst"]) for r in
+           diff_snapshots(spark, out, 1, 2).collect()}
+    assert got == {
+        ("A", "n9", "n0"),
+        ("R", "n1", "n2"),
+        ("R", "n2", "n3"),
+        ("R", "n3", "n4"),
+    }
+    # reverse direction swaps A and R
+    rev = {(r["op"], r["src"], r["dst"]) for r in
+           diff_snapshots(spark, out, 2, 1).collect()}
+    assert rev == {("R", "n9", "n0"), ("A", "n1", "n2"),
+                   ("A", "n2", "n3"), ("A", "n3", "n4")}
