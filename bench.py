@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "null_safe_join",
     "explode_outer_family",
     "bitwise_aggs",
+    "conv_features",
+    "neighbor_sample",
+    "vocab_coverage",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

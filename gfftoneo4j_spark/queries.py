@@ -3876,3 +3876,156 @@ def snapshot_diff(spark, sf_dir):
     )
     write_graph_snapshot(nodes, edges.drop("half"), out, "full")
     return diff_snapshots(spark, out, 1, 2)
+
+
+# --------------------------------------------------------------------------
+# Per-conversation training features
+# --------------------------------------------------------------------------
+
+_CONV_FEATURES_SQL = f"""
+WITH t AS ({_KG_TRANSCRIPTS_SQL})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count_if(role = 'user') AS BIGINT) AS n_user,
+       CAST(count_if(role = 'assistant') AS BIGINT) AS n_assistant,
+       round(CAST(count_if(tool IS NOT NULL) AS DOUBLE) / count(*), 6)
+           AS tool_rate,
+       round(avg(length(text)), 6) AS avg_text_len,
+       CAST(max(turn_idx) + 1 AS BIGINT) AS span,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM t GROUP BY conv_id
+"""
+
+
+@register("conv_features", _CONV_FEATURES_SQL)
+def conv_features(spark, sf_dir):
+    """Per-conversation feature vector for curriculum/quality
+    selection over a transcript corpus: turn counts by role, tool-call
+    rate, mean text length, index span, wall duration. One combinable
+    groupBy on conv_id — at 10^12 turns this is the per-document
+    rollup every selection policy starts from, and it shares the
+    conv_id partitioning the KG pipeline's windows already use."""
+    t = transcripts_from_events(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_if(F.col("role") == "user").alias("n_user"),
+        F.count_if(F.col("role") == "assistant").alias("n_assistant"),
+        F.round(
+            F.count_if(F.col("tool").isNotNull()) / F.count(F.lit(1)), 6
+        ).alias("tool_rate"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_text_len"),
+        (F.max("turn_idx") + 1).cast("bigint").alias("span"),
+        F.floor(
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        )
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic neighbor sampling (GraphSAGE-style fan-out cap)
+# --------------------------------------------------------------------------
+
+_NEIGHBOR_SAMPLE_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+r AS (
+  SELECT s, t,
+         CAST(row_number() OVER (
+           PARTITION BY s
+           ORDER BY md5(CAST(s AS VARCHAR) || ':' || CAST(t AS VARCHAR))
+         ) AS INTEGER) AS rk
+  FROM e
+)
+SELECT s, t, rk FROM r WHERE rk <= 2
+"""
+
+
+@register("neighbor_sample", _NEIGHBOR_SAMPLE_SQL)
+def neighbor_sample(spark, sf_dir):
+    """Deterministic per-node neighbor sampling (fan-out cap 2) by
+    md5 edge rank — the GraphSAGE/GNN minibatch-prep primitive. A hub
+    with 10^7 neighbors emits exactly k rows, so downstream k-hop
+    expansion is bounded k^depth regardless of degree skew; hash-rank
+    (not rand()) makes the sample reproducible across engines, runs,
+    and partitionings. One window shuffle on the source key."""
+    raw = _circulant_edges(spark, sf_dir)
+    e = (
+        raw.select("s", "t")
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy(
+        F.md5(
+            F.concat(
+                F.col("s").cast("string"), F.lit(":"), F.col("t").cast("string")
+            )
+        )
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("s", "t", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage
+# --------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+vocab AS (SELECT term FROM tf WHERE n >= 50)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(count_if(term IN (SELECT term FROM vocab)) AS BIGINT) AS covered,
+       round(CAST(count_if(term IN (SELECT term FROM vocab)) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM tok GROUP BY lang
+"""
+
+
+@register("vocab_coverage", _VOCAB_COVERAGE_SQL)
+def vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the min-frequency vocab
+    (tf >= 50), then measure per-language what fraction of all tokens
+    it covers — the OOV-rate audit run before committing a tokenizer.
+    Two combinable aggregations + one broadcast semi-join of the token
+    stream against the (small) vocab; the token stream itself shuffles
+    once, on the term key, for the tf count."""
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(toks).alias("term"))
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count_if(F.col("_in_vocab").isNotNull()).alias("covered"),
+            F.round(
+                F.count_if(F.col("_in_vocab").isNotNull())
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
