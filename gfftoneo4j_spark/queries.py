@@ -4029,3 +4029,102 @@ def vocab_coverage(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-event gap histogram (log2 buckets)
+# --------------------------------------------------------------------------
+
+_GAP_HIST_SQL = """
+WITH g AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))) AS BIGINT)
+             AS gap
+  FROM events
+)
+SELECT CAST(CASE WHEN gap <= 0 THEN 0
+            ELSE floor(log2(CAST(gap AS DOUBLE))) + 1 END AS INTEGER)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+@register("interevent_hist", _GAP_HIST_SQL)
+def interevent_hist(spark, sf_dir):
+    """Inter-event-time distribution in log2 buckets — the burstiness
+    profile that sizes session-gap thresholds (sessionize_events) and
+    stream watermarks. One lag() window on the per-user exchange plus
+    one combinable groupBy over ~40 buckets: O(1) output at any
+    scale. Gaps are integer seconds (the same per-timestamp floor the
+    engines share), so bucket edges are engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.unix_timestamp("ts").cast("bigint")
+        - F.unix_timestamp(F.lag("ts").over(w)).cast("bigint")
+    )
+    bucket = (
+        F.when(F.col("gap") <= 0, F.lit(0))
+        .otherwise(F.floor(F.log2(F.col("gap").cast("double"))) + 1)
+        .cast("int")
+    )
+    return (
+        ev.select(gap.alias("gap"))
+        .where(F.col("gap").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap").cast("bigint").alias("min_gap"),
+            F.max("gap").cast("bigint").alias("max_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence pair mining
+# --------------------------------------------------------------------------
+
+_COOCCUR_SQL = """
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u a JOIN u b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("cooccurrence_pairs", _COOCCUR_SQL)
+def cooccurrence_pairs(spark, sf_dir):
+    """Item co-occurrence mining: for every unordered pair of event
+    types, how many users exhibit both — the association signal
+    behind 'users who X also Y'. The per-user distinct item set is
+    first reduced (one combinable distinct), so the pairwise
+    self-join explodes only |items_per_user|^2 <= |vocab|^2 rows per
+    user, never |events|^2 — the bound that keeps basket mining
+    feasible when one user has 10^6 raw events over a 5-item
+    vocabulary. Ordered-pair canonicalization (a < b) halves the
+    output and makes it deterministic."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
