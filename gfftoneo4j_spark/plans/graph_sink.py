@@ -297,3 +297,49 @@ def diff_snapshots(
         F.lit("R").alias("op"), *key
     )
     return added.unionByName(removed)
+
+
+EXPORT_FORMATS = ("jsonl", "csv", "parquet")
+
+
+def export_graph(
+    tables: GraphTables, path: str, fmt: str = "jsonl"
+) -> None:
+    """Interchange export of a graph: ``{path}/nodes`` + ``{path}/edges``
+    as JSONL, CSV (with header), or parquet — the hand-off surface to
+    consumers that are not Spark (a Neo4j bulk importer, a viz tool, a
+    pandas notebook). Distributed writers, one file per task; schemas
+    stay flat so every format round-trips losslessly."""
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"fmt must be one of {EXPORT_FORMATS}, got {fmt!r}")
+    for name, df in (("nodes", tables.nodes), ("edges", tables.edges)):
+        w = df.write.mode("overwrite")
+        target = f"{path.rstrip('/')}/{name}"
+        if fmt == "jsonl":
+            w.json(target)
+        elif fmt == "csv":
+            w.option("header", True).csv(target)
+        else:
+            w.parquet(target)
+
+
+def import_graph(
+    spark: SparkSession, path: str, fmt: str = "jsonl"
+) -> GraphTables:
+    """Read an exported graph back. CSV/JSONL carry no types, so the
+    reader re-applies the graph schema explicitly (inferSchema on
+    100 TB means a full extra pass — never rely on it)."""
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"fmt must be one of {EXPORT_FORMATS}, got {fmt!r}")
+
+    def _read(name: str, schema: str) -> DataFrame:
+        target = f"{path.rstrip('/')}/{name}"
+        if fmt == "jsonl":
+            return spark.read.schema(schema).json(target)
+        if fmt == "csv":
+            return spark.read.option("header", True).schema(schema).csv(target)
+        return spark.read.parquet(target)
+
+    nodes = _read("nodes", "node_id string, label string, props string")
+    edges = _read("edges", "src string, dst string, type string")
+    return GraphTables(nodes=nodes, edges=edges)

@@ -110,3 +110,36 @@ def test_diff_snapshots_both_directions(spark, tmp_path):
            diff_snapshots(spark, out, 2, 1).collect()}
     assert rev == {("R", "n9", "n0"), ("A", "n1", "n2"),
                    ("A", "n2", "n3"), ("A", "n3", "n4")}
+
+
+def test_export_import_roundtrip_all_formats(spark, tmp_path):
+    import pytest as _pytest
+
+    from gfftoneo4j_spark.plans.graph_sink import (
+        GraphTables,
+        export_graph,
+        import_graph,
+    )
+
+    nodes = spark.createDataFrame(
+        [(f"n{i}", "entity", f"p{i}") for i in range(6)],
+        "node_id string, label string, props string",
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", "links") for i in range(5)],
+        "src string, dst string, type string",
+    )
+    g = GraphTables(nodes=nodes, edges=edges)
+    want_n = sorted(map(tuple, nodes.collect()))
+    want_e = sorted(map(tuple, edges.collect()))
+    for fmt in ("jsonl", "csv", "parquet"):
+        out = str(tmp_path / fmt)
+        export_graph(g, out, fmt)
+        back = import_graph(spark, out, fmt)
+        assert sorted(map(tuple, back.nodes.collect())) == want_n, fmt
+        assert sorted(map(tuple, back.edges.collect())) == want_e, fmt
+        assert sorted(map(tuple, back.triples.collect())) == sorted(
+            (s, t, d) for s, d, t in want_e
+        ), fmt
+    with _pytest.raises(ValueError):
+        export_graph(g, str(tmp_path / "bad"), "xml")
