@@ -86,3 +86,37 @@ def test_stream_dedup_within_watermark(spark, corpus, tmp_path):
         "conv_id", "turn_idx", "text"
     )
     assert {tuple(r) for r in rows} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_session_window_matches_batch(spark, corpus):
+    """Watermarked session_window aggregation on the stream drains to
+    exactly what the same session_window computes in batch over the
+    closed input — the streaming twin of operators/windows.sessionize
+    (which pins the equivalent assignment logic as plain windows)."""
+    t_path, _ = corpus
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                "conv_id", F.session_window("ts", "30 minutes").alias("win")
+            )
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(
+                "conv_id",
+                F.col("win.start").alias("t0"),
+                F.col("win.end").alias("t1"),
+                "n_turns",
+            )
+        )
+
+    stream = read_transcript_stream(spark, t_path).withWatermark(
+        "ts", "1 hour"
+    )
+    got = run_available_now(
+        sessions(stream), "stream_sessions", output_mode="complete"
+    )
+    batch = sessions(read_transcripts(spark, t_path))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+    assert got.count() > 0
