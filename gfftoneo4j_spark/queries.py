@@ -4002,9 +4002,12 @@ def vocab_coverage(spark, sf_dir):
     """Tokenizer-vocabulary coverage: build the min-frequency vocab
     (tf >= 50), then measure per-language what fraction of all tokens
     it covers — the OOV-rate audit run before committing a tokenizer.
-    Two combinable aggregations + one broadcast semi-join of the token
-    stream against the (small) vocab; the token stream itself shuffles
-    once, on the term key, for the tf count."""
+    Two combinable aggregations + a left join of the token stream
+    against the vocab ON THE TERM KEY the tf-count shuffle already
+    established. No broadcast hint on purpose: a min-frequency vocab
+    over 100 TB is tens of millions of terms — far past broadcast
+    range — while AQE still broadcasts it adaptively when a small
+    corpus makes it small."""
     toks = F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
     tok = (
         load_table(spark, sf_dir, "documents")
@@ -4017,7 +4020,7 @@ def vocab_coverage(spark, sf_dir):
         .select("term", F.lit(1).alias("_in_vocab"))
     )
     return (
-        tok.join(F.broadcast(vocab), "term", "left")
+        tok.join(vocab, "term", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("total_tokens"),
