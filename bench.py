@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "interevent_hist",
     "cooccurrence_pairs",
+    "pop_change",
+    "source_mix_report",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

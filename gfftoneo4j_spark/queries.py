@@ -4131,3 +4131,88 @@ def cooccurrence_pairs(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period change (metrics-table shape)
+# --------------------------------------------------------------------------
+
+_POP_CHANGE_SQL = """
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       lag(n) OVER w AS prev_n,
+       round(CAST(n - lag(n) OVER w AS DOUBLE)
+             / nullif(lag(n) OVER w, 0) * 100, 4) AS pct_change
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register("pop_change", _POP_CHANGE_SQL)
+def pop_change(spark, sf_dir):
+    """Period-over-period percent change per event type per day — the
+    dashboard/metrics-table shape. One combinable daily rollup, then
+    one lag window over the (tiny) per-type day series; nullif guards
+    the zero-baseline division identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return d.select(
+        "event_type", "day", "n",
+        prev.alias("prev_n"),
+        F.round(
+            (F.col("n") - prev).cast("double")
+            / F.nullif(prev, F.lit(0)) * 100,
+            4,
+        ).alias("pct_change"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mix curation report
+# --------------------------------------------------------------------------
+
+_SOURCE_MIX_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+           AS total_tokens,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 6) AS frac
+FROM documents GROUP BY source
+"""
+
+
+@register("source_mix_report", _SOURCE_MIX_SQL)
+def source_mix_report(spark, sf_dir):
+    """Corpus curation report: per provenance source, document and
+    token counts, size profile, language spread, and corpus fraction —
+    the table a data-mixture decision reads first. One combinable
+    groupBy plus one broadcast scalar (the corpus total) — the same
+    broadcast-denominator shape as tfidf_topk."""
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    toks = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0)))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("bigint")).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "total_tokens", "avg_chars", "n_langs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
+        )
+    )

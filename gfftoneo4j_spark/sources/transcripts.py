@@ -48,6 +48,23 @@ def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.table(source)
 
 
+def read_transcripts_jsonl(spark: SparkSession, source: str) -> DataFrame:
+    """S1 widening: the same transcript table from JSONL exports (the
+    common interchange form of conversation logs). Schema applied
+    explicitly — inferSchema on a 100 TB JSONL lake is a full extra
+    pass — and timestamps parsed from ISO-8601 strings. Rows failing
+    the schema land as all-NULL conv_id and flow to the pipeline's
+    quarantine lineage, matching the parquet path's contract."""
+    raw = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string"
+    ).json(source)
+    return raw.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.to_timestamp("ts").alias("ts"),
+    )
+
+
 def read_alias_dict(spark: SparkSession, source: str) -> DataFrame:
     if os.path.exists(source) or source.endswith(".parquet"):
         return spark.read.schema(ALIAS_DICT_SCHEMA).parquet(source)

@@ -55,3 +55,27 @@ def test_reingesting_same_batch_is_idempotent(spark, tmp_path):
     build_kg_incremental(spark, turns, alias, out)  # replay the batch
     v2 = _triples(read_graph_snapshot(spark, out).triples)
     assert v1 == v2  # create-unique dedup absorbs the replay
+
+
+def test_jsonl_source_builds_identical_graph(spark, tmp_path):
+    """Transcripts exported to JSONL and re-ingested through
+    read_transcripts_jsonl produce the same triples as the parquet
+    path — the source layer is format-transparent."""
+    from pyspark.sql import functions as F
+
+    from gfftoneo4j_spark.sources.transcripts import read_transcripts_jsonl
+
+    t_path, d_path = write_corpus(
+        str(tmp_path / "corpus"), CorpusConfig(n_conversations=12, seed=8)
+    )
+    turns = read_transcripts(spark, t_path)
+    alias = read_alias_dict(spark, d_path)
+    jl = str(tmp_path / "jl")
+    turns.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"),
+    ).write.json(jl)
+    turns2 = read_transcripts_jsonl(spark, jl)
+    a = _triples(build_kg(spark, turns, alias, extraction="sql").triples)
+    b = _triples(build_kg(spark, turns2, alias, extraction="sql").triples)
+    assert a == b and a
