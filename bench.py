@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "cooccurrence_pairs",
     "pop_change",
     "source_mix_report",
+    "range_join_events",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

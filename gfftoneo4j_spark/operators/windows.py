@@ -233,3 +233,48 @@ def asof_join(
         "matched_ep",
         "matched_val",
     )
+
+
+def binned_interval_join(
+    facts: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    granularity: int,
+) -> DataFrame:
+    """Range join (fact.ts BETWEEN interval.lo AND interval.hi) as an
+    EQUI-join on time bins.
+
+    A naive interval join has no equality key, so Catalyst falls back
+    to BroadcastNestedLoopJoin — O(|facts| * |intervals|) comparisons,
+    dead at 10^12 facts x 10^6 intervals. The standard fix: bucket
+    both sides at a granularity >= the max interval width, explode
+    each interval into the (<= 2) buckets it touches, hash-join on the
+    bucket, then apply the exact BETWEEN as a cheap post-filter. Work
+    becomes O(|facts| + |intervals| + |matches|) with one shuffle per
+    side, and AQE handles bucket skew like any other hash join.
+
+    ``granularity`` (seconds) tunes the fan-out: an interval explodes
+    into ceil(width/granularity)+1 bucket rows, so pick granularity
+    ~= the typical interval width — correctness holds for ANY width
+    (wider intervals just emit more bucket rows). Timestamps are
+    integer epoch seconds on both sides.
+
+    Returns facts columns + the matched interval's columns.
+    """
+    ep = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    f = facts.withColumn("_bin", F.floor(ep / granularity))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / granularity),
+                F.floor(F.col(hi_col) / granularity),
+            )
+        ),
+    )
+    joined = f.join(iv, "_bin").where(
+        ep.between(F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("_bin")

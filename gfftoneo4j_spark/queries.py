@@ -4216,3 +4216,51 @@ def source_mix_report(spark, sf_dir):
             F.round(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join via time-bin equi-join
+# --------------------------------------------------------------------------
+
+_RANGE_JOIN_SQL = """
+WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0 FROM events),
+iv AS (
+  SELECT i AS interval_id,
+         t0 + i * 3600 AS lo,
+         t0 + i * 3600 + 1799 AS hi
+  FROM b, (SELECT unnest(generate_series(0, 199)) AS i)
+),
+e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events)
+SELECT interval_id, CAST(count(*) AS BIGINT) AS n_events
+FROM iv JOIN e ON e.ep BETWEEN iv.lo AND iv.hi
+GROUP BY interval_id
+"""
+
+
+@register("range_join_events", _RANGE_JOIN_SQL)
+def range_join_events(spark, sf_dir):
+    """Interval containment join (operators/windows.binned_interval_join):
+    200 deterministic half-hour windows, one per hour from the corpus
+    start, counted against the event stream. The engine runs the
+    binned EQUI-join plan (bucket both sides at >= max interval
+    width, hash-join the bucket, exact BETWEEN as post-filter) — the
+    oracle runs the naive BETWEEN join that would be a nested-loop
+    disaster at scale; identical answers, opposite cost curves."""
+    from gfftoneo4j_spark.operators.windows import binned_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.unix_timestamp(F.min("ts")).cast("bigint").alias("t0")
+    )
+    iv = (
+        spark.range(200)
+        .select(F.col("id").cast("bigint").alias("interval_id"))
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "interval_id",
+            (F.col("t0") + F.col("interval_id") * 3600).alias("lo"),
+            (F.col("t0") + F.col("interval_id") * 3600 + 1799).alias("hi"),
+        )
+    )
+    j = binned_interval_join(ev, "ts", iv, "lo", "hi", granularity=1800)
+    return j.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_events"))

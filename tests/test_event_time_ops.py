@@ -50,3 +50,37 @@ def test_asof_duplicate_right_timestamps_take_max_value(spark):
     )
     [r] = asof_join(left, right, "user_id", "ts", "value").collect()
     assert r["matched_val"] == 7.0
+
+
+def test_binned_interval_join_boundaries_and_wide_intervals(spark):
+    """Inclusive bounds on both ends; intervals wider than the
+    granularity still match exactly (they just explode into more
+    buckets)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from gfftoneo4j_spark.operators.windows import binned_interval_join
+
+    base = dt.datetime(2026, 1, 1)
+    facts = spark.createDataFrame(
+        [Row(i=s, ts=base + dt.timedelta(seconds=s)) for s in
+         [0, 59, 60, 100, 3600, 7200]]
+    )
+    t0 = int(base.timestamp())
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=0, lo=t0, hi=t0 + 60),          # matches 0, 59, 60
+            Row(iid=1, lo=t0 + 100, hi=t0 + 7200),  # wide: 100, 3600, 7200
+        ]
+    )
+    for g in (30, 60, 10000):  # narrower, equal, wider than intervals
+        got = sorted(
+            (r["iid"], r["i"])
+            for r in binned_interval_join(
+                facts, "ts", intervals, "lo", "hi", granularity=g
+            ).collect()
+        )
+        assert got == [(0, 0), (0, 59), (0, 60),
+                       (1, 100), (1, 3600), (1, 7200)], g
