@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "pop_change",
     "source_mix_report",
     "range_join_events",
+    "journey_paths",
+    "daily_new_users",
+    "graph_reciprocity",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

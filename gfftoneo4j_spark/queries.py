@@ -4264,3 +4264,140 @@ def range_join_events(spark, sf_dir):
     )
     j = binned_interval_join(ev, "ts", iv, "lo", "hi", granularity=1800)
     return j.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# Journey-path mining (top event-type sequences)
+# --------------------------------------------------------------------------
+
+_JOURNEY_SQL = """
+WITH p AS (
+  SELECT user_id,
+         array_to_string((string_split(
+             string_agg(event_type, '>' ORDER BY ts, event_id), '>'))[1:3],
+             '>') AS path3
+  FROM events GROUP BY user_id
+)
+SELECT path3, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path3
+"""
+
+
+@register("journey_paths", _JOURNEY_SQL)
+def journey_paths(spark, sf_dir):
+    """User-journey mining: each user's first-3 event-type path,
+    counted across the population — the funnel-discovery complement
+    to funnel_conversion's fixed funnel. Per-user ordering comes from
+    sort_array over (ts, event_id, type) structs (struct comparison
+    is lexicographic by field order — the deterministic in-group sort
+    without a window), then one combinable path count. Bounded agg
+    state: only the first 3 steps are kept per user."""
+    ev = load_table(spark, sf_dir, "events")
+    step = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("t"),
+    )
+    path3 = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(F.collect_list(step)), 1, 3),
+            lambda s: s["t"],
+        ),
+        ">",
+    )
+    p = ev.groupBy("user_id").agg(path3.alias("path3"))
+    return p.groupBy("path3").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Daily new-vs-cumulative users (growth accounting)
+# --------------------------------------------------------------------------
+
+_NEW_USERS_SQL = """
+WITH first_day AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_day GROUP BY day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumulative_users
+FROM daily
+"""
+
+
+@register("daily_new_users", _NEW_USERS_SQL)
+def daily_new_users(spark, sf_dir):
+    """Growth accounting: first-seen day per user -> daily new-user
+    counts -> running cumulative. 'Cumulative distinct users per day'
+    computed WITHOUT a per-day distinct over growing history (the
+    naive O(days * users) shape): two combinable aggs + one running
+    sum over the tiny day series. The single-partition window is over
+    |days| rows — O(1) at any fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph reciprocity
+# --------------------------------------------------------------------------
+
+_RECIPROCITY_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM e r WHERE r.s = e.t AND r.t = e.s)) AS BIGINT)
+           AS n_reciprocal,
+       round(CAST(count(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM e r WHERE r.s = e.t AND r.t = e.s)) AS DOUBLE)
+             / count(*), 6) AS reciprocity
+FROM e
+"""
+
+
+@register("graph_reciprocity", _RECIPROCITY_SQL)
+def graph_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (fraction of edges whose reverse
+    exists): one left join against the swapped-key edge set folded
+    into the same aggregation — one job, no driver-side counts, never
+    the correlated-EXISTS-per-row shape the oracle spells. At 10^12
+    edges this is one hash shuffle; reciprocity is the KG sanity
+    metric that catches accidentally-symmetrized edge families after
+    an ingest change. (rev is dedup-free: e is distinct, so the
+    swapped set is too — the left join cannot duplicate rows.)"""
+    e = (
+        _circulant_edges(spark, sf_dir)
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = (
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        .withColumn("_r", F.lit(1))
+    )
+    flagged = e.join(rev, ["s", "t"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.sum("_r"), F.lit(0)).cast("bigint").alias("n_reciprocal"),
+        F.round(
+            F.coalesce(F.sum("_r"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("reciprocity"),
+    )
