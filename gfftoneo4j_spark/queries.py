@@ -4401,3 +4401,100 @@ def graph_reciprocity(spark, sf_dir):
             F.coalesce(F.sum("_r"), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("reciprocity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event debounce (near-duplicate event suppression)
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id)))
+                AS BIGINT) AS gap
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM g WHERE gap IS NULL OR gap > 1800
+"""
+
+
+@register("event_debounce", _DEBOUNCE_SQL)
+def event_debounce(spark, sf_dir):
+    """Near-duplicate event suppression (double-fire debounce): drop
+    an event when the SAME (user, type) fired within the threshold
+    before it — the ingest-edge filter between exact dedup (identical
+    rows) and sessionization (grouping, not dropping). Semantics
+    pinned: the gap is measured against the previous RAW event
+    (throttle semantics — one lag window, stateless), not the last
+    KEPT one (which needs a sequential scan; that stateful variant is
+    what applyInPandasWithState provides on the stream). One window
+    on the (user, type) exchange; 91 of 10000 rows drop at sf0.01, so
+    both paths face the oracle."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts").cast("bigint")
+        - F.unix_timestamp(F.lag("ts").over(w)).cast("bigint")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("gap", gap)
+        .where(F.col("gap").isNull() | (F.col("gap") > 1800))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join (manual hot-key splitting)
+# --------------------------------------------------------------------------
+
+_SALTED_JOIN_SQL = """
+WITH f AS (
+  SELECT event_id, event_type, value FROM events
+),
+d AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+  FROM events GROUP BY event_type
+)
+SELECT f.event_id, f.event_type, d.type_total,
+       round(f.value / d.type_total, 9) AS share
+FROM f JOIN d ON f.event_type = d.event_type
+"""
+
+
+@register("salted_join", _SALTED_JOIN_SQL)
+def salted_join(spark, sf_dir):
+    """Manual salted join for hot keys — the technique AQE skew-join
+    automates (test_scale_plan_guards pins the automatic path; this
+    gates the manual one, needed when the small side must NOT
+    broadcast and a single key dominates). Fact side salts each row
+    into one of S buckets; the dim side replicates every row S times
+    via explode; the join key becomes (key, salt), splitting each hot
+    key's rows across S reducers. The salt must be DETERMINISTIC per
+    row (md5(event_id) % S, never rand()) or the result isn't
+    reproducible. Output provably equals the unsalted join the oracle
+    runs."""
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        "event_id", "event_type", "value",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+            .cast("bigint") % n_salt
+        ).alias("_salt"),
+    )
+    d = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        .withColumn("_salt", F.col("_salt").cast("bigint"))
+    )
+    return (
+        f.join(d, ["event_type", "_salt"])
+        .select(
+            "event_id", "event_type", "type_total",
+            F.round(F.col("value") / F.col("type_total"), 9).alias("share"),
+        )
+    )
