@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "graph_reciprocity",
     "event_debounce",
     "salted_join",
+    "embedding_norms",
+    "embedding_quantize",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

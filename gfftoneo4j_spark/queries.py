@@ -4498,3 +4498,86 @@ def salted_join(spark, sf_dir):
             F.round(F.col("value") / F.col("type_total"), 9).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding norms
+# --------------------------------------------------------------------------
+
+_EMB_NORM_SQL = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+FROM embeddings
+"""
+
+
+@register("embedding_norms", _EMB_NORM_SQL)
+def embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm + positive-component count — the embedding
+    hygiene audit (zero/exploding norms break cosine retrieval and
+    training alike). Pure lambda fold inside codegen, zero shuffle;
+    float32 components are cast to double BEFORE squaring on both
+    engines so the accumulation grids match, then rounded at 4dp
+    (the float32 information limit)."""
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sq), 4).alias("l2"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization
+# --------------------------------------------------------------------------
+
+_EMB_QUANT_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT) AS q_sum,
+       CAST(len(list_filter(embedding,
+            x -> floor(CAST(x AS DOUBLE) / scale + 0.5) <> 0)) AS INTEGER)
+           AS n_nonzero
+FROM s
+"""
+
+
+@register("embedding_quantize", _EMB_QUANT_SQL)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization (per-vector absmax scale — the
+    serving-prep that cuts vector storage 4x): scale = max|x|/127,
+    q = floor(x/scale + 0.5). floor(+0.5) instead of round() on BOTH
+    engines because round()'s half-way rule differs across engines
+    while the floor expression is bit-identical. The gate carries the
+    quantized checksum (sum + nonzero count) per vector; zero
+    shuffle, pure lambda folds."""
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "scale", absmax / F.lit(127.0)
+    )
+    q = lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            F.transform("embedding", q), F.lit(0.0), lambda a, x: a + x
+        )
+        .cast("bigint")
+        .alias("q_sum"),
+        F.size(F.filter("embedding", lambda x: q(x) != 0)).alias("n_nonzero"),
+    )
