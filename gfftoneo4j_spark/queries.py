@@ -4581,3 +4581,41 @@ def embedding_quantize(spark, sf_dir):
         .alias("q_sum"),
         F.size(F.filter("embedding", lambda x: q(x) != 0)).alias("n_nonzero"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (prototype / E-step shape)
+# --------------------------------------------------------------------------
+
+_CENTROID_SQL = """
+WITH d AS (
+  SELECT label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY label, dim
+"""
+
+
+@register("label_centroids", _CENTROID_SQL)
+def label_centroids(spark, sf_dir):
+    """Per-class mean vector (classifier prototypes; the E-step of
+    the in-engine k-means, operators/similarity.py, as a standalone
+    gated operator): posexplode the vector to (label, dim, x) and run
+    ONE combinable avg per (label, dim). The explode multiplies rows
+    by the dimension count, but partial aggregation collapses them
+    map-side, so shuffle volume is |labels| x dims regardless of
+    corpus size — the centroid table, not the corpus, crosses the
+    wire."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    return d.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
