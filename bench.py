@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "embedding_norms",
     "embedding_quantize",
     "label_centroids",
+    "term_lift",
+    "text_normalize",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

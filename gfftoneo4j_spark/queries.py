@@ -4619,3 +4619,93 @@ def label_centroids(spark, sf_dir):
         F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-language term lift (discriminative-term analytics)
+# --------------------------------------------------------------------------
+
+_TERM_LIFT_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS term
+  FROM documents
+),
+lt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM lt GROUP BY lang),
+t AS (SELECT term, CAST(sum(n) AS BIGINT) AS term_total FROM lt GROUP BY term),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM lt)
+SELECT lt.lang, lt.term, lt.n,
+       round((CAST(lt.n AS DOUBLE) / l.lang_total)
+             / (CAST(t.term_total AS DOUBLE) / g.grand), 6) AS lift
+FROM lt JOIN l USING (lang) JOIN t USING (term), g
+WHERE lt.n >= 20
+"""
+
+
+@register("term_lift", _TERM_LIFT_SQL)
+def term_lift(spark, sf_dir):
+    """Discriminative-term analytics: lift = p(term|lang) / p(term) —
+    which words over-index in which language slice (the corpus-drift /
+    slice-skew diagnostic). Three combinable aggregations off ONE
+    tokenized pass, then a join back on (lang) broadcast and (term)
+    keyed on the shuffle the counts already established; the grand
+    total rides as a broadcast scalar. The n >= 20 floor keeps the
+    gate payload to meaningfully-supported terms."""
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(toks).alias("term")
+    )
+    lt = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    l = lt.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    t = lt.groupBy("term").agg(F.sum("n").alias("term_total"))
+    g = lt.agg(F.sum("n").alias("grand"))
+    return (
+        lt.where(F.col("n") >= 20)
+        .join(F.broadcast(l), "lang")
+        .join(t, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "lang", "term", "n",
+            F.round(
+                (F.col("n") / F.col("lang_total"))
+                / (F.col("term_total") / F.col("grand")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Text normalization
+# --------------------------------------------------------------------------
+
+_TEXT_NORM_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+FROM documents
+"""
+
+
+@register("text_normalize", _TEXT_NORM_SQL)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase -> non-alphanumerics to
+    space -> whitespace collapse -> trim) — the preprocessing every
+    dedup/fingerprint family assumes; gating its md5 pins the exact
+    normal form so two engines (or two releases) can never silently
+    disagree on what 'the same document' means. Pure codegen chain,
+    zero shuffle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+    )
