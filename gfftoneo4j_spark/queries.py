@@ -4709,3 +4709,87 @@ def text_normalize(spark, sf_dir):
         F.md5(norm).alias("norm_md5"),
         F.length(norm).alias("norm_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-type z-score anomaly flags
+# --------------------------------------------------------------------------
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sd, 6) AS z,
+       abs((e.value - s.mu) / s.sd) > 3 AS is_outlier
+FROM events e JOIN s USING (event_type)
+"""
+
+
+@register("value_zscores", _ZSCORE_SQL)
+def value_zscores(spark, sf_dir):
+    """Per-group standardization + outlier flag: one combinable
+    stats pass, then the per-row z-score via a BROADCAST join of the
+    (tiny) stats table back onto the stream — the two-pass shape that
+    replaces a window avg/stddev (which would shuffle the full fact
+    table) when the grouping key is low-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 3).alias("is_outlier"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Classic multi-table rollup (3-way join chain)
+# --------------------------------------------------------------------------
+
+_REVENUE_SQL = """
+SELECT n.n_name,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name
+"""
+
+
+@register("revenue_by_nation", _REVENUE_SQL)
+def revenue_by_nation(spark, sf_dir):
+    """Classic warehouse rollup over a 3-deep join chain
+    (lineitem -> orders -> customer -> nation): the biggest table
+    joins FIRST on its own key and the 25-row nation dim broadcasts —
+    with AQE free to reorder/broadcast the mid-size sides as runtime
+    stats dictate. DECIMAL revenue arithmetic stays exact (Spark and
+    DuckDB both compute decimal products), rounded at 2dp for the
+    gate."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
