@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "value_zscores",
     "revenue_by_nation",
+    "activity_gini",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

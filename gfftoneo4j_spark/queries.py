@@ -4793,3 +4793,49 @@ def revenue_by_nation(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Activity Gini coefficient (key-skew quantification)
+# --------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+r AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n, user_id) AS BIGINT) AS i
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(2.0 * sum(i * n) / (count(*) * sum(n))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+"""
+
+
+@register("activity_gini", _GINI_SQL)
+def activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user activity — the one-number skew
+    audit for the partition keys everything else in this engine works
+    to survive (salting, AQE splits, degree orientation). Computed by
+    the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending counts: one combinable count per key, then a window
+    over the (small) per-key count table, then one scalar fold. The
+    rank window sorts |keys| rows, not |events| — at 10^12 events and
+    10^8 users that's the difference between feasible and not."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "user_id")
+    r = c.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n"))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
