@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "value_zscores",
     "revenue_by_nation",
     "activity_gini",
+    "keep_last_n",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

@@ -89,3 +89,26 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-drift report between two table versions: added, removed,
+    and type-changed columns (driver-side metadata only — no data is
+    read). The pre-flight check an incremental ingest runs before
+    merging a producer's new batch into the persisted graph; pairs
+    with the reader-side mergeSchema guarantee
+    (tests/test_scale_plan_guards.py)."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for col in sorted(n.keys() - o.keys()):
+        out.append({"op": "added", "column": col, "type": n[col]})
+    for col in sorted(o.keys() - n.keys()):
+        out.append({"op": "removed", "column": col, "type": o[col]})
+    for col in sorted(o.keys() & n.keys()):
+        if o[col] != n[col]:
+            out.append(
+                {"op": "type_changed", "column": col,
+                 "from": o[col], "to": n[col]}
+            )
+    return out

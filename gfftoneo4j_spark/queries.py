@@ -4839,3 +4839,41 @@ def activity_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Keep-last-N retention compaction
+# --------------------------------------------------------------------------
+
+_KEEP_LAST_SQL = """
+WITH r AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                            event_id DESC) AS rk
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(rk AS INTEGER) AS recency_rank
+FROM r WHERE rk <= 10
+"""
+
+
+@register("keep_last_n", _KEEP_LAST_SQL)
+def keep_last_n(spark, sf_dir):
+    """Retention compaction: keep only each key's most recent N
+    events (N=10) — the state-TTL shape a feature store or session
+    cache applies before persisting. One descending-rank window on
+    the key exchange; output is bounded at N * |keys| regardless of
+    history depth, which is the property that lets the compacted
+    table replace the raw stream in downstream serving joins."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.col("rk").alias("recency_rank"),
+        )
+    )

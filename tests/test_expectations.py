@@ -72,3 +72,17 @@ def test_n_checks_one_scan(spark, tmp_path):
         .toString()
     )
     assert plan.count("FileScan") == 1, plan
+
+
+def test_schema_diff(spark):
+    from gfftoneo4j_spark.operators.expectations import schema_diff
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "b string, c string, d boolean")
+    got = schema_diff(old, new)
+    assert got == [
+        {"op": "added", "column": "d", "type": "boolean"},
+        {"op": "removed", "column": "a", "type": "int"},
+        {"op": "type_changed", "column": "c", "from": "double", "to": "string"},
+    ]
+    assert schema_diff(old, old) == []
