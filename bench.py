@@ -190,14 +190,22 @@ def main() -> None:
     times = {n: sorted(ws)[len(ws) // 2] for n, ws in walls.items()}
 
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    here = os.path.dirname(os.path.abspath(__file__))
     ref_path = os.environ.get("SPARK_GRAFT_BENCH_REF")
     if not ref_path:
-        # newest prior round's recorded bench (numeric round order —
-        # lexicographic would put r10 before r2)
+        # prefer the durable copy this script writes itself: the
+        # driver's BENCH_r*.json capture truncates long tails (r03 lost
+        # every early-query median, parsed=null), so the self-written
+        # file is the only complete round-over-round record
+        latest = os.path.join(here, "BENCH", "bench_latest.json")
+        if os.path.exists(latest):
+            ref_path = latest
+    if not ref_path:
+        # fall back: newest prior round's recorded bench (numeric round
+        # order — lexicographic would put r10 before r2)
         import glob
         import re
 
-        here = os.path.dirname(os.path.abspath(__file__))
         cands = sorted(
             glob.glob(os.path.join(here, "BENCH_r*.json")),
             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
@@ -208,9 +216,9 @@ def main() -> None:
         with open(ref_path) as f:
             ref = json.load(f)
         # the driver's BENCH_r*.json wraps this script's JSON line
-        # under "parsed" — unwrap, or the guard compares against
-        # nothing and every regression sails through silently
-        if "parsed" in ref and "queries" not in ref:
+        # under "parsed" — unwrap (parsed may be null when the driver's
+        # 2000-char tail capture truncated the line mid-JSON)
+        if isinstance(ref.get("parsed"), dict) and "queries" not in ref:
             ref = {**ref, **ref["parsed"]}
         if ref.get("sf") == sf_num:
             for name, med in times.items():
@@ -226,23 +234,29 @@ def main() -> None:
         pass
 
     flagship = times["kg_triples"]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "query_walls": walls,
-                "reps": reps,
-                "regressions": regressions,
-                "sf": sf_num,
-                "cpus": cpus,
-                "n_turns": n_turns,
-                "kg_turns_per_sec": round(n_turns / flagship, 1),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "query_walls": walls,
+            "reps": reps,
+            "regressions": regressions,
+            "sf": sf_num,
+            "cpus": cpus,
+            "n_turns": n_turns,
+            "kg_turns_per_sec": round(n_turns / flagship, 1),
+        }
     )
+    print(line)
+    # durable copy (the driver's capture truncates long tails); only the
+    # canonical configuration overwrites it, so an sf0.001 smoke run
+    # doesn't clobber the sf0.1 regression reference
+    if sf_num == 0.1 and not os.environ.get("SPARK_GRAFT_BENCH_NO_RECORD"):
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "bench_latest.json"), "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
