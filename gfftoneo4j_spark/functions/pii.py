@@ -21,9 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Ordered: redaction is applied in this order, and counting uses the
-# same patterns, so e.g. an email's digits are never double-counted as
-# a phone number (email is matched/replaced first).
+# Ordered: redaction is applied in this order, and pii_count counts
+# kind K on text with all EARLIER kinds already replaced — so a span
+# inside an already-matched earlier kind is never double-counted
+# (e.g. the phone-shaped digits in '555-123-4567@ex.com' count as
+# email only, because <EMAIL> has replaced them before phone counting).
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
@@ -32,7 +34,16 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def pii_count(text: Column, kind: str) -> Column:
-    """Occurrence count of one PII kind (pre-redaction)."""
+    """Occurrence count of one PII kind, counted on text with all
+    earlier kinds (PII_PATTERNS order) progressively redacted — the
+    counts therefore partition the PII spans instead of overlapping.
+    Still pure chained regexp inside codegen; the earlier replacements
+    are recomputed per kind, trading a few regex passes (cheap, scan-
+    stage CPU) for count consistency with redact_pii's output."""
+    kinds = list(PII_PATTERNS)
+    for earlier in kinds[: kinds.index(kind)]:
+        pat, repl = PII_PATTERNS[earlier]
+        text = F.regexp_replace(text, pat, repl)
     pattern, _ = PII_PATTERNS[kind]
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 

@@ -52,7 +52,21 @@ def merge_latest(
         b = b.withColumn("_del", F.lit(0))
         c = c.withColumn("_del", F.lit(0))
 
-    payload = F.md5(F.concat_ws("", *[F.col(x) for x in data_cols]))
+    # deterministic payload hash: \x01 field separator keeps it
+    # boundary-safe (('ab','c') never collides with ('a','bc')), and a
+    # \x00 NULL sentinel closes the remaining hole — concat_ws silently
+    # SKIPS nulls, so ('x', NULL, 'y') would otherwise collide with
+    # ('x', 'y', NULL) and exact version+side ties between distinct
+    # rows could survive nondeterministically
+    payload = F.md5(
+        F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(F.col(x).cast("string"), F.lit("\x00"))
+                for x in data_cols
+            ],
+        )
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.col(version_col).desc(), F.col("_upd").desc(), payload.desc()
     )

@@ -150,16 +150,35 @@ SNAPSHOT_MANIFEST = "_SNAPSHOTS.json"
 
 
 def _write_manifest_atomic(spark: SparkSession, path: str, obj: dict) -> None:
-    """Create-temp-then-rename: Hadoop rename is atomic on HDFS/local
-    (and effectively so for the single-object PUT S3A maps it to), so
-    a reader never observes a half-written manifest."""
+    """Create-temp-then-rename-over: FileContext.rename with
+    Options.Rename.OVERWRITE replaces the live manifest in one
+    operation on HDFS/local, so a concurrent reader always sees either
+    the old or the new manifest — never the missing-manifest window a
+    delete-then-rename opens. On S3A, rename is client-side copy+delete
+    (no server-side atomic rename), so the guarantee weakens to
+    "readers may briefly see the old manifest during the copy" — still
+    never a missing or half-written one, since the copy itself is a
+    single-object PUT. FileSystem delete+rename remains as the fallback
+    for filesystems without a FileContext implementation."""
     fs, final = _fs(spark, path)
     tmp = f"{path}.tmp"
     fs_write_json(spark, tmp, obj)
     fs2, tpath = _fs(spark, tmp)
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs2.rename(tpath, final)
+    try:
+        jvm = spark._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_cls = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+        opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(tpath, final, opts)
+    except Exception:
+        # e.g. an FS scheme with no AbstractFileSystem binding: fall
+        # back to the non-atomic window rather than failing the commit
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs2.rename(tpath, final)
 
 
 def _snapshots(spark: SparkSession, path: str) -> dict:
@@ -257,9 +276,13 @@ def expire_graph_snapshots(
     path = path.rstrip("/")
     man = _snapshots(spark, path)
     committed = sorted(int(v) for v in man["versions"])
-    keep_set = set(committed[-keep:]) | ({man["current"]} - {None})
+    # keep<=0 must mean "keep nothing but current": committed[-0:] is
+    # the WHOLE list, the exact opposite of the request
+    newest = set(committed[-keep:]) if keep > 0 else set()
+    keep_set = newest | ({man["current"]} - {None})
     fs, root = _fs(spark, path)
     deleted: list[int] = []
+    on_disk: set[int] = set()
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -267,9 +290,17 @@ def expire_graph_snapshots(
                 continue
             v = int(name[1:])
             if v in keep_set:
+                on_disk.add(v)
                 continue
             fs.delete(st.getPath(), True)
             deleted.append(v)
+            man["versions"].pop(str(v), None)
+    # prune manifest entries whose v-dirs are already gone from disk
+    # (e.g. removed out-of-band): a dangling entry would advertise a
+    # time-travel target that can only raise on read. Never prune
+    # current — a missing current dir is corruption worth surfacing.
+    for v in committed:
+        if v not in on_disk and v != man["current"] and str(v) in man["versions"]:
             man["versions"].pop(str(v), None)
     _write_manifest_atomic(spark, f"{path}/{SNAPSHOT_MANIFEST}", man)
     return sorted(deleted)

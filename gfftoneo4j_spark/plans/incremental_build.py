@@ -38,11 +38,24 @@ def build_kg_incremental(
     path: str,
     fingerprint: str = "increment",
     extraction: str = "sql",
+    strict: bool = False,
+    lineage_out: str | None = None,
 ) -> dict:
     """Run the pipeline over ``new_transcripts`` only, merge with the
     current snapshot (if any), and commit the union as a new snapshot.
-    Returns the commit manifest entry ({'version': N, ...})."""
-    res = build_kg(spark, new_transcripts, alias_dict, extraction=extraction)
+    Returns the commit manifest entry ({'version': N, ...}).
+
+    ``strict`` forwards the reference's fail-fast mode to the per-batch
+    build_kg (an unparseable row aborts the increment BEFORE anything
+    is committed — the snapshot pointer never moves, so a strict
+    failure is invisible to readers). ``lineage_out`` writes this
+    batch's lineage/metrics parquet next to the commit."""
+    res = build_kg(
+        spark, new_transcripts, alias_dict, extraction=extraction, strict=strict
+    )
+    if lineage_out:
+        res.lineage.write.mode("overwrite").parquet(f"{lineage_out}/lineage")
+        res.metrics.write.mode("overwrite").parquet(f"{lineage_out}/metrics")
     nodes, edges = res.nodes, res.edges
     try:
         cur = read_graph_snapshot(spark, path)

@@ -2661,8 +2661,13 @@ WITH s AS (
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{EMAIL}')) AS INTEGER) AS n_email,
-       CAST(len(regexp_extract_all(t, '{PHONE}')) AS INTEGER) AS n_phone,
-       CAST(len(regexp_extract_all(t, '{IPV4}')) AS INTEGER) AS n_ip,
+       CAST(len(regexp_extract_all(
+           regexp_replace(t, '{EMAIL}', '<EMAIL>', 'g'),
+           '{PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(
+           regexp_replace(regexp_replace(t, '{EMAIL}', '<EMAIL>', 'g'),
+                          '{PHONE}', '<PHONE>', 'g'),
+           '{IPV4}')) AS INTEGER) AS n_ip,
        md5(regexp_replace(regexp_replace(regexp_replace(
            t, '{EMAIL}', '<EMAIL>', 'g'), '{PHONE}', '<PHONE>', 'g'),
            '{IPV4}', '<IP>', 'g')) AS red_md5

@@ -79,3 +79,53 @@ def test_jsonl_source_builds_identical_graph(spark, tmp_path):
     a = _triples(build_kg(spark, turns, alias, extraction="sql").triples)
     b = _triples(build_kg(spark, turns2, alias, extraction="sql").triples)
     assert a == b and a
+
+
+def test_strict_incremental_aborts_before_commit(spark, tmp_path):
+    # --strict used to be silently dropped on the incremental path
+    # (ADVICE r3): a fail-fast request degraded to quarantine. Now the
+    # violation raises BEFORE any snapshot commit, so the pointer
+    # never moves and readers see nothing.
+    import pytest
+
+    from gfftoneo4j_spark.plans.pipeline import StrictModeViolation
+
+    t_path, d_path = write_corpus(
+        str(tmp_path / "corpus"), CorpusConfig(n_conversations=10, seed=3)
+    )
+    turns = read_transcripts(spark, t_path)
+    alias = read_alias_dict(spark, d_path)
+    out = str(tmp_path / "graph")
+    m = build_kg_incremental(spark, turns, alias, out, strict=False)
+    assert m["version"] == 1
+
+    bad = spark.createDataFrame(
+        [("cX", 0, "user", "", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    with pytest.raises(StrictModeViolation):
+        build_kg_incremental(
+            spark, turns.unionByName(bad), alias, out, strict=True
+        )
+    # pointer unmoved: still exactly one committed version
+    assert read_graph_snapshot(spark, out).nodes.count() > 0
+    with pytest.raises(FileNotFoundError):
+        read_graph_snapshot(spark, out, version=2)
+
+
+def test_incremental_lineage_out_written(spark, tmp_path):
+    t_path, d_path = write_corpus(
+        str(tmp_path / "corpus"), CorpusConfig(n_conversations=8, seed=4)
+    )
+    out = str(tmp_path / "graph")
+    lin = str(tmp_path / "lin")
+    build_kg_incremental(
+        spark,
+        read_transcripts(spark, t_path),
+        read_alias_dict(spark, d_path),
+        out,
+        lineage_out=lin,
+    )
+    assert spark.read.parquet(f"{lin}/lineage").columns
+    assert spark.read.parquet(f"{lin}/metrics").count() > 0

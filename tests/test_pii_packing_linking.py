@@ -125,3 +125,20 @@ def test_fuzzy_linking_blocking_completeness(spark):
     assert out[5]["matched_alias"] is None and out[5]["entity_id"] is None
     # tie on dist -> lexicographically smallest alias wins
     assert out[6]["matched_alias"] == "click0"
+
+
+def test_overlapping_kinds_count_once(spark):
+    # the phone-shaped digits INSIDE an email span must not also count
+    # as a phone: counts are taken on progressively-redacted text
+    # (ADVICE r3), so the per-kind counts partition the PII spans
+    row = spark.createDataFrame([Row(t="x 555-123-4567@ex.com y")]).select(
+        pii_count(F.col("t"), "email").alias("e"),
+        pii_count(F.col("t"), "phone").alias("p"),
+        pii_count(F.col("t"), "ipv4").alias("i"),
+    ).first()
+    assert (row["e"], row["p"], row["i"]) == (1, 0, 0)
+    # a standalone phone still counts
+    row2 = spark.createDataFrame([Row(t="call 555-123-4567 now")]).select(
+        pii_count(F.col("t"), "phone").alias("p")
+    ).first()
+    assert row2["p"] == 1

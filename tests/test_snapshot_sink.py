@@ -143,3 +143,36 @@ def test_export_import_roundtrip_all_formats(spark, tmp_path):
         ), fmt
     with _pytest.raises(ValueError):
         export_graph(g, str(tmp_path / "bad"), "xml")
+
+
+def test_expire_keep_zero_keeps_only_current(spark, tmp_path):
+    # keep=0 must mean "nothing but current" — committed[-0:] slices
+    # the whole list, which used to keep everything (ADVICE r3)
+    import os
+
+    out = str(tmp_path / "g")
+    for tag in ("a", "b", "c"):
+        write_graph_snapshot(*_graph(spark, tag), out)
+    deleted = expire_graph_snapshots(spark, out, keep=0)
+    assert deleted == [1, 2]
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("v") and d[1:].isdigit()
+    ) == ["v3"]
+    assert read_graph_snapshot(spark, out).nodes.first()["props"] == "c"
+
+
+def test_expire_prunes_dangling_manifest_entries(spark, tmp_path):
+    # a v-dir removed out-of-band leaves a manifest entry that can only
+    # raise on read; expire must drop it (but never current)
+    import shutil
+
+    out = str(tmp_path / "g")
+    for tag in ("a", "b", "c"):
+        write_graph_snapshot(*_graph(spark, tag), out)
+    shutil.rmtree(f"{out}/v1")
+    expire_graph_snapshots(spark, out, keep=10)  # nothing age-expired
+    from gfftoneo4j_spark.plans.graph_sink import _snapshots
+
+    man = _snapshots(spark, out)
+    assert sorted(man["versions"]) == ["2", "3"]
+    assert man["current"] == 3

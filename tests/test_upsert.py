@@ -91,3 +91,20 @@ def test_deterministic_under_repartition(spark):
         )
     )
     assert a == b
+
+
+def test_null_field_ties_break_deterministically(spark):
+    # exact version+side tie between ('x', NULL) and (NULL, 'x')
+    # payloads: concat_ws SKIPS nulls, so without the \x00 sentinel
+    # both rows hash identically and the survivor is partition-order
+    # luck; with it the greatest-hash rule is well defined
+    schema = "k string, v long, c1 string, c2 string"
+    chg = [("a", 2, "x", None), ("a", 2, None, "x")]
+    base = spark.createDataFrame([("a", 1, "old", "old")], schema)
+    outs = set()
+    for parts in (1, 3, 7):
+        c = spark.createDataFrame(chg, schema).repartition(parts)
+        r = merge_latest(base, c, ["k"], "v").collect()
+        assert len(r) == 1
+        outs.add((r[0]["c1"], r[0]["c2"]))
+    assert len(outs) == 1  # same winner under every physical layout

@@ -78,11 +78,21 @@ def main(argv: list[str] | None = None) -> None:
     alias_dict = read_alias_dict(spark, args.alias_dict)
     version = None
     if args.mode == "incremental":
-        # per-batch pipeline + snapshot merge; checkpointer/lineage are
-        # per-batch concepts here, so the simple path applies
+        # strict and lineage forward into the per-batch build;
+        # --checkpoint-dir is the one flag this path cannot honor
+        # (stage snapshots assume a single fingerprinted input, not a
+        # rolling batch sequence) — warn instead of silently dropping
+        if args.checkpoint_dir:
+            print(
+                "warning: --checkpoint-dir is ignored with --mode "
+                "incremental (snapshot commits are the resume "
+                "mechanism for rolling batches)",
+                file=sys.stderr,
+            )
         m = build_kg_incremental(
             spark, transcripts, alias_dict, args.out,
             fingerprint=args.fingerprint, extraction=args.extraction,
+            strict=args.strict, lineage_out=args.lineage_out,
         )
         version = m["version"]
         res = None
