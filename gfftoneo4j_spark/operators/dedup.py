@@ -39,16 +39,66 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
     )
 
 
-def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, token) pairs, whitespace tokenization."""
+def tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra: dict[str, str] | None = None,
+) -> DataFrame:
+    """Distinct (id[, extra...], token) rows, whitespace tokenization.
+
+    ``extra`` maps source column -> output alias for columns carried
+    through the explode (blocking keys, language) — the single
+    tokenizer every Jaccard/MinHash/SimHash entry point shares, so the
+    tokenization rule can't drift between them."""
+    cols = [F.col(id_col).alias("id")] + [
+        F.col(src).alias(dst) for src, dst in (extra or {}).items()
+    ]
     return (
         df.select(
-            F.col(id_col).alias("id"),
+            *cols,
             F.explode(F.split(F.col(text_col), " ")).alias("token"),
         )
         .where(F.col("token") != "")
         .distinct()
     )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+    hash_shingles: bool = True,
+    with_pos: bool = False,
+) -> DataFrame:
+    """``width``-word shingle rows (doc_id[, pos], sk) — the one place
+    the tokenize -> shingle -> hash rule lives (duplicate_spans,
+    contamination, and any future suffix-style dedup all ride it).
+
+    ``hash_shingles=True`` emits ``sk = xxhash64(shingle)`` so every
+    downstream exchange shuffles 8 bytes instead of the width-word
+    string (the round-2 duplicate_spans fix, now enforced centrally);
+    False emits the exact string for verification runs. ``with_pos``
+    adds the 0-based shingle position (posexplode) for span
+    reconstruction. Documents shorter than ``width`` words produce no
+    rows."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    gen = F.transform(
+        F.sequence(F.lit(1), n - width + 1),
+        lambda i: F.array_join(F.slice(w, i, width), " "),
+    )
+    base = df.where(n >= width)
+    if with_pos:
+        return base.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(gen).alias("pos", "shingle"),
+        ).select("doc_id", "pos", key(F.col("shingle")).alias("sk"))
+    return base.select(
+        F.col(id_col).alias("doc_id"), F.explode(gen).alias("shingle")
+    ).select("doc_id", key(F.col("shingle")).alias("sk"))
 
 
 def ngram_jaccard_pairs(
@@ -63,15 +113,7 @@ def ngram_jaccard_pairs(
     Pure relational: intersection via token equi-join, |A∪B| by
     inclusion-exclusion. Returns (id_a, id_b, jaccard) with id_a < id_b
     and jaccard rounded to 3 dp (oracle-portable)."""
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(block_col).alias("block"),
-            F.explode(F.split(F.col(text_col), " ")).alias("token"),
-        )
-        .where(F.col("token") != "")
-        .distinct()
-    )
+    tok = tokens(df, id_col, text_col, extra={block_col: "block"})
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok.select(
         F.col("id").alias("id_a"), F.col("block"), F.col("token")
@@ -310,23 +352,8 @@ def duplicate_spans(
     verifying). The design is otherwise exact because equal shingles,
     not similar ones, are matched.
     """
-    w = F.split(F.col(text_col), " ")
-    n = F.size(w)
-    shingle_key = (
-        (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
-    )
-    shingled = (
-        df.where(n >= width)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n - width + 1),
-                    lambda i: F.array_join(F.slice(w, i, width), " "),
-                )
-            ).alias("pos", "shingle"),
-        )
-        .select("doc_id", "pos", shingle_key(F.col("shingle")).alias("sk"))
+    shingled = shingles(
+        df, id_col, text_col, width, hash_shingles, with_pos=True
     )
     cross_doc = (
         shingled.select("sk", "doc_id")
@@ -378,22 +405,12 @@ def cross_corpus_contamination(
     docs with >= 1 overlapping shingle occurrence (occurrences counted
     with multiplicity).
     """
-    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
-
-    def shingles(df: DataFrame) -> DataFrame:
-        w = F.split(F.col(text_col), " ")
-        n = F.size(w)
-        return df.where(n >= width).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n - width + 1),
-                    lambda i: F.array_join(F.slice(w, i, width), " "),
-                )
-            ).alias("shingle"),
-        ).select("doc_id", key(F.col("shingle")).alias("sk"))
-    corpus_sh = shingles(corpus)
-    eval_sh = shingles(eval_set).select("sk").distinct()
+    corpus_sh = shingles(corpus, id_col, text_col, width, hash_shingles)
+    eval_sh = (
+        shingles(eval_set, id_col, text_col, width, hash_shingles)
+        .select("sk")
+        .distinct()
+    )
     tot = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         corpus_sh.join(eval_sh, "sk", "left_semi")
@@ -441,15 +458,7 @@ def ngram_jaccard_pairs_banded(
     the pair graph, operators/connected_components.py) rather than by
     weakening the blocker.
     """
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(lang_col).alias("lang"),
-            F.explode(F.split(F.col(text_col), " ")).alias("token"),
-        )
-        .where(F.col("token") != "")
-        .distinct()
-    )
+    tok = tokens(df, id_col, text_col, extra={lang_col: "lang"})
     sizes = tok.groupBy("id", "lang").agg(F.count(F.lit(1)).alias("sz"))
     bucket = F.floor(F.col(band_col) / bucket_width).cast("int")
     blocks = df.select(

@@ -40,6 +40,34 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+_SINK_SCRATCH: set = set()
+
+
+def _scratch_dir(spark, prefix: str, sf_dir: str) -> str:
+    """Per-application /tmp directory for gate queries that round-trip
+    the sink. Keyed by (sf, applicationId) so concurrent driver runs
+    never race on one directory, and registered for removal at
+    interpreter exit — without the atexit hook, every gate/bench run
+    leaked one directory per application id and repeated runs
+    accumulated gigabytes in /tmp."""
+    import atexit
+    import os
+    import shutil
+
+    out = (
+        f"/tmp/{prefix}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    if not _SINK_SCRATCH:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _SINK_SCRATCH
+            ]
+        )
+    _SINK_SCRATCH.add(out)
+    return out
+
+
 # --------------------------------------------------------------------------
 # KG pipeline queries (SURVEY.md §2.9 composite + north_rule core)
 # --------------------------------------------------------------------------
@@ -770,8 +798,6 @@ def graph_sink_roundtrip(spark, sf_dir):
     atomicity, READ THE GRAPH BACK, and aggregate from the read-back
     tables — the gate thus covers the write path, the dedup, the
     partition layout, and the round-trip fidelity in one query."""
-    import os
-
     from gfftoneo4j_spark.plans.graph_sink import read_graph, write_graph
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -801,10 +827,7 @@ def graph_sink_roundtrip(spark, sf_dir):
     # keyed by application id as well as sf: two concurrent driver runs
     # (gate + bench, or two sessions) must not race on one directory —
     # the loser would read back the winner's half-overwritten tables
-    out = (
-        f"/tmp/kg_gate_graph_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}"
-    )
+    out = _scratch_dir(spark, "kg_gate_graph", sf_dir)
     write_graph(nodes, edges, out, fingerprint=sf_dir)
     g = read_graph(spark, out)
     edge_counts = g.edges.groupBy("type").agg(F.count(F.lit(1)).alias("n")).select(
@@ -3295,8 +3318,6 @@ def snapshot_time_travel(spark, sf_dir):
     a past snapshot is bit-stable after later commits. The Iceberg
     commit model over plain parquet; `writeTo(...).append()` is the
     drop-in when that runtime exists on the cluster."""
-    import os
-
     from gfftoneo4j_spark.plans.graph_sink import (
         read_graph_snapshot,
         write_graph_snapshot,
@@ -3314,10 +3335,7 @@ def snapshot_time_travel(spark, sf_dir):
     nodes = edges.select(F.col("src").alias("node_id")).distinct().select(
         "node_id", F.lit("order").alias("label")
     )
-    out = (
-        f"/tmp/kg_gate_snap_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}"
-    )
+    out = _scratch_dir(spark, "kg_gate_snap", sf_dir)
     write_graph_snapshot(
         nodes, edges.where(F.col("half") == 0).drop("half"), out, "half"
     )
@@ -3853,8 +3871,6 @@ def snapshot_diff(spark, sf_dir):
     reports added/removed edges via two anti-joins — here every diff
     row is an 'A' (v1 ⊂ v2), and the oracle's EXCEPT twin agrees
     edge-for-edge."""
-    import os
-
     from gfftoneo4j_spark.plans.graph_sink import (
         diff_snapshots,
         write_graph_snapshot,
@@ -3872,10 +3888,7 @@ def snapshot_diff(spark, sf_dir):
     nodes = edges.select(F.col("src").alias("node_id")).distinct().select(
         "node_id", F.lit("order").alias("label")
     )
-    out = (
-        f"/tmp/kg_gate_snapdiff_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}"
-    )
+    out = _scratch_dir(spark, "kg_gate_snapdiff", sf_dir)
     write_graph_snapshot(
         nodes, edges.where(F.col("half") == 0).drop("half"), out, "half"
     )
