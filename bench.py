@@ -65,10 +65,12 @@ BENCH_QUERIES = [
     "repetition_scores",
     "graph_khop",
     "graph_pagerank",
+    "graph_communities",
     "text_analysis",
     "hourly_rollup",
     "sessionize_events",
     "asof_join_events",
+    "stream_interval_join_batch",
     "tfidf_topk",
     "value_quantiles",
     "cohort_retention",

@@ -241,3 +241,78 @@ def bfs_distances(
         visited = visited.unionAll(new).localCheckpoint(eager=True)
         frontier = new
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (LPA community detection) over the
+    undirected view of ``edges`` — deterministic and therefore
+    hash-gateable against an ANSI-SQL oracle.
+
+    Textbook LPA is randomized (random visit order, random tie-break),
+    which can never face a correctness gate. This variant removes both
+    randomness sources the way pagerank_fixed_point removed float
+    nondeterminism: SYNCHRONOUS rounds (every node updates from the
+    previous round's labels, so visit order is irrelevant) and a TOTAL
+    tie-break order (most neighbor votes first, then lexicographically
+    smallest label). Every round is then bit-exact across engines,
+    partitionings, and cluster sizes, and the oracle unrolls the rounds
+    as CTEs.
+
+    labels_0(n) = n;
+    labels_{k+1}(n) = argmax over labels L of
+        (count of neighbors of n with labels_k = L),
+        ties broken by min L.
+
+    Scale shape per round: one equi-join of the symmetrized edge
+    snapshot (pre-partitioned on the join key, same trick as
+    pagerank_fixed_point: zero edge exchanges per round) against the
+    current label vector, one map-side-combinable (node, label) count,
+    and one per-node min(struct(-cnt, label)) — also combinable, so NO
+    per-node window anywhere. State is one label per node. Total work
+    per round is O(m + |V|), hub skew hits the (node, label) count
+    which AQE skew-split handles like any aggregation.
+
+    Returns (node string, community string) — the label each node
+    holds after ``iters`` rounds; community ids are node ids, so two
+    nodes are in the same community iff their labels are equal.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(
+            F.col("s").isNotNull()
+            & F.col("t").isNotNull()
+            & (F.col("s") != F.col("t"))
+        )
+        .distinct()
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("t").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

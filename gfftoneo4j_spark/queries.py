@@ -1435,6 +1435,40 @@ def hourly_rollup(spark, sf_dir):
 
 
 @register(
+    "stream_interval_join_batch",
+    """
+SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_sec
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def stream_interval_join_batch(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/interval_join.py): purchases attributed to the same
+    user's click at most 30 min earlier. The streaming path — both
+    sides watermarked + the event-time range in the join condition, so
+    buffered state is evicted once l.ts + horizon passes the right
+    watermark — is parity- and kill-restart-tested in
+    test_stream_interval_join.py; this gate pins the shared join
+    semantics against the SQL oracle."""
+    from gfftoneo4j_spark.streaming.interval_join import batch_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return batch_interval_join(
+        clicks, purchases, key="user_id", horizon_sec=1800
+    )
+
+
+@register(
     "multimodal_meta",
     """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1918,6 +1952,56 @@ def graph_pagerank(spark, sf_dir):
     t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
     edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
     return pagerank_fixed_point(edges, iters=3)
+
+
+_LPA_ROUND_SQL = """
+v{K} AS (
+  SELECT e.t AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM und e JOIN l{P} l ON l.node = e.s
+  GROUP BY e.t, l.label
+),
+l{K} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM v{K}
+  ) WHERE rn = 1
+)"""
+
+
+_LPA_SQL = (
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+raw AS (SELECT subj AS u, obj AS v FROM triples),
+und AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT u AS s, v AS t FROM raw UNION ALL SELECT v AS s, u AS t FROM raw
+  ) WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t
+),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),"""
+    + ",".join(_LPA_ROUND_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT node, label AS community FROM l3
+"""
+)
+
+
+@register("graph_communities", _LPA_SQL)
+def graph_communities(spark, sf_dir):
+    """3-round synchronous label propagation (LPA) over the constructed
+    KG — deterministic community detection an iterative op can gate:
+    randomness-free (synchronous rounds + total tie-break order: most
+    votes, then min label), so the oracle unrolls the three rounds as
+    CTEs exactly like graph_pagerank's. The Spark plan has NO per-node
+    window — the per-node argmax is a combinable min(struct(-cnt,
+    label)) aggregation; the oracle's row_number is DuckDB-side only.
+    Convergence on seeded clusters is pytest-verified
+    (test_label_propagation.py)."""
+    from gfftoneo4j_spark.operators.graph import label_propagation
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return label_propagation(edges, iters=3)
 
 
 # --------------------------------------------------------------------------
