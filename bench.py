@@ -127,6 +127,18 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "activity_gini",
     "keep_last_n",
+    "boilerplate_removal",
+    "doc_chunks",
+    "graph_kcore",
+    "link_prediction",
+    "stream_interval_join_left",
+    "graph_ppr",
+    "kmv_distinct_users",
+    "weighted_sample_docs",
+    "merge_intervals_events",
+    "lm_perplexity",
+    "bpe_pair_counts",
+    "scd2_history",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

@@ -103,6 +103,7 @@ def pagerank_fixed_point(
     damping_den: int = 100,
     src: str = "u",
     dst: str = "v",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank over directed ``edges``, integer fixed-point.
 
@@ -159,7 +160,32 @@ def pagerank_fixed_point(
         eager=True
     )
     base = int(scale * (damping_den - damping_num) // damping_den)
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    if seeds is not None:
+        # Personalized PageRank: all initial mass AND the teleport term
+        # go only to the seed set — ranks become proximity-to-seeds.
+        # The seed marker rides the (checkpointed) node vector, so the
+        # per-iteration plan is IDENTICAL to the global variant: the
+        # CASE on the marker replaces the constant, zero extra
+        # exchanges. Same integer fixed-point, same unrolled oracle.
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("is_seed", F.lit(True))
+        )
+        nodes = (
+            nodes.join(sd, "node", "left")
+            .select(
+                "node",
+                F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        base_col = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+        init_col = F.when(F.col("is_seed"), F.lit(scale)).otherwise(F.lit(0))
+    else:
+        base_col = F.lit(base)
+        init_col = F.lit(scale)
+    ranks = nodes.select("node", init_col.cast("long").alias("r"))
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "u"), "u")
@@ -176,7 +202,7 @@ def pagerank_fixed_point(
             nodes.join(summed, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                (base_col + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
@@ -316,3 +342,130 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected view of ``edges``:
+    each round drops every node whose current degree is < ``k``
+    (together with its edges) and recomputes degrees. ``rounds``
+    synchronous rounds make the operator deterministic and its oracle
+    expressible as unrolled CTEs — the full k-core is the fixpoint,
+    which a caller reaches by raising ``rounds`` (convergence on seeded
+    graphs is pytest-verified; chain graphs need diameter rounds,
+    real corpora converge in a handful because peeling cascades are
+    shallow).
+
+    Scale shape per round: one combinable degree count over the
+    current edge set and two semi-joins of the edge set against the
+    surviving-node set (shuffle on the node key both ways; the
+    survivor set only shrinks, so per-round cost is monotonically
+    non-increasing). localCheckpoint truncates lineage so the plan
+    stays O(1)-deep across rounds, same discipline as the CC /
+    PageRank / LPA loops.
+
+    Returns (node string, degree long) for the nodes still alive after
+    ``rounds`` rounds, with their residual degree.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(
+            F.col("s").isNotNull()
+            & F.col("t").isNotNull()
+            & (F.col("s") != F.col("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("s")
+        e = (
+            e.join(keep, "s", "semi")
+            .join(keep.withColumnRenamed("s", "t"), "t", "semi")
+            .select("s", "t")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    hub_cap: int = 64,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction: score non-adjacent
+    node pairs by how many neighbors they share. The canonical KG
+    enrichment query ("entities that co-occur with the same things are
+    probably related").
+
+    Scale shape: wedge generation is the quadratic hazard — a middle
+    node of degree d emits d^2 candidate pairs, and real graphs have
+    power-law hubs. The standard mitigation (the graph analogue of
+    dropping stop-words) is encoded here: middles with degree >
+    ``hub_cap`` are excluded BEFORE the self-join, bounding wedge
+    output at hub_cap * |edges| rows — linear in the graph with a
+    tunable constant — at the cost of losing evidence routed through
+    hubs (hubs connect everything; their evidence is weak, which is
+    why the exclusion is standard). After that: one self-join on the
+    middle key, one combinable pair count, one anti-join against the
+    edge set (candidates only), and degree lookups via two broadcast-
+    range joins on the bounded-degree node set.
+
+    Returns (a, b, common, jaccard) for unordered pairs a < b with
+    ``common >= min_common``, jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    rounded to 6 places for cross-engine comparison.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(
+            F.col("s").isNotNull()
+            & F.col("t").isNotNull()
+            & (F.col("s") != F.col("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    mid_ok = deg.where(F.col("deg") <= hub_cap).select("s")
+    thin = und.join(mid_ok, "s", "semi")
+    wedges = (
+        thin.select(F.col("s").alias("m"), F.col("t").alias("a"))
+        .join(
+            thin.select(F.col("s").alias("m"), F.col("t").alias("b")), "m"
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+    pairs = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    cand = pairs.where(F.col("common") >= min_common).join(
+        und.select(F.col("s").alias("a"), F.col("t").alias("b")),
+        ["a", "b"],
+        "anti",
+    )
+    da = deg.select(F.col("s").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("s").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -76,3 +76,40 @@ def merge_latest(
         .where((F.col("_rk") == 1) & (F.col("_del") == 0))
         .select(*data_cols)
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a per-key change stream
+    into validity intervals. Where :func:`merge_latest` keeps only each
+    key's newest row (SCD1), this keeps EVERY version and stamps it
+    [valid_from, valid_to) — valid_to = the next version's timestamp,
+    null while current — the shape every time-travel join and
+    "as the data was on date X" audit consumes.
+
+    Scale shape: ONE shuffle — the (keys) window that computes
+    lead(version) — with O(1) state per row; the is_current flag falls
+    out of the same window. Dirty reality is handled deterministically:
+    exact-version duplicates are ordered by ``tie_cols`` (default: the
+    remaining payload columns) so reruns and engine swaps agree on
+    which duplicate precedes which.
+
+    Returns the input columns + (valid_from = version_col's value,
+    valid_to, is_current).
+    """
+    data_cols = changes.columns
+    ties = tie_cols if tie_cols is not None else [
+        c for c in data_cols if c not in keys and c != version_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(version_col, *ties)
+    nxt = F.lead(version_col).over(w)
+    return changes.select(
+        *data_cols,
+        F.col(version_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -278,3 +278,49 @@ def binned_interval_join(
         ep.between(F.col(lo_col), F.col(hi_col))
     )
     return joined.drop("_bin")
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per ``key`` into maximal
+    disjoint spans (gaps-and-islands): an interval starts a new island
+    iff its start exceeds the running max end of everything before it.
+
+    The span-merge primitive behind session stitching, duplicate-span
+    consolidation (operators/dedup.py uses the same pattern inline),
+    and availability/uptime rollups.
+
+    Scale shape: two windows over the SAME (key, ordering) partition —
+    one running max-end (lag'd) to flag island starts, one running sum
+    to number islands — then one combinable groupBy. Spark evaluates
+    both windows in a single sort+exchange on the key (same
+    partitioning, same ordering), so the whole operator is ONE shuffle.
+    Per-key skew follows the window-family story: a mega-key serializes
+    its own sort, the segmented-window variants exist for that regime.
+
+    Returns (key, island start, island end, n_merged), bit-stable for
+    any input order: the window ordering ties are broken by (start,
+    end), making islands a pure function of the interval SET.
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    prev_max_end = F.max(F.col(end)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(key, start, end).withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy(key, "_island").agg(
+        F.min(start).alias(start),
+        F.max(end).alias(end),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).select(key, start, end, "n_merged")

@@ -5037,6 +5037,506 @@ def keep_last_n(spark, sf_dir):
     )
 
 
+_BOILER_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM d
+),
+freq AS (
+  SELECT lower(trim(line)) AS norm, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN freq f ON f.norm = lower(trim(l.line))
+  WHERE f.df < 4
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("boilerplate_removal", _BOILER_SQL)
+def boilerplate_removal(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-frequency boilerplate removal: drop
+    every line whose normalized form occurs in >= 4 distinct documents,
+    reassemble survivors in order (operators/cleaning.py — line
+    identity shuffles as xxhash64, doc-frequency is a two-phase
+    combinable distinct-count, reassembly state is O(one document)).
+    The corpus has no newlines, so both sides first rewrite the
+    frequent token ' table ' as a line break — the gate pins the
+    operator's split/normalize/count/reassemble semantics, not the
+    separator choice."""
+    from gfftoneo4j_spark.operators.cleaning import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table ", "\n").alias("text")
+    )
+    return remove_boilerplate_lines(docs, min_docs=4)
+
+
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+       CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+@register("doc_chunks", _CHUNK_SQL)
+def doc_chunks(spark, sf_dir):
+    """Pretraining context-window chunking: 64-token windows with
+    16-token overlap (stride 48), final short chunk kept
+    (operators/cleaning.py chunk_documents). Map-only plan: one
+    projection + posexplode + slice, zero exchanges — a 100 TB corpus
+    chunks partition-parallel with no shuffle at all."""
+    from gfftoneo4j_spark.operators.cleaning import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), width=64, overlap=16
+    )
+
+
+_UND_EDGES_SQL = """
+WITH triples AS ({triples}),
+raw AS (SELECT subj AS u, obj AS v FROM triples),
+und AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT u AS s, v AS t FROM raw UNION ALL SELECT v AS s, u AS t FROM raw
+  ) WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t
+)"""
+
+
+_KCORE_ROUND_SQL = """
+d{K} AS (SELECT s, count(*) AS deg FROM e{P} GROUP BY s),
+k{K} AS (SELECT s FROM d{K} WHERE deg >= 4),
+e{K} AS (
+  SELECT e.s, e.t FROM e{P} e
+  JOIN k{K} a ON a.s = e.s JOIN k{K} b ON b.s = e.t
+)"""
+
+
+_KCORE_SQL = (
+    _UND_EDGES_SQL.replace("{triples}", _KG_TRIPLES_SQL)
+    + ",\ne0 AS (SELECT s, t FROM und),"
+    + ",".join(_KCORE_ROUND_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT s AS node, CAST(count(*) AS BIGINT) AS degree FROM e3 GROUP BY s
+"""
+)
+
+
+@register("graph_kcore", _KCORE_SQL)
+def graph_kcore(spark, sf_dir):
+    """3-round k-core peeling (k=4) over the constructed KG
+    (operators/graph.py kcore_peel): synchronous degree-prune rounds,
+    deterministic, oracle unrolled as CTEs like graph_pagerank /
+    graph_communities. Surfaces the dense core of the entity graph —
+    the subgraph every downstream community/embedding pass should run
+    on first."""
+    from gfftoneo4j_spark.operators.graph import kcore_peel
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return kcore_peel(edges, k=4, rounds=3)
+
+
+_LINKPRED_SQL = (
+    _UND_EDGES_SQL.replace("{triples}", _KG_TRIPLES_SQL)
+    + """,
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s),
+thin AS (
+  SELECT e.s, e.t FROM und e JOIN deg d ON d.s = e.s WHERE d.deg <= 64
+),
+wedges AS (
+  SELECT w1.t AS a, w2.t AS b
+  FROM thin w1 JOIN thin w2 ON w1.s = w2.s WHERE w1.t < w2.t
+),
+pairs AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common
+  FROM wedges GROUP BY a, b
+),
+cand AS (
+  SELECT p.a, p.b, p.common FROM pairs p
+  WHERE p.common >= 2
+    AND NOT EXISTS (SELECT 1 FROM und e WHERE e.s = p.a AND e.t = p.b)
+)
+SELECT c.a, c.b, c.common,
+       round(c.common / (da.deg + db.deg - c.common), 6) AS jaccard
+FROM cand c JOIN deg da ON da.s = c.a JOIN deg db ON db.s = c.b
+"""
+)
+
+
+@register("link_prediction", _LINKPRED_SQL)
+def link_prediction_q(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction over the KG
+    (operators/graph.py link_prediction): hub-capped wedge generation
+    (middles with degree > 64 excluded BEFORE the self-join, bounding
+    output at 64·|E|), pair count, anti-join against existing edges.
+    The standard 'entities sharing neighbors are probably related' KG
+    enrichment."""
+    from gfftoneo4j_spark.operators.graph import link_prediction
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return link_prediction(edges, min_common=2, hub_cap=64)
+
+
+@register(
+    "stream_interval_join_left",
+    """
+SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_sec
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_interval_join_left(spark, sf_dir):
+    """Left-outer twin of stream_interval_join_batch: clicks that never
+    converted within the horizon surface with null purchase / lag. In
+    the streaming path the engine can only emit the null row once the
+    right watermark passes click.ts + horizon — bounded state AND
+    bounded result lateness (test_stream_interval_join.py)."""
+    from gfftoneo4j_spark.streaming.interval_join import batch_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return batch_interval_join(
+        clicks, purchases, key="user_id", horizon_sec=1800, how="left_outer"
+    )
+
+
+_PPR_SQL = f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+edges AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  )
+),
+outdeg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node LIKE 'ent:%' THEN 1000000 ELSE 0 END AS BIGINT) AS r
+  FROM nodes
+),
+c1 AS (
+  SELECT e.v AS node, sum((r.r * 85) // (100 * o.deg)) AS s
+  FROM edges e JOIN r0 r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r1 AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node LIKE 'ent:%' THEN 150000 ELSE 0 END
+              + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c1 c ON c.node = n.node
+),
+c2 AS (
+  SELECT e.v AS node, sum((r.r * 85) // (100 * o.deg)) AS s
+  FROM edges e JOIN r1 r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r2 AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node LIKE 'ent:%' THEN 150000 ELSE 0 END
+              + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c2 c ON c.node = n.node
+),
+c3 AS (
+  SELECT e.v AS node, sum((r.r * 85) // (100 * o.deg)) AS s
+  FROM edges e JOIN r2 r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r3 AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node LIKE 'ent:%' THEN 150000 ELSE 0 END
+              + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c3 c ON c.node = n.node
+)
+SELECT node, r AS rank FROM r3
+"""
+
+
+@register("graph_ppr", _PPR_SQL)
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank from the entity nodes: all initial mass
+    and the teleport term go only to 'ent:%' seeds, so ranks measure
+    proximity-to-entities instead of global centrality (the 'which
+    conversations orbit this entity set' KG query). Same integer
+    fixed-point recurrence and per-iteration single-exchange plan as
+    graph_pagerank — the seed marker rides the checkpointed node
+    vector and a CASE replaces the constant teleport (zero extra
+    exchanges; operators/graph.py pagerank_fixed_point(seeds=...))."""
+    from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .where(F.col("node").startswith("ent:"))
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iters=3, seeds=seeds)
+
+
+_KMV_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         (CAST(('0x' || md5(CAST(user_id AS VARCHAR))[1:15]) AS BIGINT) + 1.0)
+           / 1152921504606846976.0 AS u
+  FROM events
+),
+topk AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+            ELSE round(127 / max(u), 3) END AS distinct_est
+FROM topk WHERE rn <= 128 GROUP BY event_type
+"""
+
+
+@register("kmv_distinct_users", _KMV_SQL)
+def kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch (k=128) of users per event type
+    (operators/sketches.py): k-minimum md5-unit-hashes, estimate
+    (k-1)/h_k, exact below k. Deterministic (content-addressed
+    randomness) so an APPROXIMATE algorithm faces the exact-hash gate;
+    mergeability (k smallest of a union = k smallest of merged
+    k-lists) is what lets 1000 executors sketch independently.
+    Estimate-vs-exact error is pytest-bounded (test_sketches.py)."""
+    from gfftoneo4j_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=128)
+
+
+_WSAMPLE_SQL = """
+WITH scored AS (
+  SELECT lang, doc_id, n_chars AS weight,
+         pow((CAST(('0x' || md5(CAST(doc_id AS VARCHAR))[1:15]) AS BIGINT)
+               + 1.0) / 1152921504606846976.0,
+             1.0 / n_chars) AS _s
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id, weight, _s,
+         row_number() OVER (PARTITION BY lang ORDER BY _s DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT lang, doc_id, weight, round(_s, 6) AS score
+FROM ranked WHERE rn <= 5
+"""
+
+
+@register("weighted_sample_docs", _WSAMPLE_SQL)
+def weighted_sample_docs(spark, sf_dir):
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirtsis A-ES, operators/sketches.py): 5 docs per language with
+    inclusion probability ∝ n_chars, every draw a pure function of
+    doc identity — rerunning, repartitioning, or reimplementing in
+    another engine selects the SAME rows, which is what makes
+    quality-weighted corpus ablations reproducible. Zero-shuffle
+    scoring + one bounded rank window."""
+    from gfftoneo4j_spark.operators.sketches import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, ["lang"], "doc_id", "n_chars", k=5)
+
+
+_MERGE_IV_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (CAST(floor(value * 60) AS BIGINT) % 3600) AS end_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, start_s, end_s,
+         CASE WHEN max(end_s) OVER (
+                PARTITION BY user_id ORDER BY start_s, end_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start_s > max(end_s) OVER (
+                PARTITION BY user_id ORDER BY start_s, end_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, start_s, end_s,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY start_s, end_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, min(start_s) AS start_s, max(end_s) AS end_s,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY user_id, island
+"""
+
+
+@register("merge_intervals_events", _MERGE_IV_SQL)
+def merge_intervals_events(spark, sf_dir):
+    """Gaps-and-islands interval coalescing (operators/windows.py
+    merge_intervals): per-user activity intervals [ts, ts + value
+    minutes mod 1h] merged into maximal disjoint spans. Both windows
+    (running max-end island flag, running island sum) share one
+    (key, ordering) sort, so the operator is a single shuffle."""
+    from gfftoneo4j_spark.operators.windows import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts")).cast("bigint")
+    iv = ev.select(
+        "user_id",
+        s.alias("start_s"),
+        (s + F.floor(F.col("value") * 60).cast("bigint") % 3600).alias(
+            "end_s"
+        ),
+    )
+    return merge_intervals(iv, "user_id", start="start_s", end="end_s")
+
+
+_LM_PPL_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 1)) AS i
+    FROM t WHERE len(toks) >= 2
+  )
+),
+cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+cu AS (SELECT w1, sum(nb) AS nu FROM cb GROUP BY w1),
+prob AS (
+  SELECT cb.w1, cb.w2, cb.nb / cu.nu AS p FROM cb JOIN cu USING (w1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2(p)), 4) AS avg_nll,
+       round(pow(2.0, avg(-log2(p))), 2) AS ppl
+FROM bg JOIN prob USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+@register("lm_perplexity", _LM_PPL_SQL)
+def lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity per document (operators/lm.py): MLE LM
+    trained on the corpus itself, each document scored by mean bits per
+    bigram — the CCNet-style 'does this look like the corpus' quality
+    filter. Bigram derivation is zero-shuffle (two slices zipped), the
+    LM is two combinable aggs, scoring is one (w1,w2)-keyed join left
+    to AQE's skew split (stop-word bigrams are the hot keys)."""
+    from gfftoneo4j_spark.operators.lm import bigram_perplexity
+
+    return bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+_BPE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT w, count(*) AS c FROM toks
+  WHERE w <> '' AND len(w) >= 2 GROUP BY w
+),
+i AS (SELECT w, c, unnest(generate_series(1, len(w) - 1)) AS i FROM wc),
+pairs AS (SELECT substr(w, i, 2) AS pair, c FROM i)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+"""
+
+
+@register("bpe_pair_counts", _BPE_SQL)
+def bpe_pair_counts_q(spark, sf_dir):
+    """One round of BPE tokenizer training (operators/lm.py): corpus-
+    wide adjacent-character-pair frequencies weighted by word count,
+    top 30. The Zipf trick is the whole plan: pair generation runs on
+    the VOCAB (one combinable word count first), not the corpus, and
+    the top-k is TakeOrderedAndProject — no global sort."""
+    from gfftoneo4j_spark.operators.lm import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=30)
+
+
+_SCD2_SQL = """
+WITH ch AS (
+  SELECT 'k:' || CAST(user_id % 500 AS VARCHAR) || ':' || event_type AS k,
+         ts, event_id, round(value, 3) AS val
+  FROM events
+)
+SELECT k, ts, event_id, val,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY k ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY k ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM ch
+"""
+
+
+@register("scd2_history", _SCD2_SQL)
+def scd2_history_q(spark, sf_dir):
+    """SCD type-2 history build (operators/upsert.py scd2_history):
+    the per-key change stream becomes [valid_from, valid_to) validity
+    intervals with an is_current flag — merge_latest's keep-everything
+    sibling, the shape time-travel joins consume. ONE key-window
+    shuffle, O(1) state per row, exact-version duplicates ordered by
+    a deterministic tie column."""
+    from gfftoneo4j_spark.operators.upsert import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(
+            F.lit("k:"),
+            (F.col("user_id") % 500).cast("string"),
+            F.lit(":"),
+            "event_type",
+        ).alias("k"),
+        "ts",
+        "event_id",
+        F.round("value", 3).alias("val"),
+    )
+    return scd2_history(ch, keys=["k"], version_col="ts", tie_cols=["event_id"])
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -5083,6 +5583,18 @@ _WINDOW_FIRST = [
     "journey_paths",
     "graph_communities",
     "stream_interval_join_batch",
+    "boilerplate_removal",
+    "doc_chunks",
+    "graph_kcore",
+    "link_prediction",
+    "stream_interval_join_left",
+    "graph_ppr",
+    "kmv_distinct_users",
+    "weighted_sample_docs",
+    "merge_intervals_events",
+    "lm_perplexity",
+    "bpe_pair_counts",
+    "scd2_history",
 ]
 
 

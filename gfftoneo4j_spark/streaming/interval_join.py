@@ -46,14 +46,23 @@ def streaming_interval_join(
     watermark: str = "1 hour",
     left_prefix: str = "l",
     right_prefix: str = "r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two event streams on ``key`` where the right event's
+    """Join two event streams on ``key`` where the right event's
     ``ts`` falls in [left.ts, left.ts + horizon_sec].
 
     Both inputs must carry (``key``, ts timestamp, event_id, value).
     Returns one row per matched pair:
     (key, {l}_event_id, {r}_event_id, lag_sec) — lag_sec in integer
     seconds, deterministic for any arrival order within the watermark.
+
+    ``how="left_outer"`` adds the unmatched-left rows with null
+    {r}_event_id / lag_sec — the attribution shape that must also
+    REPORT the clicks that never converted. The engine can only emit
+    such a null row once the right watermark has passed l.ts + horizon
+    (before that, a match could still arrive), so outer results trail
+    the watermark by exactly the horizon: bounded state AND bounded
+    result lateness, the only correct trade on an unbounded stream.
     """
     lw = left.withWatermark("ts", watermark).alias("L")
     rw = right.withWatermark("ts", watermark).alias("R")
@@ -61,7 +70,7 @@ def streaming_interval_join(
         f"L.{key} = R.{key} AND R.ts >= L.ts "
         f"AND R.ts <= L.ts + interval {int(horizon_sec)} seconds"
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         F.col(f"L.{key}").alias(key),
         F.col("L.event_id").alias(f"{left_prefix}_event_id"),
         F.col("R.event_id").alias(f"{right_prefix}_event_id"),
@@ -78,6 +87,7 @@ def batch_interval_join(
     horizon_sec: int,
     left_prefix: str = "l",
     right_prefix: str = "r",
+    how: str = "inner",
 ) -> DataFrame:
     """The batch twin: identical semantics over static inputs, used for
     streaming-parity pytests and the SQL-gated query. Plan shape: one
@@ -90,7 +100,7 @@ def batch_interval_join(
         f"L.{key} = R.{key} AND R.ts >= L.ts "
         f"AND R.ts <= L.ts + interval {int(horizon_sec)} seconds"
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         F.col(f"L.{key}").alias(key),
         F.col("L.event_id").alias(f"{left_prefix}_event_id"),
         F.col("R.event_id").alias(f"{right_prefix}_event_id"),

@@ -85,3 +85,29 @@ def test_pagerank_iteration_is_single_exchange_at_scale(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_personalized_pagerank_mass_only_from_seeds(spark):
+    # star: s -> a, s -> b, plus isolated-from-seed chain x -> y.
+    # Seeding {s}: x gets NO teleport and NO inflow -> rank 0; y gets
+    # only x's (zero) contribution -> 0; a and b split s's damped mass.
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("x", "y")], "u string, v string"
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iters=3, seeds=seeds).collect()
+    }
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] == got["b"] > 0
+    assert got["s"] >= 150000  # seed keeps its teleport share
+
+    # seeds=None stays the global variant: everyone holds base mass
+    glob = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iters=3).collect()
+    }
+    assert min(glob.values()) >= 150000

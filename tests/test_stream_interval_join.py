@@ -158,3 +158,62 @@ def test_restart_exactly_once_and_state_eviction(spark, tmp_path):
     _drain(spark, in_dir, out_dir, ck_dir)
     again = _pairs(spark.read.parquet(out_dir).collect())
     assert len(again) == len(rows)
+
+
+def _drain_left(spark, in_dir, out_dir, ck_dir):
+    left, right = _streams(spark, in_dir)
+    q = (
+        streaming_interval_join(
+            left, right, key="user_id", horizon_sec=1800,
+            watermark="10 minutes", how="left_outer",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    # user 4's click never converts; user 1's does
+    rows = [
+        (1, 100, 0, "c"),
+        (1, 200, 10, "p"),
+        (4, 400, 0, "c"),
+    ]
+    _write(os.path.join(in_dir, "part-000.parquet"), rows)
+    _drain_left(spark, in_dir, out_dir, ck_dir)
+    got1 = set(_pairs(spark.read.parquet(out_dir).collect()))
+    # the unmatched click CANNOT be emitted yet: a purchase inside its
+    # horizon could still arrive until the watermark passes ts+horizon
+    assert got1 == {(1, 100, 200, 600)}
+
+    # watermark jump far past click-400's horizon -> null row must flush
+    time.sleep(1.1)
+    _write(
+        os.path.join(in_dir, "part-001.parquet"),
+        [(9, 900, 600, "c"), (9, 901, 601, "p")],
+    )
+    _drain_left(spark, in_dir, out_dir, ck_dir)
+    got2 = set(_pairs(spark.read.parquet(out_dir).collect()))
+    assert (4, 400, None, None) in got2
+    assert (1, 100, 200, 600) in got2 and (9, 900, 901, 60) in got2
+
+    # batch twin parity on the final static input (same rows)
+    ev = spark.read.parquet(in_dir)
+    b = batch_interval_join(
+        ev.where(ev["kind"] == "c").drop("kind"),
+        ev.where(ev["kind"] == "p").drop("kind"),
+        key="user_id",
+        horizon_sec=1800,
+        how="left_outer",
+    )
+    assert set(_pairs(b.collect())) == got2

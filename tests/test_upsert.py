@@ -108,3 +108,40 @@ def test_null_field_ties_break_deterministically(spark):
         assert len(r) == 1
         outs.add((r[0]["c1"], r[0]["c2"]))
     assert len(outs) == 1  # same winner under every physical layout
+
+
+def test_scd2_history_intervals_chain_and_flag_current(spark):
+    from gfftoneo4j_spark.operators.upsert import scd2_history
+
+    ch = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 5, 9.0)],
+        "k string, v long, val double",
+    )
+    out = {
+        (r["k"], r["v"]): r
+        for r in scd2_history(ch, ["k"], "v").collect()
+    }
+    # intervals chain: each valid_to equals the next valid_from
+    assert out[("a", 10)]["valid_from"] == 10
+    assert out[("a", 10)]["valid_to"] == 20
+    assert out[("a", 20)]["valid_to"] == 30
+    assert out[("a", 30)]["valid_to"] is None
+    # exactly the per-key newest row is current
+    assert [k for k, r in out.items() if r["is_current"]] in (
+        [("a", 30), ("b", 5)], [("b", 5), ("a", 30)],
+    )
+    assert out[("b", 5)]["is_current"] is True
+
+
+def test_scd2_exact_version_duplicates_order_by_tie_cols(spark):
+    from gfftoneo4j_spark.operators.upsert import scd2_history
+
+    ch = spark.createDataFrame(
+        [("a", 10, 2.0), ("a", 10, 1.0)], "k string, v long, val double"
+    )
+    out = sorted(
+        scd2_history(ch, ["k"], "v").collect(), key=lambda r: r["val"]
+    )
+    # default ties = remaining payload cols: val asc -> 1.0 precedes 2.0
+    assert out[0]["val"] == 1.0 and out[0]["valid_to"] == 10
+    assert out[1]["val"] == 2.0 and out[1]["is_current"] is True
