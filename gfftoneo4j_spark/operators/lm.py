@@ -13,7 +13,7 @@ LLM-pipeline addendum in SURVEY.md.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,4 +132,99 @@ def bpe_pair_counts(
         .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), "pair")
         .limit(k)
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied in-engine (the
+    fastText-style language-ID / quality-classifier shape, trained the
+    way the IVF k-means centroids are: inside the engine, no external
+    model artifact). Laplace-smoothed token likelihoods
+    p(w|c) = (n_wc + 1) / (n_c + |V|) and document-frequency priors;
+    each document scores log p(c) + sum log p(w|c) per class and takes
+    the argmax.
+
+    Scale shape:
+    - training is two combinable aggregations (per-(class, word)
+      count, per-class total) + one distinct for |V|;
+    - the likelihood GRID is vocab x classes rows — classes are single
+      digits, so the grid is vocab-sized and the unseen-(w, c) cells
+      materialize from a broadcast cross of the class totals, never
+      from the corpus;
+    - scoring is ONE word-keyed join of doc-tokens against the grid
+      (row growth x|classes|), a combinable per-(doc, class) fold, and
+      a |classes|-row-per-doc rank window.
+
+    Determinism: the argmax ranks on round(score, 4) then label, so a
+    cross-engine float wobble below 5e-5 cannot flip the prediction —
+    same discipline as lm_perplexity / quality_scores.
+
+    Returns (id_col, pred label, score, correct) — correct compares
+    against the document's own training label (self-train resubstitution
+    accuracy, the in-engine sanity number).
+    """
+    # one explode carries the label on-row (it lives on the same input
+    # row — no corpus-sized join), read twice total: the training pass
+    # and the scoring pass, the minimum for train-then-apply
+    labeled = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("_c"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    # the MODEL is vocab x classes-bounded — checkpoint it so the
+    # vocab count, the grid, and the scoring join all reuse one
+    # materialization instead of re-aggregating the corpus
+    cnt = (
+        labeled.groupBy("_c", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ctot = cnt.groupBy("_c").agg(F.sum("n").alias("tot"))
+    vocab_n = cnt.select("w").distinct().count()
+    grid = (
+        cnt.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(ctot))
+        .join(cnt, ["_c", "w"], "left")
+        .select(
+            "w",
+            "_c",
+            F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.lit(float(vocab_n)))
+            ).alias("logp"),
+        )
+    )
+    n_docs = docs.count()
+    priors = docs.groupBy(F.col(label_col).alias("_c")).agg(
+        F.log(F.count(F.lit(1)) / F.lit(float(n_docs))).alias("logprior")
+    )
+    scored = (
+        labeled.drop("_c")
+        .join(grid, "w")
+        .groupBy(id_col, "_c")
+        .agg(F.sum("logp").alias("_s"))
+        .join(F.broadcast(priors), "_c")
+        .select(
+            id_col,
+            "_c",
+            F.round(F.col("_s") + F.col("logprior"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "_c")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("_c").alias("pred"), "score")
+    )
+    return best.join(docs.select(id_col, label_col), id_col).select(
+        id_col,
+        "pred",
+        "score",
+        (F.col("pred") == F.col(label_col)).alias("correct"),
     )

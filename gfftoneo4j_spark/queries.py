@@ -5537,6 +5537,109 @@ def scd2_history_q(spark, sf_dir):
     return scd2_history(ch, keys=["k"], version_col="ts", tie_cols=["event_id"])
 
 
+_NB_SQL = """
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+labeled AS (
+  SELECT t.doc_id, t.w, d.lang AS c
+  FROM toks t JOIN documents d USING (doc_id)
+),
+cnt AS (SELECT c, w, count(*) AS n FROM labeled GROUP BY c, w),
+ctot AS (SELECT c, sum(n) AS tot FROM cnt GROUP BY c),
+vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+grid AS (
+  SELECT wd.w, ct.c,
+         ln((coalesce(cnt.n, 0) + 1.0) / (ct.tot + vocab.v)) AS logp
+  FROM (SELECT DISTINCT w FROM toks) wd
+  CROSS JOIN ctot ct
+  CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.c = ct.c AND cnt.w = wd.w
+),
+priors AS (
+  SELECT lang AS c,
+         ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) AS logprior
+  FROM documents GROUP BY lang
+),
+scored AS (
+  SELECT t.doc_id, g.c,
+         round(sum(g.logp) + max(p.logprior), 4) AS score
+  FROM toks t JOIN grid g ON g.w = t.w JOIN priors p ON p.c = g.c
+  GROUP BY t.doc_id, g.c
+),
+ranked AS (
+  SELECT doc_id, c, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c) AS rn
+  FROM scored
+)
+SELECT r.doc_id, r.c AS pred, r.score, (r.c = d.lang) AS correct
+FROM ranked r JOIN documents d USING (doc_id) WHERE rn = 1
+"""
+
+
+@register("nb_lang_classifier", _NB_SQL)
+def nb_lang_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    in-engine on the documents table (operators/lm.py nb_classify) —
+    the fastText-style model-based lang-ID / quality-filter shape,
+    with training as two combinable aggs and scoring as one word-keyed
+    join against the vocab x classes likelihood grid. Argmax ranks on
+    round(score, 4) then label so cross-engine float wobble can't flip
+    a prediction."""
+    from gfftoneo4j_spark.operators.lm import nb_classify
+
+    return nb_classify(load_table(spark, sf_dir, "documents"))
+
+
+_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, ch FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  ) WHERE ch <> ''
+),
+hist AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(n) AS total FROM hist GROUP BY doc_id)
+SELECT h.doc_id,
+       CAST(max(t.total) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(-sum((h.n * 1.0 / t.total) * log2(h.n * 1.0 / t.total)), 4)
+         AS entropy_bits
+FROM hist h JOIN tot t USING (doc_id)
+GROUP BY h.doc_id
+"""
+
+
+@register("char_entropy", _ENTROPY_SQL)
+def char_entropy(spark, sf_dir):
+    """Per-document Shannon entropy over characters — the classic
+    gibberish / base64-blob / keyboard-mash detector that complements
+    quality_scores and repetition_scores (natural text sits in a narrow
+    entropy band; encoded blobs are near log2(charset), mashes are
+    below it). Plan: one char explode (linear, the same growth bound as
+    tokenizing), two combinable aggregations — histogram then entropy
+    fold — and nothing else; entropy rounds to 4dp for the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -5595,6 +5698,8 @@ _WINDOW_FIRST = [
     "lm_perplexity",
     "bpe_pair_counts",
     "scd2_history",
+    "nb_lang_classifier",
+    "char_entropy",
 ]
 
 

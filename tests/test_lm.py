@@ -66,3 +66,39 @@ def test_bpe_topk_ties_break_lexicographically(spark):
     # xy and yz both count 1; k=1 must pick 'xy' (count tie, pair asc)
     out = bpe_pair_counts(_docs(spark, ["xyz"]), k=1).collect()
     assert len(out) == 1 and out[0]["pair"] == "xy"
+
+
+def test_nb_classifier_separable_corpus_resubstitutes_perfectly(spark):
+    from gfftoneo4j_spark.operators.lm import nb_classify
+
+    rows = [
+        (0, "aa aa bb", "A"), (1, "aa bb aa", "A"),
+        (2, "zz zz yy", "Z"), (3, "yy zz zz", "Z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_classify(df).collect()}
+    assert all(out[i]["correct"] for i in range(4))
+    assert out[0]["pred"] == "A" and out[2]["pred"] == "Z"
+
+
+def test_nb_classifier_priors_break_shared_vocab(spark):
+    from gfftoneo4j_spark.operators.lm import nb_classify
+
+    # identical text everywhere -> likelihoods equal across classes,
+    # the prior decides: majority class wins for every document
+    rows = [(i, "w w w", "M") for i in range(3)] + [(9, "w w w", "m")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classify(df).collect()
+    assert all(r["pred"] == "M" for r in out)
+    assert sum(1 for r in out if r["correct"]) == 3
+
+
+def test_nb_scores_are_negative_log_space(spark):
+    from gfftoneo4j_spark.operators.lm import nb_classify
+
+    df = spark.createDataFrame(
+        [(0, "a b", "x"), (1, "c d", "y")],
+        "doc_id long, text string, lang string",
+    )
+    for r in nb_classify(df).collect():
+        assert r["score"] < 0

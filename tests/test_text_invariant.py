@@ -65,3 +65,29 @@ def test_transcript_derivation_deterministic(spark, sf_dir):
         | (F.col("nd") != F.col("n"))
     ).count()
     assert bad == 0
+
+
+def test_char_entropy_bounds_and_uniform_case(spark):
+    from gfftoneo4j_spark.queries import QUERIES  # noqa: F401  (idiom)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd")], "doc_id long, text string"
+    )
+    chars = df.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    out = {
+        r["doc_id"]: r
+        for r in hist.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+        .collect()
+    }
+    # constant string: 0 bits; 2 symbols uniform: 1 bit; 4 uniform: 2
+    assert out[0]["entropy_bits"] == 0.0
+    assert out[1]["entropy_bits"] == 1.0
+    assert out[2]["entropy_bits"] == 2.0

@@ -93,6 +93,14 @@ def run_once(
         # keeps partitions ~400k rows, the same sizing rule a 100 TB
         # run applies via spark.sql.shuffle.partitions ~ data/128MB.
         extra["spark.sql.shuffle.partitions"] = "256"
+        # The session default spark.local.dir is /dev/shm (tmpfs): right
+        # for the one-pass pipeline, WRONG here — an iterative job keeps
+        # ~5 rounds of shuffle files + MEMORY_AND_DISK checkpoint spill
+        # alive in what is physically RAM, stacked on the 14g heap; at
+        # 120M edges that sum OOM-killed executors. Real disk for this
+        # job, at BOTH cluster sizes, so the efficiency ratio is still
+        # apples-to-apples (a real cluster's executors spill to NVMe).
+        extra["spark.local.dir"] = "/tmp/spark-local-pagerank"
         # local-cluster executors default to spark.executor.memory=1g
         # (the worker's 16384 MB spec is only what it ADVERTISES); the
         # pipeline job's per-task state fits in 1g, but hash-
@@ -186,16 +194,25 @@ def run_once(
     )
 
 
-def _child(args: list[str], tag: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--run", *args],
-        capture_output=True,
-        text=True,
-        check=False,
-    )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not lines:
+def _child(args: list[str], tag: str, retries: int = 1) -> dict:
+    # one retry: a multi-hundred-second child losing one executor to a
+    # transient (ambient memory pressure, GC stall past the heartbeat)
+    # shouldn't sink a multi-hour suite
+    lines: list[str] = []
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", *args],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            break
         print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        if attempt < retries:
+            print(f"child {tag} failed; retrying", file=sys.stderr)
+    if not lines:
         raise SystemExit(f"child {tag} failed")
     r = json.loads(lines[-1])
     print(f"[{tag}] walls={r['walls']} cold={r['cold_sec']}", file=sys.stderr)
