@@ -5640,6 +5640,154 @@ def char_entropy(spark, sf_dir):
     )
 
 
+_PMI_SQL = f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+ce AS (
+  SELECT DISTINCT split_part(subj, ':', 2) AS conv, obj AS ent
+  FROM triples WHERE pred = 'refers_to'
+),
+n_conv AS (SELECT count(DISTINCT conv) AS n FROM ce),
+ec AS (SELECT ent, count(*) AS n_e FROM ce GROUP BY ent),
+pairs AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_ab
+  FROM ce a JOIN ce b ON a.conv = b.conv AND a.ent < b.ent
+  GROUP BY 1, 2
+)
+SELECT p.ent_a, p.ent_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       round(log2(p.n_ab * 1.0 * n_conv.n / (ea.n_e * eb.n_e)), 4) AS pmi
+FROM pairs p
+JOIN ec ea ON ea.ent = p.ent_a
+JOIN ec eb ON eb.ent = p.ent_b
+CROSS JOIN n_conv
+WHERE p.n_ab >= 2
+"""
+
+
+@register("pmi_edges", _PMI_SQL)
+def pmi_edges(spark, sf_dir):
+    """PMI-weighted entity co-mention edges: entities appearing in the
+    same conversations, scored log2(p(a,b) / (p(a) p(b))) — the classic
+    statistical edge-weighting a KG consumer runs to separate 'really
+    associated' from 'both just frequent' (the graph analogue of
+    term_lift). Scale shape: the per-conversation self-join is wedge
+    generation bounded by entities-per-conversation (conversations are
+    bounded artifacts — the same cap argument as link_prediction's
+    hub_cap); counts are combinable; the corpus size joins in as one
+    broadcast scalar; n_ab >= 2 prunes the singleton tail before the
+    degree joins."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    ce = (
+        t.where(F.col("pred") == "refers_to")
+        .select(
+            F.split_part(F.col("subj"), F.lit(":"), F.lit(2)).alias("conv"),
+            F.col("obj").alias("ent"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_conv = ce.select(F.countDistinct("conv").alias("n"))
+    ec = ce.groupBy("ent").agg(F.count(F.lit(1)).alias("n_e"))
+    a = ce.select(F.col("conv"), F.col("ent").alias("ent_a"))
+    b = ce.select(F.col("conv"), F.col("ent").alias("ent_b"))
+    pairs = (
+        a.join(b, "conv")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(ec.withColumnRenamed("ent", "ent_a").withColumnRenamed("n_e", "na"), "ent_a")
+        .join(ec.withColumnRenamed("ent", "ent_b").withColumnRenamed("n_e", "nb"), "ent_b")
+        .crossJoin(F.broadcast(n_conv))
+        .select(
+            "ent_a",
+            "ent_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log2(F.col("n_ab") * F.col("n") / (F.col("na") * F.col("nb"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+_CONTAIN_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         hash(array_to_string(toks[i : i + 4], ' ')) AS sk
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 4)) AS i
+    FROM t WHERE len(toks) >= 5
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+short AS (SELECT doc_id, sk FROM sh JOIN sizes USING (doc_id) WHERE n <= 40),
+inter AS (
+  SELECT s.doc_id AS small_id, b.doc_id AS big_id, count(*) AS n_common
+  FROM short s JOIN sh b ON s.sk = b.sk AND s.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.small_id, i.big_id, CAST(i.n_common AS BIGINT) AS n_common,
+       round(i.n_common * 1.0 / sz.n, 4) AS containment
+FROM inter i JOIN sizes sz ON sz.doc_id = i.small_id
+WHERE i.n_common * 1.0 / sz.n >= 0.8
+"""
+
+
+@register("shingle_containment", _CONTAIN_SQL)
+def shingle_containment(spark, sf_dir):
+    """Asymmetric near-duplicate detection: documents whose shingle set
+    is >= 80% CONTAINED in another document's — the quote / repost /
+    excerpt relationship that symmetric Jaccard misses (a tweet quoted
+    inside an article has tiny Jaccard but containment ~1). Candidate
+    side restricted to short documents (<= 40 shingles) — the only
+    side containment is meaningful for, AND the blocking that bounds
+    the shingle join's output at |short docs| x overlap. Shingles ride
+    the central shingles() helper so the join shuffles 8-byte xxhash64
+    keys, never strings; the oracle uses DuckDB's own hash() — the
+    hash never appears in the OUTPUT, only per-pair set cardinalities,
+    so any injective-on-the-corpus 64-bit hash yields identical rows
+    (the same collision budget duplicate_spans already accepts)."""
+    from gfftoneo4j_spark.operators.dedup import shingles
+
+    sh = shingles(
+        load_table(spark, sf_dir, "documents"), width=5, hash_shingles=True
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    short = sh.join(
+        sizes.where(F.col("n") <= 40).select("doc_id"), "doc_id"
+    )
+    inter = (
+        short.withColumnRenamed("doc_id", "small_id")
+        .join(sh.withColumnRenamed("doc_id", "big_id"), "sk")
+        .where(F.col("small_id") != F.col("big_id"))
+        .groupBy("small_id", "big_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "small_id").withColumnRenamed(
+                "n", "n_small"
+            ),
+            "small_id",
+        )
+        .where(F.col("n_common") / F.col("n_small") >= 0.8)
+        .select(
+            "small_id",
+            "big_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(F.col("n_common") / F.col("n_small"), 4).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -5700,6 +5848,8 @@ _WINDOW_FIRST = [
     "scd2_history",
     "nb_lang_classifier",
     "char_entropy",
+    "pmi_edges",
+    "shingle_containment",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Seeded semantics for pmi_edges' scoring math and the containment
+operator shape behind shingle_containment (the gated queries pin
+SQL-twin equivalence on the KG / documents tables)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gfftoneo4j_spark.operators.dedup import shingles
+
+
+def test_pmi_math_on_seeded_cooccurrence(spark):
+    # 4 convs: {a,b} together twice, {a,c} once, {d} alone.
+    # p(a)=3/4, p(b)=2/4, p(a,b)=2/4 -> pmi(a,b)=log2(2*4/(3*2))=.415
+    ce = spark.createDataFrame(
+        [("c1", "a"), ("c1", "b"), ("c2", "a"), ("c2", "b"),
+         ("c3", "a"), ("c3", "c"), ("c4", "d")],
+        "conv string, ent string",
+    )
+    n_conv = ce.select(F.countDistinct("conv").alias("n"))
+    ec = ce.groupBy("ent").agg(F.count(F.lit(1)).alias("n_e"))
+    a = ce.select("conv", F.col("ent").alias("ent_a"))
+    b = ce.select("conv", F.col("ent").alias("ent_b"))
+    pairs = (
+        a.join(b, "conv").where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b").agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    out = (
+        pairs
+        .join(ec.withColumnRenamed("ent", "ent_a")
+                .withColumnRenamed("n_e", "na"), "ent_a")
+        .join(ec.withColumnRenamed("ent", "ent_b")
+                .withColumnRenamed("n_e", "nb"), "ent_b")
+        .crossJoin(F.broadcast(n_conv))
+        .select("ent_a", "ent_b", "n_ab",
+                F.round(F.log2(F.col("n_ab") * F.col("n")
+                               / (F.col("na") * F.col("nb"))), 4)
+                .alias("pmi"))
+        .collect()
+    )
+    # only (a,b) survives n_ab >= 2; (a,c) is a singleton pair
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ent_a"], r["ent_b"], r["n_ab"]) == ("a", "b", 2)
+    assert r["pmi"] == pytest.approx(0.415, abs=1e-3)
+
+
+def _containment(spark, docs, max_small=40, thresh=0.8):
+    sh = shingles(docs, width=5, hash_shingles=True).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    short = sh.join(
+        sizes.where(F.col("n") <= max_small).select("doc_id"), "doc_id"
+    )
+    inter = (
+        short.withColumnRenamed("doc_id", "small_id")
+        .join(sh.withColumnRenamed("doc_id", "big_id"), "sk")
+        .where(F.col("small_id") != F.col("big_id"))
+        .groupBy("small_id", "big_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "small_id")
+            .withColumnRenamed("n", "n_small"), "small_id"
+        )
+        .where(F.col("n_common") / F.col("n_small") >= thresh)
+        .select("small_id", "big_id",
+                F.round(F.col("n_common") / F.col("n_small"), 4)
+                .alias("containment"))
+        .collect()
+    )
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    quote = "alpha beta gamma delta epsilon zeta"
+    article = (
+        "intro words before the excerpt now " + quote +
+        " and a long tail of unrelated commentary follows here with "
+        "many more tokens stretching the article far beyond the quote"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, article)], "doc_id long, text string"
+    )
+    out = _containment(spark, docs)
+    # the quote's 2 shingles both occur in the article -> containment 1.0
+    assert [(r["small_id"], r["big_id"], r["containment"]) for r in out] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_containment_is_asymmetric_and_thresholded(spark):
+    # doc 3 shares nothing; the big article is never a small candidate
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (3, "totally different words in this other document here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert _containment(spark, docs) == []
