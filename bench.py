@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "char_entropy",
     "pmi_edges",
     "shingle_containment",
+    "hist_quantiles",
+    "embedding_drift",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

@@ -114,3 +114,76 @@ def exact_group_quantiles(
         .where(F.col("rn") == F.col("k"))
         .select(F.col("g").alias(group_col), "quantile", F.col("v").alias("qvalue"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    bins: int = 1024,
+) -> DataFrame:
+    """Approximate quantiles via a fixed-width histogram SKETCH — the
+    mergeable, bounded-memory sibling of :func:`exact_group_quantiles`
+    (which is exact but needs a second pass over the pinned buckets).
+    Error is bounded by one bin width: (max-min)/bins, the classic
+    equi-width histogram estimator with linear interpolation inside
+    the crossing bin.
+
+    Why it exists next to the exact operator: the histogram is a
+    MERGEABLE summary (bin counts add), so 1000 executors — or 1000
+    DAYS of a rolling pipeline — can each keep `bins` longs and merge
+    at read time; Spark realizes the merge as partial aggregation in
+    the one combinable groupBy. And unlike approx_percentile's GK
+    sketch, the estimate is a pure deterministic function of (min,
+    max, bin counts), so it faces the exact-hash gate like KMV does
+    for distinct counts.
+
+    Plan: pass 1 = one combinable (min, max, count); pass 2 = one
+    combinable bin count (`bins` rows total); the cumulative walk and
+    interpolation run on the `bins`-row summary (single-partition
+    window over <= 1024 rows — bounded by construction, the same
+    argument as exact quantiles' pinned-bucket collect). Constant
+    columns (hi == lo) estimate lo for every p.
+
+    Returns (p, n, est) — est rounded to 6dp.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    stats = df.where(v.isNotNull()).agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.count(v).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("lo")) / width).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    hist = (
+        df.where(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .groupBy(b.alias("b"), "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    ps = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    target = F.col("p") * F.col("n")
+    cand = cum.crossJoin(F.broadcast(ps)).where(F.col("cum") >= target)
+    first = cand.groupBy("p").agg(F.min("b").alias("b"))
+    bin_lo = F.col("lo") + F.col("b") * (
+        (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    )
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        bin_lo
+        + ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+        * (target - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return (
+        first.join(cum, "b")
+        .select("p", F.col("n").cast("bigint").alias("n"),
+                F.round(est, 6).alias("est"))
+    )

@@ -5788,6 +5788,121 @@ def shingle_containment(spark, sf_dir):
     )
 
 
+_HISTQ_SQL = """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+),
+s AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+h AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+              ELSE least(CAST(floor((v.x - s.lo)
+                               / ((s.hi - s.lo) / 1024)) AS INTEGER),
+                         1023) END AS b,
+         s.lo, s.hi, s.n, count(*) AS cnt
+  FROM v CROSS JOIN s GROUP BY 1, 2, 3, 4
+),
+c AS (
+  SELECT *, sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+  FROM h
+),
+p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+cand AS (SELECT p.p, c.b, c.cum, c.n FROM c CROSS JOIN p
+         WHERE c.cum >= p.p * c.n),
+f AS (SELECT p, min(b) AS b FROM cand GROUP BY p)
+SELECT f.p, CAST(c.n AS BIGINT) AS n,
+       round(CASE WHEN c.hi = c.lo THEN c.lo
+             ELSE c.lo + c.b * ((c.hi - c.lo) / 1024)
+                  + ((c.hi - c.lo) / 1024)
+                    * (f.p * c.n - (c.cum - c.cnt)) / c.cnt END, 6) AS est
+FROM f JOIN c ON c.b = f.b
+"""
+
+
+@register("hist_quantiles", _HISTQ_SQL)
+def hist_quantiles(spark, sf_dir):
+    """Mergeable histogram-quantile SKETCH over events.value
+    (operators/quantiles.py histogram_quantiles): fixed 1024-bin
+    equi-width summary, linear interpolation in the crossing bin —
+    the bounded-memory sibling of value_quantiles (exact two-phase)
+    and the quantile analogue of kmv_distinct_users: bin counts ADD,
+    so executors/days/engines sketch independently and merge, and the
+    estimate is a pure function of (min, max, counts) so an
+    approximate algorithm faces the exact-hash gate."""
+    from gfftoneo4j_spark.operators.quantiles import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "value", [0.5, 0.9, 0.99]
+    )
+
+
+_DRIFT_SQL = """
+WITH d AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label, half, dim, avg(CAST(x AS DOUBLE)) AS m
+  FROM d GROUP BY label, half, dim
+),
+j AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+         AS cos_sim,
+       round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_dist
+FROM j GROUP BY label
+"""
+
+
+@register("embedding_drift", _DRIFT_SQL)
+def embedding_drift(spark, sf_dir):
+    """Embedding drift monitor: per-label centroid of two corpus
+    halves (vec_id parity stands in for the old/new snapshot split),
+    compared by cosine and L2 — the distribution-shift check a
+    training-data pipeline runs before trusting a refreshed embedding
+    space. Centroid state is labels x dims regardless of corpus size
+    (label_centroids' scale argument); one combinable per-(label,
+    half, dim) mean, one dims x labels join, one combinable fold."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    c = d.groupBy("label", "half", "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    a = c.where(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = c.where(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("cos_sim"),
+            F.round(
+                F.sqrt(F.sum((F.col("ma") - F.col("mb")) ** 2)), 6
+            ).alias("l2_dist"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -5850,6 +5965,8 @@ _WINDOW_FIRST = [
     "char_entropy",
     "pmi_edges",
     "shingle_containment",
+    "hist_quantiles",
+    "embedding_drift",
 ]
 
 

@@ -99,3 +99,35 @@ def test_containment_is_asymmetric_and_thresholded(spark):
         "doc_id long, text string",
     )
     assert _containment(spark, docs) == []
+
+
+def test_embedding_drift_identical_halves_have_zero_drift(spark):
+    from gfftoneo4j_spark.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # halves 0/1 get the SAME two vectors per label -> centroids equal
+    rows = [(i, [1.0, 2.0, 2.0], 5) for i in range(4)] + [
+        (i, [0.0, 1.0, 0.0], 6) for i in range(10, 14)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    d = e.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    c = d.groupBy("label", "half", "dim").agg(F.avg("x").alias("m"))
+    a = c.where(F.col("half") == 0).select("label", "dim", F.col("m").alias("ma"))
+    b = c.where(F.col("half") == 1).select("label", "dim", F.col("m").alias("mb"))
+    out = {
+        r["label"]: r
+        for r in a.join(b, ["label", "dim"]).groupBy("label").agg(
+            F.round(F.sum(F.col("ma") * F.col("mb"))
+                    / (F.sqrt(F.sum(F.col("ma") ** 2))
+                       * F.sqrt(F.sum(F.col("mb") ** 2))), 6).alias("cos_sim"),
+            F.round(F.sqrt(F.sum((F.col("ma") - F.col("mb")) ** 2)), 6)
+            .alias("l2_dist"),
+        ).collect()
+    }
+    assert out[5]["cos_sim"] == 1.0 and out[5]["l2_dist"] == 0.0
+    assert out[6]["cos_sim"] == 1.0 and out[6]["l2_dist"] == 0.0

@@ -58,3 +58,31 @@ def test_few_buckets_still_exact(spark):
     rng = random.Random(11)
     rows = [("g", rng.uniform(0, 1), i) for i in range(500)]
     assert _run(spark, rows, n_buckets=4) == _brute(rows)
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    from gfftoneo4j_spark.operators.quantiles import histogram_quantiles
+    from pyspark.sql import functions as F
+
+    # 10k distinct uniform values 0..9999: p-quantile ~ p*10000
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"))
+    out = {r["p"]: r for r in histogram_quantiles(df, "v", [0.5, 0.9]).collect()}
+    width = 9999.0 / 1024
+    assert out[0.5]["n"] == 10_000
+    assert abs(out[0.5]["est"] - 5000.0) <= width
+    assert abs(out[0.9]["est"] - 9000.0) <= width
+
+
+def test_histogram_quantiles_constant_column_and_merge_invariance(spark):
+    from gfftoneo4j_spark.operators.quantiles import histogram_quantiles
+    from pyspark.sql import functions as F
+
+    const = spark.range(100).select(F.lit(7.5).alias("v"))
+    out = histogram_quantiles(const, "v", [0.5]).collect()
+    assert out[0]["est"] == 7.5
+    # the sketch is a pure function of the value multiset: any
+    # partitioning gives the identical estimate (mergeability)
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"))
+    a = histogram_quantiles(df.repartition(1), "v", [0.9]).collect()[0]["est"]
+    b = histogram_quantiles(df.repartition(37), "v", [0.9]).collect()[0]["est"]
+    assert a == b
