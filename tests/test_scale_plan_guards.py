@@ -130,3 +130,49 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def test_merge_intervals_is_single_shuffle(spark):
+    # both windows (running max-end flag, island sum) and the final
+    # groupBy(key, island) cluster on a superset of the window key, so
+    # Spark satisfies them all from ONE hash exchange on `key` — the
+    # docstring's one-shuffle claim, frozen
+    from gfftoneo4j_spark.operators.windows import merge_intervals
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame(
+            [("a", 1, 5), ("a", 3, 9), ("b", 1, 2)],
+            "k string, s long, e long",
+        )
+        out = merge_intervals(df, "k", start="s", end="e")
+        assert _n_exchanges(out) == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_doc_bigram_derivation_is_exchange_free(spark):
+    # slices-zip-explode must stay map-only: any Exchange before the
+    # first aggregation means the derivation re-shuffles the corpus
+    from gfftoneo4j_spark.operators.lm import _doc_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    assert _n_exchanges(_doc_bigrams(df, "text", "doc_id")) == 0
+
+
+def test_doc_chunking_stays_exchange_free_at_width_boundary(spark):
+    from gfftoneo4j_spark.operators.cleaning import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(130)))],
+        "doc_id long, text string",
+    )
+    assert _n_exchanges(chunk_documents(df, width=64, overlap=16)) == 0
