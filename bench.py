@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "shingle_containment",
     "hist_quantiles",
     "embedding_drift",
+    "phrase_search",
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

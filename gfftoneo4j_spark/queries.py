@@ -5903,6 +5903,82 @@ def embedding_drift(spark, sf_dir):
     )
 
 
+_PHRASE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+           AS pos
+  FROM documents
+),
+ph(phrase, w1, w2, w3) AS (
+  VALUES ('slow hash batch', 'slow', 'hash', 'batch'),
+         ('row column sort', 'row', 'column', 'sort'),
+         ('part filter scan', 'part', 'filter', 'scan')
+)
+SELECT ph.phrase, a.doc_id, CAST(a.pos AS BIGINT) AS pos
+FROM tok a
+JOIN ph ON ph.w1 = a.term
+JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          AND b.term = ph.w2
+JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          AND c.term = ph.w3
+"""
+
+
+@register("phrase_search", _PHRASE_SQL)
+def phrase_search(spark, sf_dir):
+    """Multi-phrase exact search over the positional inverted index
+    (the posting_lists family's consumer): every occurrence of each
+    query phrase as (phrase, doc_id, first-token pos) — the
+    contamination / policy-text / quote detector that runs MANY
+    phrases in one corpus pass. Scale shape: the corpus-sized token
+    stream is pruned by a BROADCAST join against the query terms
+    before any positional work, then two (doc_id, pos)-keyed
+    adjacency joins run on candidates only — the standard positional-
+    postings AND-merge, never a re-scan per phrase."""
+    phrases = ["slow hash batch", "row column sort", "part filter scan"]
+    ph = spark.createDataFrame(
+        [(p, *p.split()) for p in phrases],
+        "phrase string, w1 string, w2 string, w3 string",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)
+        ).alias("p0", "term"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "term")
+    a = tok.join(F.broadcast(ph), F.col("term") == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2", "w3"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("term").alias("t_b"),
+    )
+    c = tok.select(
+        F.col("doc_id").alias("doc_c"),
+        F.col("pos").alias("pos_c"),
+        F.col("term").alias("t_c"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos") + 1)
+            & (F.col("t_b") == F.col("w2")),
+        )
+        .join(
+            c,
+            (F.col("doc_c") == F.col("doc_id"))
+            & (F.col("pos_c") == F.col("pos") + 2)
+            & (F.col("t_c") == F.col("w3")),
+        )
+        .select("phrase", "doc_id", F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -5967,6 +6043,7 @@ _WINDOW_FIRST = [
     "shingle_containment",
     "hist_quantiles",
     "embedding_drift",
+    "phrase_search",
 ]
 
 

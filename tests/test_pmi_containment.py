@@ -131,3 +131,49 @@ def test_embedding_drift_identical_halves_have_zero_drift(spark):
     }
     assert out[5]["cos_sim"] == 1.0 and out[5]["l2_dist"] == 0.0
     assert out[6]["cos_sim"] == 1.0 and out[6]["l2_dist"] == 0.0
+
+
+def test_phrase_search_finds_all_and_only_adjacent_runs(spark):
+    from gfftoneo4j_spark.queries import QUERIES
+    import gfftoneo4j_spark.queries as Q
+    from pyspark.sql import functions as F
+
+    # inline replica of the gated plan with a custom phrase set
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma end"),
+            (2, "alpha beta x gamma"),       # broken adjacency: no hit
+            (3, "pre alpha beta gamma post alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [("alpha beta gamma", "alpha", "beta", "gamma")],
+        "phrase string, w1 string, w2 string, w3 string",
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)
+        ).alias("p0", "term"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "term")
+    a = tok.join(F.broadcast(ph), F.col("term") == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2", "w3"
+    )
+    b = tok.select(F.col("doc_id").alias("doc_b"),
+                   F.col("pos").alias("pos_b"), F.col("term").alias("t_b"))
+    c = tok.select(F.col("doc_id").alias("doc_c"),
+                   F.col("pos").alias("pos_c"), F.col("term").alias("t_c"))
+    out = sorted(
+        (r["doc_id"], r["pos"])
+        for r in a.join(
+            b, (F.col("doc_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos") + 1)
+            & (F.col("t_b") == F.col("w2")))
+        .join(
+            c, (F.col("doc_c") == F.col("doc_id"))
+            & (F.col("pos_c") == F.col("pos") + 2)
+            & (F.col("t_c") == F.col("w3")))
+        .select("doc_id", "pos").collect()
+    )
+    assert out == [(1, 1), (3, 2), (3, 6)]
