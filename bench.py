@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "hist_quantiles",
     "embedding_drift",
     "phrase_search",
+    # prefix_filter_pairs is gate-only: like simhash_near_dup, the
+    # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
+    # its wall is dominated by emitting the answer, not the algorithm
     # snapshot_diff is gate-only: its wall is two sink writes + read-back
     # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
     # gate-only: the synthetic corpus is near-dup-DENSE, so their true

@@ -497,3 +497,78 @@ def ngram_jaccard_pairs_banded(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard >= ``threshold`` via prefix
+    filtering (the PPJoin family) — the third blocking strategy next to
+    MinHash/SimHash banding (probabilistic recall) and length banding
+    (coarse): exact recall at a fraction of the candidate volume.
+
+    The pruning theorem: order every document's distinct tokens by a
+    GLOBAL total order (rarest first); if two sets have Jaccard >= t,
+    they must share a token within each other's first
+    n - ceil(t * n) + 1 tokens. So only those short prefixes join —
+    emission is bounded by (1 - t) * |d| + 1 rows per document, and the
+    prefix tokens are by construction the RAREST, so bucket sizes are
+    the inverse-frequency tail, not the stop-word head (the exact
+    opposite skew profile of a naive token join).
+
+    Plan shape: one distinct tokenize; one combinable df count; the
+    rank is a PER-DOCUMENT window ordered by (df, token) — group size
+    = document length, never a global vocab sort (the activity_gini
+    lesson: the total order is the TUPLE, no global dense rank
+    needed); prefix self-join on the rare-token key; exact verify =
+    one token-keyed intersection count over candidate pairs only.
+
+    Returns (id_a, id_b, inter, jaccard) with id_a < id_b, jaccard
+    rounded to 6dp.
+    """
+    tok = tokens(df, id_col, text_col)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "token")
+        .join(sizes, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "token")
+            ),
+        )
+    )
+    # prefix length: n - ceil(t*n) + 1
+    pfx = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "token")
+    cand = (
+        pfx.withColumnRenamed("id", "id_a")
+        .join(pfx.withColumnRenamed("id", "id_b"), "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= threshold)
+        .select(
+            "id_a", "id_b", "inter", F.round(jac, 6).alias("jaccard")
+        )
+    )

@@ -5979,6 +5979,56 @@ def phrase_search(spark, sf_dir):
     )
 
 
+_PPJOIN_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, t AS token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+ranked AS (
+  SELECT tok.id, tok.token, s.n,
+         row_number() OVER (PARTITION BY tok.id
+                            ORDER BY d.df, tok.token) AS rn
+  FROM tok JOIN dfreq d USING (token) JOIN sizes s USING (id)
+),
+pfx AS (SELECT id, token FROM ranked WHERE rn <= n - ceil(0.7 * n) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pfx a JOIN pfx b ON a.token = b.token AND a.id < b.id
+),
+i AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN tok ta ON ta.id = c.id_a
+  JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.7
+"""
+
+
+@register("prefix_filter_pairs", _PPJOIN_SQL)
+def prefix_filter_pairs(spark, sf_dir):
+    """EXACT all-pairs token Jaccard >= 0.7 via PPJoin-style prefix
+    filtering (operators/dedup.py prefix_filter_jaccard) — the third
+    blocking strategy beside MinHash/SimHash banding (probabilistic)
+    and length banding (coarse): two sets at Jaccard >= t MUST share a
+    token in each other's (1-t)|d|+1 RAREST tokens, so only those
+    short, inverse-frequency-skewed prefixes join. The rank is a
+    per-document window ordered by the (df, token) tuple — never a
+    global vocab sort."""
+    from gfftoneo4j_spark.operators.dedup import prefix_filter_jaccard
+
+    return prefix_filter_jaccard(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -6044,6 +6094,7 @@ _WINDOW_FIRST = [
     "hist_quantiles",
     "embedding_drift",
     "phrase_search",
+    "prefix_filter_pairs",
 ]
 
 

@@ -106,3 +106,31 @@ def test_chunk_plan_is_exchange_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_prefix_filter_matches_brute_force_exactly(spark):
+    # the pruning theorem is recall-lossless: prefix-filtered output
+    # must equal brute-force all-pairs Jaccard >= t on the same corpus
+    from itertools import combinations
+
+    from gfftoneo4j_spark.operators.dedup import prefix_filter_jaccard
+
+    base = ["red blue green yellow", "red blue green purple",
+            "one two three four five", "one two three four six",
+            "totally disjoint tokens here", "red blue green yellow"]
+    docs = [(i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard(df, threshold=0.6).collect()
+    }
+    want = {}
+    sets = {i: set(t.split()) for i, t in docs}
+    for a, b in combinations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / len(sets[a] | sets[b])
+        if jac >= 0.6:
+            want[(a, b)] = round(jac, 6)
+    assert got == want
+    assert (0, 5) in got and got[(0, 5)] == 1.0   # exact dup pair
+    assert (0, 1) in got and got[(0, 1)] == 0.6   # 3/5 boundary case
