@@ -352,12 +352,29 @@ def weak_scaling(small_corpus: str, strong: dict, extraction: str) -> dict:
     }
 
 
+def _load_results(path: str) -> dict:
+    """json round-trips the per-cluster-size int keys (1, 4) to the
+    strings "1"/"4"; write_baseline_md indexes with ints — normalize
+    digit keys back on load so merged reruns can re-render every
+    section."""
+
+    def fix(d):
+        if isinstance(d, dict):
+            return {
+                (int(k) if isinstance(k, str) and k.isdigit() else k): fix(v)
+                for k, v in d.items()
+            }
+        return d
+
+    return fix(json.load(open(path)))
+
+
 def orchestrate(args) -> None:
     if args.pagerank:
         # iterative-op datapoint only: merge into the recorded suite
         # results instead of re-running the (expensive) pipeline rows
         path = os.path.join(REPO, "BENCH", "scaling.json")
-        results = json.load(open(path)) if os.path.exists(path) else {
+        results = _load_results(path) if os.path.exists(path) else {
             "protocol": "v2-interleaved"
         }
         results["strong_pagerank"] = strong_scaling(
@@ -375,6 +392,8 @@ def orchestrate(args) -> None:
             round(min(eff / env, 1.0), 3) if env else None
         )
         print(json.dumps(results, default=str))
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1, default=str)
         if "strong_sql" in results:
             write_baseline_md(results)
         return
