@@ -93,14 +93,14 @@ def run_once(
         # keeps partitions ~400k rows, the same sizing rule a 100 TB
         # run applies via spark.sql.shuffle.partitions ~ data/128MB.
         extra["spark.sql.shuffle.partitions"] = "256"
-        # The session default spark.local.dir is /dev/shm (tmpfs): right
-        # for the one-pass pipeline, WRONG here — an iterative job keeps
-        # ~5 rounds of shuffle files + MEMORY_AND_DISK checkpoint spill
-        # alive in what is physically RAM, stacked on the 14g heap; at
-        # 120M edges that sum OOM-killed executors. Real disk for this
-        # job, at BOTH cluster sizes, so the efficiency ratio is still
-        # apples-to-apples (a real cluster's executors spill to NVMe).
-        extra["spark.local.dir"] = "/tmp/spark-local-pagerank"
+        # Shuffle dirs stay on the session default tmpfs: jstack during
+        # a disk-dir probe showed every 4x8 task thread inside
+        # FileOutputStream.writeBytes — 32 writers serialized on the
+        # VM's one virtio disk, and 4x8 measured SLOWER than 1x8 (129s
+        # vs 90s at 30M edges). The budget that makes tmpfs safe here:
+        # 4x14g heap + ~10G shuffle residue at 60M edges + 8g driver
+        # ~= 75G of the 126G tmpfs-backed RAM — but ONLY with the rest
+        # of the machine idle, which the harness notes in BASELINE.md.
         # local-cluster executors default to spark.executor.memory=1g
         # (the worker's 16384 MB spec is only what it ADVERTISES); the
         # pipeline job's per-task state fits in 1g, but hash-
@@ -108,6 +108,14 @@ def run_once(
         # executor. 14g request = one executor per 16 GiB worker.
         extra["spark.executor.memory"] = "14g"
         extra["spark.executor.extraJavaOptions"] = "-XX:+UseG1GC"
+        # Per-round |E|-row shuffles between co-located executor JVMs
+        # went through localhost TCP (netty) and this VM spends ~85%
+        # SYSTEM time in that path — 4x8 measured SLOWER than 1x8.
+        # Host-local shuffle reading (SPARK-27651) lets an executor
+        # read a same-host peer's shuffle files straight from disk,
+        # which is both the fix here and exactly what a real cluster's
+        # multi-executor-per-node layout does.
+        extra["spark.shuffle.readHostLocalDisk"] = "true"
     spark = get_spark(
         app=f"scaling-{executors}x{CORES_PER_EXECUTOR}-{job}-{extraction}",
         master=f"local-cluster[{executors},{CORES_PER_EXECUTOR},{EXECUTOR_MEM_MB}]",
@@ -127,7 +135,7 @@ def run_once(
         # scan splits for the pipeline job).
         from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
 
-        n_edges = int(os.environ.get("SPARK_GRAFT_PR_EDGES", 100_000_000))
+        n_edges = int(os.environ.get("SPARK_GRAFT_PR_EDGES", 60_000_000))
         n_nodes = max(1, n_edges // 10)
         base = spark.range(0, n_edges, 1, 256)
         u_hash = F.pmod(F.xxhash64(F.lit("u"), F.col("id")), F.lit(1_000_003))
