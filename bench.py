@@ -247,7 +247,11 @@ def main() -> None:
         if ref.get("sf") == sf_num:
             for name, med in times.items():
                 prior = ref.get("queries", {}).get(name)
-                if prior and med > 2 * prior:
+                # absolute floor on top of the 2x ratio: sub-second
+                # walls flip 2x on scheduler jitter alone (measured:
+                # 0.40 -> 0.80s on an untouched query between two
+                # same-HEAD runs) — a regression must also cost >= 1s
+                if prior and med > 2 * prior and med - prior >= 1.0:
                     regressions.append(name)
                     print(
                         f"REGRESSION {name}: median {med}s > 2x prior "
