@@ -166,7 +166,7 @@ def connected_components(
         # effect — ONE Spark job per round instead of two (checkpoint
         # then checksum), halving the loop's fixed cost; lineage is
         # still truncated for the next round's plan
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             converged = True

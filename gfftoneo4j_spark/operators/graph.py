@@ -18,8 +18,32 @@ ANSI-SQL oracle and reproducible run-to-run at any cluster size.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _mat(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
+    """Materialize loop state as COLUMNAR cache (persist + count),
+    freeing the superseded snapshot.
+
+    Why not localCheckpoint: checkpoint blocks store deserialized
+    row objects, and re-reading them every round is allocation /
+    memory-bandwidth bound — the dominant cost of the rank-style
+    loops once the joins are hash-based. A/B at 60M edges, 5 rounds:
+    the loop body went 147.9s -> 73.0s at 1x8 and 113.8s -> 28.2s at
+    4x8 (per-round 23s -> 5.5s) just by switching the loop state and
+    invariants to compressed columnar InMemoryRelation, which also
+    preserves outputPartitioning for the exchange-free SHJ. Lineage
+    is NOT truncated by persist — callers truncate explicitly every
+    few rounds (the loops below checkpoint every 6th round) so the
+    analyzer never sees an unboundedly deep plan.
+    """
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    return out
 
 
 def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
@@ -116,20 +140,21 @@ def pagerank_fixed_point(
     scores, and the simplification keeps the recurrence exactly
     expressible in ANSI SQL for the correctness gate.
 
-    Scale shape per iteration: one broadcast-or-shuffle equi-join of
-    edges against the current rank vector (both hash-partitioned on
-    the node id, so AQE can reuse the exchange), one map-side-
+    Scale shape per iteration: one exchange-free SHUFFLE_HASH join of
+    the pre-keyed edge snapshot against the current rank vector (the
+    rank side builds, the edges stream unsorted), one map-side-
     combinable groupBy sum, and a left join back to the node set; the
-    per-round localCheckpoint truncates lineage so the plan stays
-    O(1)-deep across iterations (same discipline as the CC loop).
-    Total ranks stay ~scale * |V|, so BIGINT holds to ~10^12 nodes.
+    per-round columnar materialization (``_mat``) keeps state compact
+    and lineage is truncated every 6th round. Total ranks stay
+    ~scale * |V|, so BIGINT holds to ~10^12 nodes.
 
     The loop invariants (deduped edges, node set, out-degrees) are
-    EAGER-checkpointed once before the loop: lazily checkpointed, each
-    of the ``iters`` rounds re-ran the edge distinct and the degree
-    aggregation from scratch (round-2 bench: 34.6s at sf0.1 with the
-    recompute, ~31% of the whole 22-query suite — pure fixed cost,
-    not part of the recurrence).
+    materialized ONCE as columnar cache before the loop: computed
+    lazily, each of the ``iters`` rounds re-ran the edge distinct and
+    the degree aggregation from scratch (round-2 bench: 34.6s at sf0.1
+    with the recompute, ~31% of the whole 22-query suite — pure fixed
+    cost, not part of the recurrence). See ``_mat`` for the measured
+    columnar-vs-checkpoint numbers.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -148,17 +173,14 @@ def pagerank_fixed_point(
         # broadcasts, so this is wall-neutral locally and pays off
         # exactly when the graph is big.
         .repartition("u")
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    e = _mat(e)
+    nodes = _mat(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
-    )
+    outdeg = _mat(e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
     base = int(scale * (damping_den - damping_num) // damping_den)
     if seeds is not None:
         # Personalized PageRank: all initial mass AND the teleport term
@@ -172,13 +194,12 @@ def pagerank_fixed_point(
             .distinct()
             .withColumn("is_seed", F.lit(True))
         )
-        nodes = (
-            nodes.join(sd, "node", "left")
-            .select(
+        nodes = _mat(
+            nodes.join(sd, "node", "left").select(
                 "node",
                 F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            prev=nodes,
         )
         base_col = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
         init_col = F.when(F.col("is_seed"), F.lit(scale)).otherwise(F.lit(0))
@@ -186,7 +207,8 @@ def pagerank_fixed_point(
         base_col = F.lit(base)
         init_col = F.lit(scale)
     ranks = nodes.select("node", init_col.cast("long").alias("r"))
-    for _ in range(iters):
+    prev_state = None
+    for _i in range(iters):
         contrib = (
             # SHUFFLE_HASH on the rank/degree sides: SortMergeJoin
             # would re-SORT the checkpointed |E|-row snapshot every
@@ -210,22 +232,24 @@ def pagerank_fixed_point(
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
+        # per-round materialization is MANDATORY (not just lineage
+        # hygiene): deferring all rounds into one final mega-DAG made
+        # its stages race to materialize the same snapshots and
+        # duplicate work (A/B: 286s deferred vs 147s per-round at 4x8)
+        ranks = _mat(
+            nodes.join(summed, "node", "left").select(
                 "node",
                 (base_col + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
-            )
-            # EAGER: one blocking job per round. Lazy checkpoints defer
-            # the whole loop into one final mega-DAG whose stages race
-            # to materialize the same checkpoint blocks and duplicate
-            # work — measured 286s lazy vs 147s eager for 5 rounds at
-            # 60M edges on 4x8 executors (1x8 is wall-neutral). The
-            # cost is ~one empty job per round at gate scale.
-            .localCheckpoint(eager=True)
+            ),
+            prev=prev_state,
         )
+        if (_i + 1) % 6 == 0:
+            # bound plan depth for deep loops: persist keeps lineage,
+            # so truncate with a (cache-fed, cheap) checkpoint
+            ranks = ranks.localCheckpoint(eager=True)
+        prev_state = ranks
     return ranks.select("node", F.col("r").alias("rank"))
 
 
@@ -335,12 +359,13 @@ def label_propagation(
         )
         .distinct()
         .repartition("s")
-        .localCheckpoint(eager=True)
     )
+    und = _mat(und)
     labels = und.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iters):
+    prev_state = None
+    for _i in range(iters):
         votes = (
             # SHUFFLE_HASH: same lesson as the PageRank loop — SMJ
             # would re-sort the checkpointed |E|-row snapshot every
@@ -364,11 +389,13 @@ def label_propagation(
                 ).alias("best")
             )
             .select("node", F.col("best.label").alias("label"))
-            # eager: a lazy chain defers all rounds into one mega-DAG
-            # whose stages race to materialize the same blocks
-            # (A/B-measured 2x on the PageRank loop at 4x8)
-            .localCheckpoint(eager=True)
         )
+        # columnar per-round state, same A/B-measured rationale as the
+        # PageRank loop (_mat docstring)
+        labels = _mat(labels, prev=prev_state)
+        if (_i + 1) % 6 == 0:
+            labels = labels.localCheckpoint(eager=True)
+        prev_state = labels
     return labels.select("node", F.col("label").alias("community"))
 
 

@@ -80,7 +80,27 @@ def test_pagerank_iteration_is_single_exchange_at_scale(spark):
     try:
         ranks = pagerank_fixed_point(edges, iters=1)
         plan = ranks._jdf.queryExecution().executedPlan().toString()
-        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        # loop state is columnar cache now: the plan TEXT nests each
+        # cached relation's full (never re-executed) lineage under its
+        # InMemoryTableScan — prune those subtrees by indentation and
+        # count only exchanges that actually run in the round
+        live, skip_beyond = [], None
+
+        def _depth(ln):
+            return len(ln) - len(ln.lstrip(" :+-*("))
+
+        for ln in plan.splitlines():
+            d = _depth(ln)
+            if skip_beyond is not None and d > skip_beyond:
+                continue
+            skip_beyond = None
+            if "InMemoryTableScan" in ln:
+                skip_beyond = d
+                continue
+            live.append(ln)
+        n_exchanges = len(
+            re.findall(r"Exchange hashpartitioning", "\n".join(live))
+        )
         assert n_exchanges <= 1, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
