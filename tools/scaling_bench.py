@@ -378,6 +378,50 @@ def _load_results(path: str) -> dict:
 
 
 def orchestrate(args) -> None:
+    if args.render:
+        # regenerate BASELINE.md from the recorded suite results (no
+        # measurement) — used after narrative edits to this writer
+        results = _load_results(os.path.join(REPO, "BENCH", "scaling.json"))
+        write_baseline_md(results)
+        return
+    if args.pagerank_weak:
+        # weak datapoint only: one 1x8 child at edges/4, reuses the
+        # recorded strong_pagerank 4x8 median as the big-graph side
+        # (same protocol shape as weak_scaling for the pipeline).
+        path = os.path.join(REPO, "BENCH", "scaling.json")
+        results = _load_results(path)
+        big = results["strong_pagerank"][4]
+        os.environ["SPARK_GRAFT_PR_EDGES"] = str(big["n_turns"] // 4)
+        try:
+            r1 = _child(
+                [
+                    "--executors", "1", "--corpus", args.corpus,
+                    "--extraction", "sql", "--job", "pagerank",
+                    "--warmups", "1", "--measured", "2",
+                ],
+                "weak-pagerank 1x8",
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_PR_EDGES"]
+        w1 = statistics.median(r1["walls"])
+        thr1 = r1["n_turns"] / w1
+        results["weak_pagerank"] = {
+            "small": {
+                "n_turns": r1["n_turns"],
+                "wall_median": round(w1, 2),
+                "walls": r1["walls"],
+                "turns_per_sec": round(thr1, 1),
+            },
+            "big": {
+                "n_turns": big["n_turns"],
+                "wall_median": big["wall_median"],
+                "turns_per_sec": big["turns_per_sec"],
+            },
+            "efficiency": round(big["turns_per_sec"] / (4.0 * thr1), 3),
+        }
+        print(json.dumps(results["weak_pagerank"], default=str))
+        write_baseline_md(results)
+        return
     if args.pagerank:
         # iterative-op datapoint only: merge into the recorded suite
         # results instead of re-running the (expensive) pipeline rows
@@ -524,13 +568,15 @@ def write_baseline_md(r: dict) -> None:
             ep = r["envelope_pagerank"]
             vs = r.get("pagerank_efficiency_vs_envelope")
             lines += [
-                "Unlike the one-pass pipeline, the per-round loop is",
-                "allocation/memory-bandwidth-bound (SHJ probe + hash-agg over",
-                "10^7-row maps, deserialized checkpoint blocks): 32 busy cores",
-                "on this single-socket VM share one DRAM path, the same",
-                "map-stage inflation the v2 protocol measured for the pipeline",
-                "(1.3-1.7x) only with nothing else to amortize it. The",
-                "contention envelope quantifies that ceiling — 4 independent,",
+                "Columnar loop state (see the fixes list below) removed the",
+                "deserialized-checkpoint bandwidth wall that dominated this",
+                "job's first measurement (1x8 210.6s -> 55.6s). What remains",
+                "at 60M edges is a LATENCY-bound regime: a 4x8 round is",
+                "~5.5s of work issued as one job per round with an eager",
+                "materialization barrier each, so scheduler/stage-launch",
+                "fixed costs and the 256-task straggler tail stop shrinking",
+                "with cluster size while the compute does. The contention",
+                "envelope bounds what the shared box permits — 4 independent,",
                 "uncoordinated 1x8 clusters running the same job concurrently",
                 "(zero Spark coordination, so any slowdown is pure shared-",
                 "hardware contention):",
@@ -546,7 +592,10 @@ def write_baseline_md(r: dict) -> None:
                 "On a real 4-node cluster each executor owns its own memory",
                 "controllers and NVMe; the raw N-vs-4N number here measures",
                 "the shared-DRAM sandbox, the envelope-relative number",
-                "measures the operator's actual parallel structure.",
+                "measures the operator's actual parallel structure. The",
+                "per-round barrier cost is fixed per ROUND, not per edge, so",
+                "it amortizes as per-round data grows — the weak-scaling row",
+                "below measures exactly that regime.",
                 "",
                 "Measured plan fixes that this datapoint already includes",
                 "(each verified by A/B runs at 60M edges):",
@@ -559,6 +608,36 @@ def write_baseline_md(r: dict) -> None:
                 "- Shuffle dirs on the VM's one virtio disk serialized 32",
                 "  writers (jstack: every task thread in writeBytes) ->",
                 "  tmpfs, same as the pipeline protocol.",
+                "- Per-round localCheckpoint stored DESERIALIZED row blocks;",
+                "  re-reading them every round was allocation/bandwidth-",
+                "  bound -> compressed columnar persist (`_mat`,",
+                "  operators/graph.py): loop body 147.9s -> 73.0s at 1x8,",
+                "  113.8s -> 28.2s at 4x8 (per-round 23s -> 5.5s).",
+                "",
+            ]
+        if "weak_pagerank" in r:
+            wp = r["weak_pagerank"]
+            lines += [
+                "## Weak scaling — iterative PageRank (fixed per-core load)",
+                "",
+                "Same job, graph scaled with the cluster (15M edges @ 1x8 vs",
+                "60M @ 4x8; nodes = edges/10 at both, so per-core work is",
+                "constant — the 100 TB regime, where a bigger cluster means",
+                "bigger data, and per-round compute grows while the per-round",
+                "barrier cost stays fixed):",
+                "",
+                "| cluster | edges | wall median (s) | edges/sec |",
+                "|---|---|---|---|",
+                f"| 1x8 | {wp['small']['n_turns']:,} |"
+                f" {wp['small']['wall_median']} |"
+                f" {wp['small']['turns_per_sec']:,} |",
+                f"| 4x8 | {wp['big']['n_turns']:,} |"
+                f" {wp['big']['wall_median']} |"
+                f" {wp['big']['turns_per_sec']:,} |",
+                "",
+                f"**PageRank weak scaling efficiency: {wp['efficiency']}**"
+                f" (target >= 0.8:"
+                f" {'PASS' if wp['efficiency'] >= 0.8 else 'MISS'}).",
                 "",
             ]
     if "strong_pandas" in r:
@@ -629,6 +708,12 @@ def main() -> None:
     p.add_argument("--pagerank", action="store_true",
                    help="run only the iterative pagerank N-vs-4N datapoint "
                         "and merge it into BENCH/scaling.json + BASELINE.md")
+    p.add_argument("--pagerank-weak", action="store_true",
+                   help="run only the weak-scaling pagerank datapoint "
+                        "(edges/4 @ 1x8 vs recorded 4x8) and merge it")
+    p.add_argument("--render", action="store_true",
+                   help="rewrite BENCH/BASELINE.md from BENCH/scaling.json "
+                        "without measuring anything")
     args = p.parse_args()
     if args.run:
         run_once(
