@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "hist_quantiles",
     "embedding_drift",
     "phrase_search",
+    "register_min_distinct",
+    "bloom_semi_join",
+    "winnow_fingerprints",
+    "zorder_layout",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

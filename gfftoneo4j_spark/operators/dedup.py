@@ -572,3 +572,75 @@ def prefix_filter_jaccard(
             "id_a", "id_b", "inter", F.round(jac, 6).alias("jaccard")
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``width``-word
+    shingle, slide a ``window``-shingle window, and keep the minimum
+    hash of each window (ties to the RIGHTMOST position, the paper's
+    rule). Guarantees: any shared run of ``width + window - 1`` words
+    between two documents shares at least one fingerprint, and
+    fingerprint density is ~2/(window+1) of positions — a
+    position-aware sketch exact-substring matching can seed from,
+    where MinHash only answers set-level similarity.
+
+    Relational form: the rightmost-min tie rule folds into one BIGINT
+    ordering key ``h * 2^20 + (2^20 - 1 - pos)`` (40-bit md5 shingle
+    hash, 20-bit position space), so "min hash, rightmost pos" is a
+    plain min() over a bounded rows-window — no sequential scan, no
+    UDF, and the same expression runs in any ANSI engine. Scale
+    shape: shingle explode (row count ~= corpus tokens), one
+    partitionBy(doc) rows-window, one distinct on the winner key
+    whose cardinality is the fingerprint density bound — all keyed by
+    doc, so a 100 TB corpus fans out per-document with no global
+    state. Positions beyond 2^20 shingles per doc would collide with
+    the hash field; documents that long belong to the chunking
+    operator first (cleaning.doc_chunks).
+
+    Returns (doc_id, pos, fp) — fingerprint positions and 40-bit
+    hashes, the winnowed sketch of each document.
+    """
+    pos_space = 1 << 20
+    sh = shingles(
+        df, id_col, text_col, width=width, hash_shingles=False, with_pos=True
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("sk")), 1, 10), 16, 10).cast("long")
+    keyed = sh.select(
+        "doc_id",
+        "pos",
+        (
+            h40 * F.lit(pos_space)
+            + (F.lit(pos_space - 1) - F.col("pos"))
+        ).alias("okey"),
+    )
+    n_sh = Window.partitionBy("doc_id")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    # full windows only: the window starting at pos exists iff
+    # pos + window <= n_shingles
+    winners = (
+        keyed.withColumn("n", F.count(F.lit(1)).over(n_sh))
+        .withColumn("wkey", F.min("okey").over(w))
+        .where(F.col("pos") + window <= F.col("n"))
+        .select("doc_id", "wkey")
+        .distinct()
+    )
+    return winners.select(
+        "doc_id",
+        (F.lit(pos_space - 1) - F.col("wkey") % F.lit(pos_space))
+        .cast("int")
+        .alias("pos"),
+        # integer shift, not `/`: double division would round a 60-bit
+        # key at the 53-bit mantissa
+        F.shiftright("wkey", 20).alias("fp"),
+    )

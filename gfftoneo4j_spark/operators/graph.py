@@ -128,6 +128,7 @@ def pagerank_fixed_point(
     src: str = "u",
     dst: str = "v",
     seeds: DataFrame | None = None,
+    mat_every: int = 1,
 ) -> DataFrame:
     """Damped PageRank over directed ``edges``, integer fixed-point.
 
@@ -232,24 +233,37 @@ def pagerank_fixed_point(
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        # per-round materialization is MANDATORY (not just lineage
-        # hygiene): deferring all rounds into one final mega-DAG made
-        # its stages race to materialize the same snapshots and
-        # duplicate work (A/B: 286s deferred vs 147s per-round at 4x8)
-        ranks = _mat(
-            nodes.join(summed, "node", "left").select(
-                "node",
-                (base_col + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
-            ),
-            prev=prev_state,
+        new_ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (base_col + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("r"),
         )
-        if (_i + 1) % 6 == 0:
-            # bound plan depth for deep loops: persist keeps lineage,
-            # so truncate with a (cache-fed, cheap) checkpoint
-            ranks = ranks.localCheckpoint(eager=True)
-        prev_state = ranks
+        # Materialization cadence: deferring ALL rounds into one final
+        # mega-DAG made its stages race to materialize the same
+        # snapshots and duplicate work (A/B: 286s deferred vs 147s
+        # per-round at 4x8), so deep laziness is out — but each
+        # materialization is also a full job barrier plus a cache
+        # write of the |V|-row state. ``mat_every`` trades the two:
+        # intermediate rounds stay lazy with plan depth <= mat_every
+        # (a single job materializes them together, no racing), and
+        # only every ``mat_every``-th state pays the barrier + write.
+        if _i == iters - 1 or (_i + 1) % mat_every == 0:
+            ranks = _mat(new_ranks, prev=prev_state)
+            if (_i + 1) % 6 == 0:
+                # bound plan depth for deep loops: persist keeps
+                # lineage, so truncate with a (cache-fed, cheap)
+                # checkpoint
+                ranks = ranks.localCheckpoint(eager=True)
+            prev_state = ranks
+        else:
+            ranks = new_ranks
+    # the answer lives in the final state's cache; the loop invariants
+    # (2-3x |E| of columnar blocks) would otherwise stay pinned for the
+    # session — a real leak across a many-query run. Lineage stays
+    # intact, so an eviction-triggered recompute still works.
+    for inv in (e, nodes, outdeg):
+        inv.unpersist(blocking=False)
     return ranks.select("node", F.col("r").alias("rank"))
 
 
@@ -396,6 +410,9 @@ def label_propagation(
         if (_i + 1) % 6 == 0:
             labels = labels.localCheckpoint(eager=True)
         prev_state = labels
+    # free the edge-snapshot cache (answer lives in the final labels
+    # cache; lineage intact for eviction-triggered recompute)
+    und.unpersist(blocking=False)
     return labels.select("node", F.col("label").alias("community"))
 
 

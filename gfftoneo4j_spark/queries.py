@@ -6029,6 +6029,231 @@ def prefix_filter_pairs(spark, sf_dir):
     )
 
 
+_REGMIN_SQL = """
+WITH hashed AS (
+  SELECT event_type,
+         CAST(('0x' || md5(CAST(user_id AS VARCHAR))[1:2]) AS INTEGER) % 256 AS j,
+         (CAST(('0x' || md5(CAST(user_id AS VARCHAR))[3:17]) AS BIGINT) + 1.0)
+           / 1152921504606846976.0 AS u
+  FROM events
+),
+per_reg AS (
+  SELECT event_type, j, min(u) AS umin FROM hashed GROUP BY event_type, j
+),
+folded AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_regs,
+         256 - count(*) AS v_empty,
+         65536.0 / (sum(umin) + (256 - count(*))) - 256.0 AS raw
+  FROM per_reg GROUP BY event_type
+)
+SELECT event_type, n_regs,
+       round(CASE WHEN raw < 640.0 AND v_empty > 0
+                  THEN 256.0 * ln(256.0 / v_empty) ELSE raw END, 3)
+         AS distinct_est
+FROM folded
+"""
+
+
+@register("register_min_distinct", _REGMIN_SQL)
+def register_min_distinct(spark, sf_dir):
+    """Register-minimum distinct sketch (MinCount / stochastic
+    averaging, Giroire 2009 — HyperLogLog's ~1/sqrt(m) accuracy
+    class) of users per event type: 256 registers keyed by the first
+    md5 byte, each keeping min of an independent md5 unit draw;
+    n_hat = m^2/S - m with empty registers counted at the support max.
+    The distributed shape KMV can't give: groupBy-min then groupBy-sum,
+    both map-side combinable, mergeable under elementwise min, state
+    <= m doubles per group — NO per-group rank window, so a 10^9-user
+    key never sorts anywhere. Content-addressed randomness makes the
+    approximate estimate exact-hash gateable; estimate-vs-truth error
+    is pytest-bounded (test_sketches.py)."""
+    from gfftoneo4j_spark.operators.sketches import (
+        register_min_distinct as rmd,
+    )
+
+    return rmd(load_table(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+_WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tpos AS (SELECT doc_id, w, generate_subscripts(w, 1) AS p FROM toks),
+sh AS (
+  SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos,
+         array_to_string(w[p:p + 4], ' ') AS shingle
+  FROM tpos WHERE p + 4 <= len(w)
+),
+keyed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || md5(shingle)[1:10]) AS BIGINT) * 1048576
+           + (1048575 - pos) AS okey,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM sh
+),
+winners AS (
+  -- window first, start-filter second: a WHERE in the same SELECT
+  -- would remove tail shingles from the frames themselves, not just
+  -- suppress them as window starts
+  SELECT DISTINCT doc_id, wkey FROM (
+    SELECT doc_id, pos, n,
+           min(okey) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+    FROM keyed
+  ) framed WHERE pos + 4 <= n
+)
+SELECT doc_id,
+       CAST(1048575 - (wkey % 1048576) AS INTEGER) AS pos,
+       CAST(wkey // 1048576 AS BIGINT) AS fp
+FROM winners
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_SQL)
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS sketch) over documents: min 40-bit shingle hash per 4-shingle
+    window, ties to the rightmost position via a single fused BIGINT
+    ordering key — any shared 8-word run between two docs is
+    guaranteed a common fingerprint, at ~2/(w+1) the density of full
+    shingling. Per-doc rows-window + distinct, no global state
+    (operators/dedup.py winnow_fingerprints)."""
+    return DD.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        width=5,
+        window=4,
+    )
+
+
+_BLOOM_SQL = """
+WITH dim AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS val FROM events
+  WHERE event_type = 'purchase' AND value > 200
+),
+build_pos AS (
+  SELECT DISTINCT
+         CAST(('0x' || md5(val)[1 + 8 * i:8 + 8 * i]) AS BIGINT) % 2048 AS p
+  FROM dim, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+bloom AS (
+  SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+  FROM build_pos GROUP BY 1
+),
+probe AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS val FROM events
+),
+probe_pos AS (
+  SELECT val,
+         CAST(('0x' || md5(val)[1 + 8 * i:8 + 8 * i]) AS BIGINT) % 2048 AS p
+  FROM probe, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+hits AS (
+  SELECT pp.val,
+         CASE WHEN (coalesce(b.bits, 0) >> CAST(pp.p % 63 AS INTEGER)) & 1 = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM probe_pos pp
+  LEFT JOIN bloom b ON b.word_idx = CAST(pp.p // 63 AS INTEGER)
+),
+cand AS (
+  SELECT val, sum(hit) = 4 AS candidate FROM hits GROUP BY val
+),
+truth AS (SELECT val FROM dim)
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN c.candidate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(sum(CASE WHEN t.val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(sum(CASE WHEN c.candidate AND t.val IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM cand c LEFT JOIN truth t ON t.val = c.val
+"""
+
+
+@register("bloom_semi_join", _BLOOM_SQL)
+def bloom_semi_join(spark, sf_dir):
+    """Bloom-filter semi-join reduction (operators/sketches.py
+    bloom_build/bloom_probe): the big-purchase-user key set compresses to
+    a 2048-bit / 33-long filter that BROADCASTS for free, and probing
+    all event users against it yields candidates with zero false
+    negatives — the pattern that prunes a 100 TB probe table without
+    shipping the build side's keys (what Spark's runtime row-group
+    filtering does, here as a first-class, engine-portable operator).
+    Output is the honest accounting: probed count, candidate count,
+    exact semi-join truth, and the false-positive overshoot."""
+    from gfftoneo4j_spark.operators.sketches import bloom_build, bloom_probe
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("user_id")
+    bloom = bloom_build(dim, "user_id", m_bits=2048, k=4)
+    cand = bloom_probe(ev.select("user_id"), "user_id", bloom, 2048, 4)
+    truth = dim.select(
+        F.col("user_id").cast("string").alias("val")
+    ).distinct().withColumn("is_true", F.lit(1))
+    return cand.join(truth, "val", "left").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("candidate"), 1).otherwise(0)).alias(
+            "n_candidates"
+        ),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
+        F.sum(
+            F.when(F.col("candidate") & F.col("is_true").isNull(), 1).otherwise(
+                0
+            )
+        ).alias("n_false_pos"),
+    )
+
+
+def _zorder_sql() -> str:
+    from gfftoneo4j_spark.operators.layout import z_value_sql
+
+    z = z_value_sql(
+        "user_id % 1024",
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024",
+        10,
+    )
+    return f"""
+WITH zed AS (
+  SELECT CAST(user_id % 1024 AS BIGINT) AS zx,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024 AS zy,
+         ({z}) AS z
+  FROM events
+)
+SELECT CAST(z >> 12 AS BIGINT) AS z_block,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zx) AS BIGINT) AS x_min, CAST(max(zx) AS BIGINT) AS x_max,
+       CAST(min(zy) AS BIGINT) AS y_min, CAST(max(zy) AS BIGINT) AS y_max
+FROM zed GROUP BY 1
+"""
+
+
+@register("zorder_layout", _zorder_sql())
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering of events on (user bucket, hour
+    bucket): interleave the low 10 bits of each dimension into one
+    layout key and report per-z-block row counts and min/max of BOTH
+    dimensions (operators/layout.py). Bounded two-dimensional ranges
+    per block is precisely what lets file-level min/max statistics
+    prune scans on EITHER column after a
+    repartitionByRange(z).write — the write-time layout operator
+    behind OPTIMIZE ZORDER. Pure codegen bit math + one combinable
+    groupBy on <= 2^8 blocks."""
+    from gfftoneo4j_spark.operators.layout import zorder_block_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1024).alias("xb"),
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 1024
+        ).alias("yb"),
+    )
+    return zorder_block_stats(ev, "xb", "yb", bits=10, block_shift=12)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
@@ -6095,6 +6320,12 @@ _WINDOW_FIRST = [
     "embedding_drift",
     "phrase_search",
     "prefix_filter_pairs",
+    # round-4 second batch (this session): newest operators take
+    # driver-window priority over older judge-gate-proven fresh rows
+    "register_min_distinct",
+    "bloom_semi_join",
+    "winnow_fingerprints",
+    "zorder_layout",
 ]
 
 

@@ -149,9 +149,22 @@ def run_once(
         )
         n_turns = n_edges  # throughput denominator: edges per second
 
+        mat_every = int(os.environ.get("SPARK_GRAFT_PR_MAT_EVERY", "1"))
+
         def one_run() -> tuple[float, int]:
+            # HONESTY GUARD: the loop state is columnar `persist`, and
+            # Spark's CacheManager matches EQUIVALENT logical plans —
+            # a repeated run of this deterministic in-engine job would
+            # silently serve the loop invariants AND the final round
+            # from the previous run's cache (measured: a fully-lazy
+            # variant "ran" 60M edges in 2.03s). localCheckpoint-era
+            # runs had unique lineage per call and never reused, so
+            # comparable timing requires dropping the cache each run.
+            spark.catalog.clearCache()
             t0 = time.time()
-            ranks = pagerank_fixed_point(edges_df, iters=5)
+            ranks = pagerank_fixed_point(
+                edges_df, iters=5, mat_every=mat_every
+            )
             row = ranks.select(
                 F.count(F.lit(1)).alias("n"), F.sum("rank").alias("mass")
             ).collect()[0]
