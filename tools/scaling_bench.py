@@ -442,8 +442,13 @@ def orchestrate(args) -> None:
         results = _load_results(path) if os.path.exists(path) else {
             "protocol": "v2-interleaved"
         }
+        # sessions=3: this box intermittently degrades a whole session
+        # ~4-7x (measured: walls [206, 237] against the same session's
+        # 59s cold — an executor-loss/GC-stall mode, not host drift);
+        # a 3-wall median survives one poisoned session where 2 walls
+        # cannot.
         results["strong_pagerank"] = strong_scaling(
-            args.corpus, "sql", sessions=2, measured=1, job="pagerank"
+            args.corpus, "sql", sessions=3, measured=1, job="pagerank"
         )
         results["envelope_pagerank"] = envelope(
             args.corpus,
@@ -581,37 +586,49 @@ def write_baseline_md(r: dict) -> None:
             ep = r["envelope_pagerank"]
             vs = r.get("pagerank_efficiency_vs_envelope")
             lines += [
-                "Columnar loop state (see the fixes list below) removed the",
-                "deserialized-checkpoint bandwidth wall that dominated this",
-                "job's first measurement (1x8 210.6s -> 55.6s). What remains",
-                "at 60M edges is a LATENCY-bound regime: a 4x8 round is",
-                "~5.5s of work issued as one job per round with an eager",
-                "materialization barrier each, so scheduler/stage-launch",
-                "fixed costs and the 256-task straggler tail stop shrinking",
-                "with cluster size while the compute does. The contention",
-                "envelope bounds what the shared box permits — 4 independent,",
-                "uncoordinated 1x8 clusters running the same job concurrently",
-                "(zero Spark coordination, so any slowdown is pure shared-",
-                "hardware contention):",
+                "MEASUREMENT HONESTY NOTE: columnar loop state is `persist`,",
+                "and Spark's CacheManager matches equivalent logical plans,",
+                "so a repeated run of this deterministic in-engine job would",
+                "silently serve loop invariants and the final round from the",
+                "previous run's cache (caught when a fully-lazy variant",
+                "\"ran\" 60M edges in 2.03s). Every measured run therefore",
+                "calls spark.catalog.clearCache() first; checkpoint-era",
+                "numbers (unique lineage per call, no reuse possible) are",
+                "directly comparable. Honest columnar-vs-checkpoint deltas:",
+                "1x8 210.6s -> 91.5s, 4x8 139.8s -> 36.8s.",
+                "",
+                "The contention envelope — 4 independent, uncoordinated 1x8",
+                "clusters running the same job concurrently (zero Spark",
+                "coordination, so any slowdown vs solo is shared hardware):",
                 "",
                 f"- solo 1x8 wall: {ep['solo_wall']}s; 4 concurrent 1x8 walls:"
                 f" {ep['concurrent_walls']}",
-                f"- **envelope efficiency {ep['envelope_efficiency']}** (the",
-                "  best ANY 4x-parallel execution of this job can do on this",
-                "  box), ",
+                f"- **envelope efficiency {ep['envelope_efficiency']}**,",
                 f"- **PageRank efficiency vs envelope: {vs}**"
                 f" (target >= 0.8: {'PASS' if (vs or 0) >= 0.8 else 'MISS'}).",
                 "",
-                "On a real 4-node cluster each executor owns its own memory",
-                "controllers and NVMe; the raw N-vs-4N number here measures",
-                "the shared-DRAM sandbox, the envelope-relative number",
-                "measures the operator's actual parallel structure. The",
-                "per-round barrier cost is fixed per ROUND, not per edge, so",
-                "it amortizes as per-round data grows — the weak-scaling row",
-                "below measures exactly that regime.",
+                "For this job the envelope sits BELOW the coordinated",
+                "cluster's raw efficiency: 4 independent copies carry 4x the",
+                "columnar-cache + tmpfs-shuffle + 14g-heap footprint of one",
+                "4x8 cluster, and that pressure triggers this box's",
+                "degraded-session mode (bimodal ~150s / ~450s walls above).",
+                "Sharing one cache and one shuffle footprint is exactly what",
+                "coordinated scaling buys — the operator extracts MORE than",
+                "4 independent jobs can from the same hardware; the residual",
+                "raw-efficiency gap to 0.8 is the shared-DRAM + localhost-",
+                "shuffle sandbox, which a real 4-node cluster does not share.",
                 "",
-                "Measured plan fixes that this datapoint already includes",
-                "(each verified by A/B runs at 60M edges):",
+                "Protocol defenses, both measured this round: (a) sessions=3",
+                "with a 3-wall median — this box intermittently degrades a",
+                "whole session 4-7x (walls [206, 237] against that same",
+                "session's 59s cold; an executor-loss/GC-stall mode, not",
+                "drift); (b) materialization-cadence A/B (mat_every 1 vs 2,",
+                "interleaved): 34.0s vs 33.9s at 4x8 — per-round barriers",
+                "are NOT the bottleneck, so the default per-round",
+                "materialization stands.",
+                "",
+                "Measured plan fixes this datapoint includes (A/B at 60M",
+                "edges):",
                 "- SortMergeJoin re-sorted the checkpointed |E|-row snapshot",
                 "  every round -> SHUFFLE_HASH rank/degree joins stream the",
                 "  edges unsorted: 262s -> 202s at 1x8.",
@@ -624,8 +641,8 @@ def write_baseline_md(r: dict) -> None:
                 "- Per-round localCheckpoint stored DESERIALIZED row blocks;",
                 "  re-reading them every round was allocation/bandwidth-",
                 "  bound -> compressed columnar persist (`_mat`,",
-                "  operators/graph.py): loop body 147.9s -> 73.0s at 1x8,",
-                "  113.8s -> 28.2s at 4x8 (per-round 23s -> 5.5s).",
+                "  operators/graph.py): honest walls 210.6 -> 91.5 at 1x8,",
+                "  139.8 -> 36.8 at 4x8.",
                 "",
             ]
         if "weak_pagerank" in r:
@@ -636,8 +653,7 @@ def write_baseline_md(r: dict) -> None:
                 "Same job, graph scaled with the cluster (15M edges @ 1x8 vs",
                 "60M @ 4x8; nodes = edges/10 at both, so per-core work is",
                 "constant — the 100 TB regime, where a bigger cluster means",
-                "bigger data, and per-round compute grows while the per-round",
-                "barrier cost stays fixed):",
+                "bigger data):",
                 "",
                 "| cluster | edges | wall median (s) | edges/sec |",
                 "|---|---|---|---|",
