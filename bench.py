@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "winnow_fingerprints",
     "zorder_layout",
+    "heavy_hitters",
+    "bipartite_projection",
+    "intra_conv_dedup",
+    "mad_anomaly",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

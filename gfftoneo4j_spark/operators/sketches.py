@@ -255,3 +255,52 @@ def bloom_probe(
         .agg((F.sum("hit") == k).alias("candidate"))
     )
     return hits
+
+
+def misra_gries_candidates(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (Misra & Gries
+    1982; merge rule from Agarwal et al. 2013 "Mergeable Summaries"):
+    each partition keeps at most ``k`` counters, so the candidate set
+    shuffled off the mappers is <= partitions * k rows REGARDLESS of
+    key cardinality. The classic guarantee survives batching and
+    merging: any key with true frequency > n/(k+1) is present in the
+    union of summaries.
+
+    This is the candidate-generation half of heavy-hitter detection at
+    10^9+ distinct keys, where a plain groupBy-count's map-side combine
+    still emits one partial row per distinct key per mapper — the MG
+    summary caps that at k. Arrow-batched: each batch is reduced with a
+    vectorized value_counts before touching the Python dict, so the
+    per-row loop never runs.
+
+    Returns (key_col, mg) with the partition-summary counts; callers
+    recount candidates exactly (see queries.py `heavy_hitters`) because
+    MG counts undercount by up to n/(k+1).
+    """
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for val, cnt in pdf[key_col].value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from everything,
+                # drop the non-positive: the mergeable-summaries prune
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "mg": list(counters.values())}
+        )
+
+    return df.select(key_col).mapInPandas(
+        summarize, f"{key_col} {key_type}, mg bigint"
+    )

@@ -6255,6 +6255,194 @@ def zorder_layout(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact recount
+# --------------------------------------------------------------------------
+
+_HH_SQL = """
+WITH n AS (SELECT count(*) AS total FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) >= ceil((SELECT total FROM n) * 0.008)
+"""
+
+
+@register("heavy_hitters", _HH_SQL)
+def heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy-hitters (phi = 0.8%) with Misra-Gries candidate
+    generation: per-partition MG summaries cap mapper output at k=256
+    counters per task (operators/sketches.py
+    `misra_gries_candidates`), the candidate union broadcasts, and only
+    candidate rows are recounted exactly. The answer is EXACT — MG's
+    guarantee (any key with freq > n/(k+1) survives; n/257 < 0.8% * n)
+    makes the candidate set a superset, and the recount removes the
+    undercount — so the approximate path gates against the plain
+    GROUP BY / HAVING oracle.
+
+    Why not just groupBy-count? At 10^9+ distinct keys a full count
+    shuffles one partial row per distinct key per mapper; MG shuffles
+    <= tasks * 256 rows, then the recount's semi-join prunes the big
+    scan map-side to candidate keys only. This is the frequency twin of
+    register_min_distinct's cardinality story. The n-count and the
+    candidate collect are both bounded driver scalars (one long, <=
+    tasks * k rows), same discipline as the CC checksum."""
+    import math
+
+    from gfftoneo4j_spark.operators.sketches import misra_gries_candidates
+
+    ev = load_table(spark, sf_dir, "events")
+    thresh = math.ceil(ev.count() * 0.008)
+    cand = (
+        misra_gries_candidates(ev, "user_id", k=256)
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(thresh))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bipartite projection: co-occurrence graph with bounded fanout
+# --------------------------------------------------------------------------
+
+_BIPROJ_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem),
+ranked AS (
+  SELECT l, r, row_number() OVER (PARTITION BY l ORDER BY r) AS rn FROM lp
+),
+capped AS (SELECT l, r FROM ranked WHERE rn <= 5)
+SELECT a.r AS r1, b.r AS r2, CAST(count(*) AS BIGINT) AS w
+FROM capped a JOIN capped b ON a.l = b.l AND a.r < b.r
+GROUP BY a.r, b.r
+HAVING count(*) >= 2
+"""
+
+
+@register("bipartite_projection", _BIPROJ_SQL)
+def bipartite_projection(spark, sf_dir):
+    """Co-purchase graph: project the order-part bipartite relation
+    onto parts, weight = co-ordering orders, per-order fanout capped at
+    5 (operators/graph.py `bipartite_project` — the cap bounds the
+    quadratic pair blowup a hub order would cause; one shuffle on the
+    left key, the self-join reuses it, combinable pair count)."""
+    from gfftoneo4j_spark.operators.graph import bipartite_project
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bipartite_project(
+        li.select(
+            F.col("l_orderkey").alias("l"), F.col("l_partkey").alias("r")
+        ),
+        "l",
+        "r",
+        cap=5,
+        min_weight=2,
+    ).select(F.col("r1"), F.col("r2"), F.col("w"))
+
+
+# --------------------------------------------------------------------------
+# Intra-conversation turn dedup (training-corpus repeat removal)
+# --------------------------------------------------------------------------
+
+_INTRA_DEDUP_SQL = f"""
+WITH t AS ({_KG_TRANSCRIPTS_SQL})
+SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx, text
+FROM t GROUP BY conv_id, text
+"""
+
+
+@register("intra_conv_dedup", _INTRA_DEDUP_SQL)
+def intra_conv_dedup(spark, sf_dir):
+    """Within-conversation repeat removal: keep the FIRST occurrence of
+    each distinct turn text per conversation — the intra-document pass
+    real corpus pipelines run before cross-document dedup (repeated
+    greetings, retry loops, templated tool outputs dominate transcript
+    token counts). Shape: ONE combinable groupBy keyed on
+    (conv_id, xxhash64(text)) — the text never shuffles as a key, the
+    min(struct(turn_idx, text)) state holds exactly one turn per
+    distinct text, and map-side combine collapses repeats before the
+    exchange. Deliberately NOT a window: partitionBy(conv, text) +
+    row_number sorts every group; min-by needs no sort."""
+    t = transcripts_from_events(spark, sf_dir)
+    return (
+        t.groupBy("conv_id", F.xxhash64("text").alias("h"))
+        .agg(F.min(F.struct("turn_idx", "text")).alias("first"))
+        .select(
+            "conv_id",
+            F.col("first.turn_idx").alias("turn_idx"),
+            F.col("first.text").alias("text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly flags: median absolute deviation
+# --------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+       round(d.adev / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND d.adev > 4.4478 * m.mad
+"""
+
+
+@register("mad_anomaly", _MAD_SQL)
+def mad_anomaly(spark, sf_dir):
+    """Robust outlier flags: |value - median| > 3 sigma-equivalents of
+    the median absolute deviation (4.4478 = 3 * 1.4826, the normal
+    consistency constant). Mean/stddev anomaly scoring (value_zscores)
+    breaks down exactly when it matters — the outliers inflate the
+    stddev that is supposed to flag them; MAD has a 50% breakdown
+    point. Two bounded-group percentile passes (5 event types; the
+    unbounded-group escape hatch is exact_group_quantiles, same as
+    group_quantiles' docstring), each result broadcast back — no
+    wide exchange of the event rows at all. Medians are rounded to 6dp
+    on BOTH engines before the threshold compare so the gate never
+    rides a cross-engine interpolation ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.col("adev") > F.lit(4.4478) * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.col("adev") / (F.lit(1.4826) * F.col("mad")), 6).alias(
+                "robust_z"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -6326,6 +6514,11 @@ _WINDOW_FIRST = [
     "bloom_semi_join",
     "winnow_fingerprints",
     "zorder_layout",
+    # round-4 third batch
+    "heavy_hitters",
+    "bipartite_projection",
+    "intra_conv_dedup",
+    "mad_anomaly",
 ]
 
 
