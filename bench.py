@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "bipartite_projection",
     "intra_conv_dedup",
     "mad_anomaly",
+    "graph_hits",
+    "turn_transitions",
+    "delete_propagation",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

@@ -591,3 +591,108 @@ def bipartite_project(
         .where(F.col("w") >= min_weight)
     )
     return co
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) in integer
+    fixed-point: a_{k}(v) = sum of h_{k-1}(u) over in-edges, then
+    L1-normalized to ``sum ~= scale`` by x -> (x * scale) div S with
+    S the global sum; h_{k}(u) = sum of a_k(v) over out-edges,
+    normalized the same way. L1 (not the textbook L2) keeps every step
+    in BIGINT arithmetic — sums, one integer multiply, one integer
+    floor-divide — so the iteration is bit-exact across engines,
+    partitionings, and cluster sizes, and the oracle unrolls as CTEs
+    with scalar-subquery sums exactly like graph_pagerank's rounds.
+
+    Overflow headroom: post-normalization values are <= scale, so a
+    raw sum is <= scale * maxdeg and the normalize multiply is
+    <= scale^2 * maxdeg / S <= scale * maxdeg per element term
+    (the computed product x * scale is <= scale^2 * maxdeg / 1 only
+    pre-division: with scale 10^6 the product stays under 10^18 for
+    maxdeg up to ~9 * 10^6 — raise scale only with that bound in
+    mind; 100-TB hub degrees above that need a two-level normalize).
+
+    Scale shape per half-round: the same single SHUFFLE_HASH join +
+    combinable groupBy as PageRank, but HITS joins alternate key sides
+    (h joins on u, a joins on v), so the edge snapshot is materialized
+    TWICE, pre-keyed per side — one extra |E| of columnar cache buys
+    zero edge exchanges in every round. The global sums are one-row
+    driver scalars (the CC-checksum discipline) that re-enter the plan
+    as literals, keeping the oracle expressible.
+    """
+    # dedup ONCE, then derive both pre-keyed copies and the node set
+    # from the cache — lazily, each of the three _mats below would
+    # re-run the |E|-wide distinct shuffle
+    base = _mat(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    e_by_u = _mat(base.repartition("u"))
+    e_by_v = _mat(base.repartition("v"))
+    nodes = _mat(
+        base.select(F.col("u").alias("node"))
+        .unionAll(base.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    base.unpersist(blocking=False)
+
+    cached: list[DataFrame] = []
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        """raw: (node, col) summed scores -> L1-normalized to total
+        ~= scale, floor per element. ONE materialization per
+        half-round: the node-joined raw vector is cached, the scalar
+        sum reads that cache, and the normalized result stays a LAZY
+        projection over it — downstream consumers pay a cache scan +
+        one multiply, not a recompute. (A first cut _mat-ed the
+        normalized frame too: one extra barrier job per half-round for
+        zero reuse — the loop has exactly one consumer per vector.)"""
+        full = _mat(
+            nodes.join(raw, "node", "left").select(
+                "node",
+                F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col),
+            )
+        )
+        cached.append(full)
+        total = full.agg(F.sum(col)).collect()[0][0] or 1
+        return full.select(
+            "node", F.expr(f"({col} * {scale}) div {total}").alias(col)
+        )
+
+    h = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e_by_u.join(
+                h.withColumnRenamed("node", "u").hint("shuffle_hash"), "u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = _normalize(a_raw, "a")
+        h_raw = (
+            e_by_v.join(
+                a.withColumnRenamed("node", "v").hint("shuffle_hash"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = _normalize(h_raw, "h")
+    out = nodes.join(h, "node", "left").join(a, "node", "left").select(
+        "node",
+        F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+        F.coalesce("a", F.lit(0)).cast("long").alias("auth"),
+    )
+    # the answer is a lazy projection over the LAST two cached vectors
+    # (final a and h) — free everything else, same leak discipline as
+    # pagerank_fixed_point's invariant unpersist
+    for inv in (e_by_u, e_by_v, *cached[:-2]):
+        inv.unpersist(blocking=False)
+    return out

@@ -6443,6 +6443,214 @@ def mad_anomaly(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# HITS hubs & authorities (integer fixed-point, unrolled-CTE oracle)
+# --------------------------------------------------------------------------
+
+_HITS_STEP_SQL = """
+{out}r AS (
+  SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS {c}
+  FROM nodes n LEFT JOIN (
+    SELECT e.{to} AS node, sum(p.{pc}) AS s
+    FROM e JOIN {prev} p ON p.node = e.{frm}
+    GROUP BY e.{to}
+  ) s ON s.node = n.node
+),
+{out} AS (
+  SELECT node,
+         CAST(({c} * 1000000) // (SELECT sum({c}) FROM {out}r) AS BIGINT)
+           AS {c}
+  FROM {out}r
+)"""
+
+_HITS_SQL = (
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  )
+),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),"""
+    + ",".join(
+        _HITS_STEP_SQL.format(out=out, c=c, pc=pc, prev=prev, to=to, frm=frm)
+        for out, c, pc, prev, to, frm in [
+            ("a1", "a", "h", "h0", "v", "u"),
+            ("h1", "h", "a", "a1", "u", "v"),
+            ("a2", "a", "h", "h1", "v", "u"),
+            ("h2", "h", "a", "a2", "u", "v"),
+        ]
+    )
+    + """
+SELECT h2.node, h2.h AS hub, a2.a AS auth
+FROM h2 JOIN a2 USING (node)
+"""
+)
+
+
+@register("graph_hits", _HITS_SQL)
+def graph_hits(spark, sf_dir):
+    """2-iteration HITS (Kleinberg hubs & authorities) over the
+    constructed KG in integer fixed-point with L1 normalization
+    (operators/graph.py `hits_fixed_point`): the global sum re-enters
+    the plan as a literal, so the oracle unrolls each half-round as a
+    CTE with a scalar-subquery sum — an iterative operator whose
+    normalization step still faces the exact gate. Same per-round plan
+    as graph_pagerank (pre-keyed columnar edge snapshots x2 for the
+    alternating join sides, SHUFFLE_HASH, combinable sums); same eager
+    triples snapshot."""
+    from gfftoneo4j_spark.operators.graph import hits_fixed_point
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return hits_fixed_point(edges, iters=2)
+
+
+# --------------------------------------------------------------------------
+# Turn-transition matrix + response latency (transcript dynamics)
+# --------------------------------------------------------------------------
+
+_TURN_TRANS_SQL = f"""
+WITH t AS ({_KG_TRANSCRIPTS_SQL}),
+lagd AS (
+  SELECT conv_id, role, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sec
+  FROM t
+),
+agg AS (
+  SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n,
+         round(avg(sec - prev_sec), 6) AS avg_latency_sec,
+         CAST(max(sec - prev_sec) AS BIGINT) AS max_latency_sec
+  FROM lagd WHERE prev_role IS NOT NULL
+  GROUP BY prev_role, role
+)
+SELECT prev_role, role, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_role), 6)
+         AS p,
+       avg_latency_sec, max_latency_sec
+FROM agg
+"""
+
+
+@register("turn_transitions", _TURN_TRANS_SQL)
+def turn_transitions(spark, sf_dir):
+    """Speaker-role Markov dynamics: who follows whom (transition
+    counts + per-source probabilities) and how fast (mean/max response
+    latency per role pair) — the turn-taking profile a dialogue-corpus
+    curator reads before sampling. One conv-keyed lag window (the
+    partitioning every transcript op shares), a combinable 9-row-out
+    groupBy; the probability window runs on the AGGREGATED matrix,
+    whose cardinality is the role alphabet squared — bounded by the
+    schema, not the corpus, so the unpartitioned-window trap
+    (activity_gini's round-3 defect) does not apply."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sec = F.unix_timestamp("ts").cast("long")
+    lagd = t.select(
+        "conv_id",
+        "role",
+        sec.alias("sec"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag(sec).over(w).alias("prev_sec"),
+    )
+    agg = (
+        lagd.where(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("sec") - F.col("prev_sec")), 6).alias(
+                "avg_latency_sec"
+            ),
+            F.max(F.col("sec") - F.col("prev_sec"))
+            .cast("long")
+            .alias("max_latency_sec"),
+        )
+    )
+    wp = Window.partitionBy("prev_role")
+    return agg.select(
+        "prev_role",
+        "role",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias(
+            "p"
+        ),
+        "avg_latency_sec",
+        "max_latency_sec",
+    )
+
+
+# --------------------------------------------------------------------------
+# Deletion-request propagation audit (right-to-be-forgotten cascade)
+# --------------------------------------------------------------------------
+
+_DELETE_PROP_SQL = """
+WITH tomb AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '4'
+),
+ev AS (
+  SELECT CAST(count(t.user_id) AS BIGINT) AS purged,
+         CAST(count(*) - count(t.user_id) AS BIGINT) AS kept
+  FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
+),
+cu AS (
+  SELECT CAST(count(t.user_id) AS BIGINT) AS purged,
+         CAST(count(*) - count(t.user_id) AS BIGINT) AS kept
+  FROM customer c LEFT JOIN tomb t ON c.c_custkey = t.user_id
+),
+od AS (
+  SELECT CAST(count(t.user_id) AS BIGINT) AS purged,
+         CAST(count(*) - count(t.user_id) AS BIGINT) AS kept
+  FROM orders o LEFT JOIN tomb t ON o.o_custkey = t.user_id
+)
+SELECT 'events' AS tbl, purged, kept FROM ev
+UNION ALL SELECT 'customer' AS tbl, purged, kept FROM cu
+UNION ALL SELECT 'orders' AS tbl, purged, kept FROM od
+"""
+
+
+@register("delete_propagation", _DELETE_PROP_SQL)
+def delete_propagation(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: a deterministic tombstone
+    set (the quarter of users whose md5 starts below '4' — the content-addressed
+    stand-in for a deletion-request table) propagated across every
+    table keyed by that user, reporting purged/kept row counts per
+    table. The enforcement write is cdc_upsert/keep_last_n's job; this
+    is the audit read: per table, one broadcast left join against the
+    tombstone set (scale path for huge request sets: bloom_semi_join's
+    2048-bit filter) + a combinable count — no wide exchange
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    tomb = (
+        ev.where(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "4"
+        )
+        .select("user_id")
+        .distinct()
+    )
+
+    def audit(df, key, name):
+        t = F.broadcast(tomb.withColumnRenamed("user_id", "__tomb"))
+        j = df.join(t, df[key] == F.col("__tomb"), "left")
+        return j.agg(
+            F.lit(name).alias("tbl"),
+            F.count("__tomb").alias("purged"),
+            (F.count(F.lit(1)) - F.count("__tomb")).alias("kept"),
+        ).select("tbl", "purged", "kept")
+
+    return (
+        audit(ev, "user_id", "events")
+        .unionAll(audit(cust, "c_custkey", "customer"))
+        .unionAll(audit(orders, "o_custkey", "orders"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -6519,6 +6727,9 @@ _WINDOW_FIRST = [
     "bipartite_projection",
     "intra_conv_dedup",
     "mad_anomaly",
+    "graph_hits",
+    "turn_transitions",
+    "delete_propagation",
 ]
 
 
