@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "graph_hits",
     "turn_transitions",
     "delete_propagation",
+    "pareto_frontier",
+    "equi_depth_binning",
+    "doc_quality_composite",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

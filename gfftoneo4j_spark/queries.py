@@ -6651,6 +6651,251 @@ def delete_propagation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Pareto frontier (skyline) without an all-pairs join
+# --------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH m AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+           AS y
+  FROM documents
+)
+SELECT a.doc_id, a.x, a.y FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE (b.x >= a.x AND b.y > a.y) OR (b.x > a.x AND b.y >= a.y)
+)
+"""
+
+
+@register("pareto_frontier", _PARETO_SQL)
+def pareto_frontier(spark, sf_dir):
+    """Skyline query: documents not dominated on (length, lexical
+    diversity) — the 2-D frontier a curation policy samples from when
+    it wants "longest AND most diverse" without scalarizing the
+    trade-off. The oracle is the textbook NOT EXISTS anti-join —
+    O(n^2) and exactly what must NOT run at scale. The Spark plan is
+    the grid-pruned skyline: range-bucket on x (dense_ids' two-phase
+    trick), per-bucket max(y) (combinable), broadcast the
+    strictly-higher-bucket suffix max, and keep rows with y above it.
+    Any dominator with a strictly larger x-bucket is excluded by that
+    prune, and within-bucket candidates can only be dominated by other
+    CANDIDATES in the SAME bucket (a same-bucket dominator needs
+    y' >= y > suffix-max >= every non-candidate's y), so the exact
+    finish is a bucket-co-partitioned self-join over candidates only —
+    the quadratic step runs on the frontier's neighborhood, not the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(F.array_distinct(F.split(F.trim("text"), " ")))
+        .cast("long")
+        .alias("y"),
+    )
+    n_buckets = 32
+    mx = d.agg(F.max("x").alias("m"))
+    b = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "x",
+        "y",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col("x") * n_buckets / (F.col("m") + 1)).cast("int"),
+        ).alias("bk"),
+    )
+    bmax = b.groupBy("bk").agg(F.max("y").alias("by"))
+    # suffix max over STRICTLY higher buckets: n_buckets rows, the same
+    # broadcast-size window dense_ids uses for its offsets
+    suf = bmax.select(
+        "bk",
+        F.max("by")
+        .over(
+            Window.orderBy(F.col("bk").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("smax"),
+    )
+    cand = b.join(F.broadcast(suf), "bk").where(
+        F.col("smax").isNull() | (F.col("y") > F.col("smax"))
+    )
+    a, c = cand.alias("a"), cand.alias("c")
+    dominated = (
+        a.join(c, "bk")
+        .where(
+            ((F.col("c.x") >= F.col("a.x")) & (F.col("c.y") > F.col("a.y")))
+            | ((F.col("c.x") > F.col("a.x")) & (F.col("c.y") >= F.col("a.y")))
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return cand.join(dominated, "doc_id", "left_anti").select(
+        "doc_id", "x", "y"
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth binning: ntile semantics without the global sort
+# --------------------------------------------------------------------------
+
+_EQUIDEPTH_SQL = """
+WITH r AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS tile
+  FROM events
+)
+SELECT tile, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS avg_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM r GROUP BY tile
+"""
+
+
+@register("equi_depth_binning", _EQUIDEPTH_SQL)
+def equi_depth_binning(spark, sf_dir):
+    """Equi-depth deciles of the value column with EXACT ntile
+    semantics (leading tiles absorb the remainder) — feature binning /
+    monotone calibration's first step — computed WITHOUT the
+    single-task global sort ntile() compiles to. Two-phase, extending
+    dense_ids: range-bucket on the sort key, per-bucket counts ->
+    broadcast cumulative offsets -> bucket-local row_number gives the
+    GLOBAL rank fully parallel; then tile = floor((rank-1)*k/n) + 1,
+    which reproduces ntile's remainder rule bit-for-bit (leading
+    n mod k tiles get ceil(n/k) rows). The total n rides the plan as a
+    broadcast scalar, not a driver literal."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n_buckets = 32
+    mx = ev.agg(F.max("value").alias("m"))
+    b = ev.crossJoin(F.broadcast(mx)).select(
+        "event_id",
+        "value",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col("value") * n_buckets / (F.col("m") + 1e-9)).cast(
+                "int"
+            ),
+        ).alias("bk"),
+    )
+    counts = b.groupBy("bk").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "bk",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("bk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("tot"),
+    )
+    local = W.partitionBy("bk").orderBy("value", "event_id")
+    ranked = b.join(F.broadcast(offsets), "bk").select(
+        "value",
+        (F.row_number().over(local) + F.col("offset")).alias("rank"),
+        "tot",
+    )
+    return (
+        ranked.select(
+            "value",
+            (F.floor((F.col("rank") - 1) * 10 / F.col("tot")) + 1).alias(
+                "tile"
+            ),
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document selection policy: the composite keep/drop filter
+# --------------------------------------------------------------------------
+
+_DOC_POLICY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks,
+         string_split_regex(lower(trim(text)), ' +') AS ltoks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    round(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END +
+          round(len(list_distinct(toks)) / len(toks), 3) * 0.5, 3) AS quality
+  FROM t
+),
+l AS (
+  SELECT doc_id,
+    greatest(
+      len(list_filter(ltoks, x -> x IN ('der','die','das','und'))),
+      len(list_filter(ltoks, x -> x IN ('the','a','of','and'))),
+      len(list_filter(ltoks, x -> x IN ('el','la','de','y'))),
+      len(list_filter(ltoks, x -> x IN ('le','la','de','et')))) AS best_hits
+  FROM t
+),
+p AS ({_LM_PPL_SQL.replace("SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,",
+                           "SELECT doc_id,").replace(
+    "round(avg(-log2(p)), 4) AS avg_nll,", "")}
+)
+SELECT q.doc_id,
+  concat_ws(',',
+    CASE WHEN l.best_hits = 0 THEN 'lang_und' END,
+    CASE WHEN q.quality < 0.68 THEN 'low_quality' END,
+    CASE WHEN p.ppl > 30.5 THEN 'high_ppl' END) AS reasons,
+  (l.best_hits > 0 AND q.quality >= 0.68
+   AND (p.ppl IS NULL OR p.ppl <= 30.5)) AS keep
+FROM q JOIN l ON q.doc_id = l.doc_id
+LEFT JOIN p ON q.doc_id = p.doc_id
+"""
+
+
+@register("doc_quality_composite", _DOC_POLICY_SQL)
+def doc_quality_composite(spark, sf_dir):
+    """The selection policy every training pipeline ends with: join the
+    independent quality signals (stopword lang-ID, heuristic quality
+    score, bigram-LM perplexity) into one keep/drop decision with
+    machine-readable reasons. Each signal is an already-gated operator
+    (lang_id_scores / quality_scores / lm_perplexity); the composite
+    adds two doc_id-keyed joins — the signal tables are 1 row per doc,
+    so at 100 TB these co-partition on the same key and AQE broadcasts
+    the small side at gate scale. Reasons are concat_ws in a FIXED
+    order (both engines skip NULLs identically), keep is their
+    conjunction; thresholds sit at the corpus's own p25 quality / p90
+    perplexity so the policy actually splits."""
+    from gfftoneo4j_spark.operators.lm import bigram_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    lang = d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+    ppl = bigram_perplexity(d).select("doc_id", "ppl")
+    j = (
+        q.join(lang, "doc_id")
+        .join(ppl, "doc_id", "left")
+    )
+    r_lang = F.when(F.col("lang_pred") == "und", F.lit("lang_und"))
+    r_q = F.when(F.col("quality") < 0.68, F.lit("low_quality"))
+    r_p = F.when(F.col("ppl") > 30.5, F.lit("high_ppl"))
+    return j.select(
+        "doc_id",
+        F.concat_ws(",", r_lang, r_q, r_p).alias("reasons"),
+        (
+            (F.col("lang_pred") != "und")
+            & (F.col("quality") >= 0.68)
+            & (F.col("ppl").isNull() | (F.col("ppl") <= 30.5))
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -6730,6 +6975,9 @@ _WINDOW_FIRST = [
     "graph_hits",
     "turn_transitions",
     "delete_propagation",
+    "pareto_frontier",
+    "equi_depth_binning",
+    "doc_quality_composite",
 ]
 
 
