@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "pareto_frontier",
     "equi_depth_binning",
     "doc_quality_composite",
+    "resample_ffill",
+    "rolling_distinct_sketch",
+    "cusum_changepoints",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

@@ -304,3 +304,67 @@ def misra_gries_candidates(
     return df.select(key_col).mapInPandas(
         summarize, f"{key_col} {key_type}, mg bigint"
     )
+
+
+def rolling_register_min(
+    df: DataFrame,
+    bucket_col,
+    value: str,
+    lookback: int = 2,
+    m: int = 256,
+) -> DataFrame:
+    """Sliding-window distinct-count: `register_min_distinct` per time
+    bucket, MERGED across the trailing ``lookback`` buckets by
+    elementwise register min — the property HLL-class sketches are
+    built for, exercised INSIDE the plan instead of across tasks. A
+    per-bucket exact distinct can't do this: distinct sets don't merge
+    without re-scanning; register vectors do, so the rolling window
+    costs one RANGE window over buckets * m rows (time-bounded, not
+    corpus-bounded), never a re-scan of the raw events.
+
+    The registers are densified over an explicit (bucket x register)
+    grid first: a register untouched in bucket b but hit in b-1 must
+    still carry its minimum into b's merged window — deriving the
+    window only from existing (b, j) rows would silently count it
+    empty and bias the estimate up.
+
+    Returns (bucket, n_regs, distinct_est) with the same estimator and
+    linear-counting switch as `register_min_distinct` (content-
+    addressed md5 randomness: exact-hash gateable).
+    """
+    spark = df.sparkSession
+    md5 = F.md5(F.col(value).cast("string"))
+    reg = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % m
+    u = (
+        F.conv(F.substring(md5, 3, _HEX_DIGITS), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HEX_SPACE)
+    per = (
+        df.select(bucket_col.alias("b"), reg.alias("j"), u.alias("u"))
+        .groupBy("b", "j")
+        .agg(F.min("u").alias("umin"))
+    )
+    regs = spark.range(m).select(F.col("id").cast("int").alias("j"))
+    grid = per.select("b").distinct().crossJoin(F.broadcast(regs))
+    dense = grid.join(per, ["b", "j"], "left")
+    w = (
+        Window.partitionBy("j")
+        .orderBy("b")
+        .rangeBetween(-lookback, Window.currentRow)
+    )
+    merged = dense.select(
+        "b", "j", F.min("umin").over(w).alias("um")
+    )
+    n_regs = F.count("um")  # non-null = occupied after the merge
+    v_empty = F.lit(m) - n_regs
+    raw = (
+        F.lit(float(m * m)) / (F.sum("um") + v_empty) - F.lit(float(m))
+    )
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty)
+    return merged.groupBy("b").agg(
+        n_regs.alias("n_regs"),
+        F.round(
+            F.when((raw < 2.5 * m) & (v_empty > 0), linear).otherwise(raw),
+            3,
+        ).alias("distinct_est"),
+    )

@@ -6896,6 +6896,189 @@ def doc_quality_composite(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Time-grid resample + forward fill (as-of composition)
+# --------------------------------------------------------------------------
+
+_RESAMPLE_SQL = """
+WITH span AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+  FROM span
+),
+r AS (
+  SELECT user_id, ts, max(value) AS r_val
+  FROM events GROUP BY user_id, ts
+)
+SELECT g.user_id, CAST(floor(epoch(g.ts)) AS BIGINT) AS hour_ep,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS matched_ep,
+       r.r_val AS filled_value
+FROM grid g ASOF LEFT JOIN r ON g.user_id = r.user_id AND g.ts >= r.ts
+"""
+
+
+@register("resample_ffill", _RESAMPLE_SQL)
+def resample_ffill(spark, sf_dir):
+    """Resample each user's event series onto an hourly grid with
+    forward fill — the gap-free regular series every time-series
+    feature pipeline starts from. Pure composition of gated pieces:
+    the grid is sequence()+explode over each user's [first, last] hour
+    (row growth bounded by wall-clock span, never event count), the
+    fill is the SAME one-shuffle union+last(ignoreNulls) as-of
+    operator asof_join_events gates (operators/windows.py `asof_join`)
+    — no per-user collect, no range-join blow-up. Oracle: DuckDB's
+    native ASOF LEFT JOIN against a generate_series grid, a genuinely
+    independent implementation. Grid points before a user's first
+    event stay null on both sides."""
+    from gfftoneo4j_spark.operators.windows import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("ts"),
+        )
+    )
+    out = asof_join(grid, ev, "user_id", "ts", "value")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("l_ep").alias("hour_ep"),
+        "matched_ep",
+        F.col("matched_val").alias("filled_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct-count sketch (mergeability exercised in-plan)
+# --------------------------------------------------------------------------
+
+_ROLLING_SKETCH_SQL = """
+WITH hashed AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+         CAST(('0x' || md5(CAST(user_id AS VARCHAR))[1:2]) AS INTEGER) % 256
+           AS j,
+         (CAST(('0x' || md5(CAST(user_id AS VARCHAR))[3:17]) AS BIGINT)
+           + 1.0) / 1152921504606846976.0 AS u
+  FROM events
+),
+per AS (SELECT b, j, min(u) AS umin FROM hashed GROUP BY b, j),
+grid AS (
+  SELECT bs.b, js.j
+  FROM (SELECT DISTINCT b FROM per) bs
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) js
+),
+dense AS (
+  SELECT g.b, g.j, p.umin
+  FROM grid g LEFT JOIN per p ON g.b = p.b AND g.j = p.j
+),
+merged AS (
+  SELECT b, j,
+         min(umin) OVER (PARTITION BY j ORDER BY b
+                         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS um
+  FROM dense
+),
+folded AS (
+  SELECT b, CAST(count(um) AS BIGINT) AS n_regs,
+         256 - count(um) AS v_empty,
+         65536.0 / (sum(um) + (256 - count(um))) - 256.0 AS raw
+  FROM merged GROUP BY b
+)
+SELECT b AS hour_bucket, n_regs,
+       round(CASE WHEN raw < 640.0 AND v_empty > 0
+                  THEN 256.0 * ln(256.0 / v_empty) ELSE raw END, 3)
+         AS distinct_est
+FROM folded
+"""
+
+
+@register("rolling_distinct_sketch", _ROLLING_SKETCH_SQL)
+def rolling_distinct_sketch(spark, sf_dir):
+    """Trailing-3-hour distinct users per hour via MERGED register-min
+    sketches (operators/sketches.py `rolling_register_min`): the
+    per-hour register vectors merge under elementwise min in one RANGE
+    window over (hours x 256) rows — time-bounded state, zero re-scans
+    of the raw events, the exact property that makes HLL-class
+    sketches the sliding-window cardinality tool. An exact rolling
+    distinct would re-scan or re-shuffle every event into 3 windows.
+    Registers are densified over the (bucket x register) grid so a
+    register hit in hour b-1 but not b still carries into b's merge
+    (deriving only from existing rows would bias the estimate up).
+    Estimator + linear-counting switch identical to
+    register_min_distinct; content-addressed md5 keeps it exact-hash
+    gateable, accuracy is pytest-bounded."""
+    from gfftoneo4j_spark.operators.sketches import rolling_register_min
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_register_min(
+        ev,
+        F.expr("unix_timestamp(ts) div 3600"),
+        "user_id",
+        lookback=2,
+    ).select(F.col("b").alias("hour_bucket"), "n_regs", "distinct_est")
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift flags (cumulative deviation changepoints)
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH g AS (
+  SELECT round(avg(value), 6) AS mu, round(stddev_samp(value), 6) AS sd
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id,
+         sum(value - (SELECT mu FROM g))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cusum
+  FROM events
+)
+SELECT user_id, event_id, round(cusum, 6) AS cusum
+FROM c WHERE abs(cusum) > 16 * (SELECT sd FROM g)
+"""
+
+
+@register("cusum_changepoints", _CUSUM_SQL)
+def cusum_changepoints(spark, sf_dir):
+    """Cumulative-deviation drift detection (the threshold form of
+    Page's CUSUM; the max-reset recursion isn't window-expressible, so
+    this is the centered cumulative sum — standard for level-shift
+    screening): per-user running sum of (value - corpus mean), flag
+    rows where |cusum| exceeds 16 global sigmas. One user-keyed
+    ordered window (running frames evaluate left-to-right identically
+    in both engines, the moving_window_stats precedent); mean/sigma
+    are 6dp-pinned broadcast scalars, so no second wide exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value") - F.col("mu")).over(w).alias("cusum"),
+        "sd",
+    )
+    return c.where(F.abs(F.col("cusum")) > 16 * F.col("sd")).select(
+        "user_id", "event_id", F.round("cusum", 6).alias("cusum")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -6978,6 +7161,9 @@ _WINDOW_FIRST = [
     "pareto_frontier",
     "equi_depth_binning",
     "doc_quality_composite",
+    "resample_ffill",
+    "rolling_distinct_sketch",
+    "cusum_changepoints",
 ]
 
 
