@@ -163,6 +163,10 @@ BENCH_QUERIES = [
     "resample_ffill",
     "rolling_distinct_sketch",
     "cusum_changepoints",
+    "graph_random_walks",
+    "graph_assortativity",
+    "association_rules",
+    "seasonal_residuals",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

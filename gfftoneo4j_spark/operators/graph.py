@@ -696,3 +696,59 @@ def hits_fixed_point(
     for inv in (e_by_u, e_by_v, *cached[:-2]):
         inv.unpersist(blocking=False)
     return out
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    steps: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Content-addressed 'random' walks — the DeepWalk/node2vec corpus
+    generator, derandomized: from every start node, at step k the next
+    hop is argmin over out-neighbors of md5(start || k || neighbor).
+    md5 of (walk, step, candidate) is a fixed uniform draw, so the
+    walk distribution matches a uniform random walk for any
+    non-adversarial graph (the same content-addressed trick as the
+    sketches/ANN planes), while every engine, run, and partitioning
+    reproduces the identical walks — which is what makes a SAMPLING
+    operator exact-hash gateable, and incidentally what an embedding
+    training pipeline wants anyway (resumable, diffable walk corpora).
+
+    Shape per step: one hash join of the frontier against the edge
+    snapshot (pre-keyed on u once, columnar) and one min_by groupBy —
+    both combinable/streaming, no per-walk sort. Walks ending at a
+    sink simply stop (inner join drops them). Returns
+    (start, step, node): step 0 is the start itself.
+    """
+    e = _mat(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .repartition("u")
+    )
+    frontier = e.select(F.col("u").alias("node")).distinct().select(
+        F.col("node").alias("start"), F.col("node")
+    )
+    out = frontier.select(
+        "start", F.lit(0).alias("step"), F.col("node")
+    )
+    for k in range(1, steps + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(
+                "start",
+                "v",
+                F.md5(
+                    F.concat_ws(":", "start", F.lit(str(k)), "v")
+                ).alias("score"),
+            )
+            .groupBy("start")
+            .agg(F.expr("min_by(v, score)").alias("node"))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select("start", F.lit(k).alias("step"), "node")
+        )
+    e.unpersist(blocking=False)
+    return out

@@ -7079,6 +7079,227 @@ def cusum_changepoints(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Deterministic random walks (the DeepWalk corpus generator)
+# --------------------------------------------------------------------------
+
+_WALK_STEP_SQL = """
+w{K} AS (
+  SELECT w.start,
+         arg_min(e.v, md5(w.start || ':{K}:' || e.v)) AS node
+  FROM w{P} w JOIN e ON e.u = w.node
+  GROUP BY w.start
+)"""
+
+_WALKS_SQL = (
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+w0 AS (SELECT DISTINCT u AS start, u AS node FROM e),"""
+    + ",".join(_WALK_STEP_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT start, 0 AS step, node FROM w0
+UNION ALL SELECT start, 1 AS step, node FROM w1
+UNION ALL SELECT start, 2 AS step, node FROM w2
+UNION ALL SELECT start, 3 AS step, node FROM w3
+"""
+)
+
+
+@register("graph_random_walks", _WALKS_SQL)
+def graph_random_walks(spark, sf_dir):
+    """Length-3 walks from every non-sink KG node, derandomized: next
+    hop = argmin over out-neighbors of md5(start:step:neighbor)
+    (operators/graph.py `deterministic_walks`). The walk corpus
+    DeepWalk/node2vec-style KG embeddings train on — content-addressed
+    choice makes a SAMPLING operator bit-reproducible across engines,
+    runs, and partitionings, so it faces the exact gate (oracle:
+    unrolled per-step CTEs with arg_min). Per step: one hash join of
+    the frontier against the pre-keyed columnar edge snapshot + one
+    combinable min_by — never a per-walk sort."""
+    from gfftoneo4j_spark.operators.graph import deterministic_walks
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return deterministic_walks(edges, steps=3)
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (one-number graph mixing audit)
+# --------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+od AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+id_ AS (SELECT v, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY v)
+SELECT round(corr(od.deg, id_.deg), 6) AS assortativity,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e JOIN od ON od.u = e.u JOIN id_ ON id_.v = e.v
+"""
+
+
+@register("graph_assortativity", _ASSORT_SQL)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the KG (Newman 2002): Pearson
+    correlation of (source out-degree, target in-degree) over edges —
+    the one-number answer to "do hubs link to hubs?" that decides
+    whether hub-capped algorithms (link_prediction, triangles) will
+    bite. Two combinable degree aggs + two edge-keyed joins + one
+    corr() fold (corr is a combinable moment aggregation — this is a
+    single pass over edges after the degree joins, no pair
+    materialization)."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    e = (
+        t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .distinct()
+    )
+    od = e.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("odeg"))
+    idg = e.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("ideg"))
+    return (
+        e.join(od, "u")
+        .join(idg, "v")
+        .agg(
+            F.round(F.corr("odeg", "ideg"), 6).alias("assortativity"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Association rules over the capped co-purchase pairs
+# --------------------------------------------------------------------------
+
+_RULES_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+ranked AS (
+  SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp
+),
+capped AS (SELECT o, p FROM ranked WHERE rn <= 5),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM capped),
+sup AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM capped GROUP BY p),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS w
+  FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+both_dir AS (
+  SELECT p1 AS ante, p2 AS cons, w FROM pairs
+  UNION ALL SELECT p2 AS ante, p1 AS cons, w FROM pairs
+)
+SELECT d.ante, d.cons, d.w,
+       round(CAST(d.w AS DOUBLE) / sa.s, 6) AS confidence,
+       round(CAST(d.w AS DOUBLE) * (SELECT n FROM nb) / (sa.s * sc.s), 6)
+         AS lift
+FROM both_dir d
+JOIN sup sa ON sa.p = d.ante
+JOIN sup sc ON sc.p = d.cons
+"""
+
+
+@register("association_rules", _RULES_SQL)
+def association_rules(spark, sf_dir):
+    """Market-basket association rules over the SAME capped basket
+    universe as bipartite_projection (cap = 5 keeps pair generation
+    linear in orders): support, directional confidence w/support(ante),
+    and lift w*n/(s_a*s_c). Everything downstream of the capped pairs
+    is broadcast-sized joins on the item supports + scalar basket
+    count — the A-priori first round, relational. Both rule directions
+    emitted from one pair table (union, no second self-join)."""
+    from gfftoneo4j_spark.operators.graph import bipartite_project
+
+    li = load_table(spark, sf_dir, "lineitem")
+    capped_src = li.select(
+        F.col("l_orderkey").alias("l"), F.col("l_partkey").alias("r")
+    )
+    pairs = bipartite_project(capped_src, "l", "r", cap=5, min_weight=2)
+    # rebuild the capped universe for supports (same rank rule)
+    lp = capped_src.distinct()
+    ranked = lp.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("l").orderBy("r"))
+    ).where(F.col("rn") <= 5)
+    sup = ranked.groupBy("r").agg(F.count(F.lit(1)).alias("s"))
+    nb = ranked.agg(F.countDistinct("l").alias("n"))
+    both = pairs.select(
+        F.col("r1").alias("ante"), F.col("r2").alias("cons"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("r2").alias("ante"), F.col("r1").alias("cons"), "w"
+        )
+    )
+    sa = sup.select(F.col("r").alias("ante"), F.col("s").alias("sa"))
+    sc = sup.select(F.col("r").alias("cons"), F.col("s").alias("sc"))
+    return (
+        both.join(sa, "ante")
+        .join(sc, "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "w",
+            F.round(F.col("w").cast("double") / F.col("sa"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("w").cast("double")
+                * F.col("n")
+                / (F.col("sa") * F.col("sc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline residual flags (hour-of-day cells)
+# --------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+         round(avg(value), 6) AS mu, round(stddev_samp(value), 6) AS sd
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+       round((e.value - c.mu) / c.sd, 6) AS seasonal_z
+FROM events e
+JOIN cells c ON c.event_type = e.event_type AND c.hr = hour(e.ts)
+WHERE c.sd > 0 AND abs(e.value - c.mu) > 3 * c.sd
+"""
+
+
+@register("seasonal_residuals", _SEASONAL_SQL)
+def seasonal_residuals(spark, sf_dir):
+    """Seasonality-aware anomaly flags: per (event_type, hour-of-day)
+    baseline mean/sigma, flag events > 3 cell-sigmas from THEIR OWN
+    hour's baseline — the diurnal-pattern-corrected screen
+    value_zscores (global) and mad_anomaly (per-type) can't do. The
+    cell table is schema-bounded (types x 24), one combinable agg +
+    one broadcast join back; sigma pinned to 6dp on both engines
+    before the compare, same as mad_anomaly."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .join(F.broadcast(cells), ["event_type", "hr"])
+        .where(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(
+                (F.col("value") - F.col("mu")) / F.col("sd"), 6
+            ).alias("seasonal_z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -7164,6 +7385,10 @@ _WINDOW_FIRST = [
     "resample_ffill",
     "rolling_distinct_sketch",
     "cusum_changepoints",
+    "graph_random_walks",
+    "graph_assortativity",
+    "association_rules",
+    "seasonal_residuals",
 ]
 
 
