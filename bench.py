@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "association_rules",
     "seasonal_residuals",
+    "user_trend_slopes",
+    "rfm_segments",
+    "ks_drift",
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

@@ -7300,6 +7300,228 @@ def seasonal_residuals(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Per-user trend slopes (combinable OLS moments)
+# --------------------------------------------------------------------------
+
+_SLOPES_SQL = """
+SELECT user_id,
+       round(covar_samp(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0, value)
+             / var_samp(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0), 6)
+         AS slope_per_hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id HAVING count(*) >= 3
+"""
+
+
+@register("user_trend_slopes", _SLOPES_SQL)
+def user_trend_slopes(spark, sf_dir):
+    """Per-user OLS trend of value over time (slope =
+    covar(x,y)/var(x), x in hours): the engagement-trajectory feature
+    churn/curriculum models consume. Written as the EXPLICIT moment
+    ratio on both engines rather than regr_slope() so the arithmetic
+    is pinned, not implementation-defined; covar_samp and var_samp are
+    combinable moment aggregations — one map-side-combinable groupBy,
+    no window, no per-user sort. Minimum 3 events so the variance is
+    meaningful."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts").cast("bigint") / F.lit(3600.0))
+    return (
+        ev.select("user_id", x.alias("x"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.covar_samp("x", "value") / F.var_samp("x"), 6
+            ).alias("slope_per_hour"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary)
+# --------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH rfm AS (
+  SELECT user_id,
+         CAST(floor(epoch((SELECT max(ts) FROM events))) AS BIGINT) / 86400.0
+           - CAST(floor(epoch(max(ts))) AS BIGINT) / 86400.0 AS r_days,
+         CAST(count(*) AS BIGINT) AS f_cnt,
+         round(sum(CAST(value AS DECIMAL(18,2))), 2) AS m_sum
+  FROM events GROUP BY user_id
+),
+med AS (
+  SELECT round(quantile_cont(r_days, 0.5), 6) AS r_med,
+         round(quantile_cont(f_cnt, 0.5), 6) AS f_med,
+         round(quantile_cont(m_sum, 0.5), 6) AS m_med
+  FROM rfm
+)
+SELECT user_id, round(r_days, 6) AS r_days, f_cnt,
+       CAST(m_sum AS DOUBLE) AS m_sum,
+       concat(CASE WHEN r_days <= (SELECT r_med FROM med) THEN 'R' ELSE 'r' END,
+              CASE WHEN f_cnt > (SELECT f_med FROM med) THEN 'F' ELSE 'f' END,
+              CASE WHEN m_sum > (SELECT m_med FROM med) THEN 'M' ELSE 'm' END)
+         AS segment
+FROM rfm
+"""
+
+
+@register("rfm_segments", _RFM_SQL)
+def rfm_segments(spark, sf_dir):
+    """RFM segmentation: recency (days before the corpus's last
+    event), frequency, monetary per user, each split at its median
+    into an 8-cell segment code (capital = good). The per-user rollup
+    is one combinable groupBy; the medians run over the USER table
+    (|users| rows, not |events|) and broadcast back — at 10^9 users
+    the in-memory percentile gives way to the engine's two-phase
+    exact_group_quantiles, the same documented tier switch as
+    group_quantiles. Monetary sums in DECIMAL(18,2) so the split
+    never rides float summation order (the hourly_rollup trick);
+    day arithmetic on floor(epoch) keeps both engines integer until
+    one final division."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        (F.unix_timestamp(F.max("ts")).cast("bigint") / F.lit(86400.0)).alias(
+            "max_d"
+        )
+    )
+    rfm = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")).cast("bigint") / F.lit(86400.0)
+            ).alias("last_d"),
+            F.count(F.lit(1)).alias("f_cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")), 2
+            ).alias("m_dec"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("max_d") - F.col("last_d")).alias("r_days"),
+            "f_cnt",
+            "m_dec",
+        )
+    )
+    med = rfm.agg(
+        F.round(F.expr("percentile(r_days, 0.5)"), 6).alias("r_med"),
+        F.round(F.expr("percentile(f_cnt, 0.5)"), 6).alias("f_med"),
+        F.round(F.expr("percentile(CAST(m_dec AS DOUBLE), 0.5)"), 6).alias(
+            "m_med"
+        ),
+    )
+    seg = F.concat(
+        F.when(F.col("r_days") <= F.col("r_med"), F.lit("R")).otherwise(
+            F.lit("r")
+        ),
+        F.when(F.col("f_cnt") > F.col("f_med"), F.lit("F")).otherwise(
+            F.lit("f")
+        ),
+        F.when(
+            F.col("m_dec").cast("double") > F.col("m_med"), F.lit("M")
+        ).otherwise(F.lit("m")),
+    )
+    return rfm.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        F.round("r_days", 6).alias("r_days"),
+        "f_cnt",
+        F.col("m_dec").cast("double").alias("m_sum"),
+        seg.alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift between sources (binned KS statistic)
+# --------------------------------------------------------------------------
+
+_KSDRIFT_SQL = """
+WITH b AS (
+  SELECT source,
+         least(19, CAST(floor(n_chars * 20.0
+             / ((SELECT max(n_chars) FROM documents) + 1)) AS INTEGER))
+           AS bin
+  FROM documents
+),
+per_src AS (SELECT source, bin, count(*) AS c FROM b GROUP BY source, bin),
+tot AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+n_src AS (SELECT source, sum(c) AS n FROM per_src GROUP BY source),
+n_all AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tot),
+grid AS (
+  SELECT s.source, t.bin, coalesce(p.c, 0) AS c_src, t.c AS c_all
+  FROM (SELECT DISTINCT source FROM per_src) s
+  CROSS JOIN tot t
+  LEFT JOIN per_src p ON p.source = s.source AND p.bin = t.bin
+),
+cdf AS (
+  SELECT source, bin,
+         sum(c_src) OVER (PARTITION BY source ORDER BY bin)
+           / (SELECT n FROM n_src ns WHERE ns.source = cdf_inner.source)
+           AS f_src,
+         sum(c_all) OVER (PARTITION BY source ORDER BY bin)
+           / (SELECT n FROM n_all) AS f_all
+  FROM grid cdf_inner
+)
+SELECT source, round(max(abs(f_src - f_all)), 6) AS ks_stat
+FROM cdf GROUP BY source
+"""
+
+
+@register("ks_drift", _KSDRIFT_SQL)
+def ks_drift(spark, sf_dir):
+    """Per-source distribution drift: binned two-sample KS statistic
+    of each source's length distribution against the whole corpus —
+    the ingest-monitoring screen that catches a crawler or exporter
+    whose documents silently changed shape. Histogram bins are
+    combinable counts; the CDF window runs over the (sources x 20
+    bins) grid — schema-bounded like turn_transitions' matrix, never
+    corpus-sized. Densified with a bin grid so a source missing a bin
+    still carries the right running CDF."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("m"))
+    b = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(19),
+            F.floor(F.col("n_chars") * 20.0 / (F.col("m") + 1)).cast("int"),
+        ).alias("bin"),
+    )
+    per_src = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = b.groupBy("bin").agg(F.count(F.lit(1)).alias("c_all"))
+    n_src = per_src.groupBy("source").agg(F.sum("c").alias("n_s"))
+    n_all = tot.agg(F.sum("c_all").cast("double").alias("n_a"))
+    grid = (
+        per_src.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .join(per_src, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce("c", F.lit(0)).alias("c_src"),
+            "c_all",
+        )
+    )
+    w = Window.partitionBy("source").orderBy("bin")
+    cdf = (
+        grid.join(F.broadcast(n_src), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "bin",
+            (F.sum("c_src").over(w) / F.col("n_s")).alias("f_src"),
+            (F.sum("c_all").over(w) / F.col("n_a")).alias("f_all"),
+        )
+    )
+    return cdf.groupBy("source").agg(
+        F.round(F.max(F.abs(F.col("f_src") - F.col("f_all"))), 6).alias(
+            "ks_stat"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -7389,6 +7611,9 @@ _WINDOW_FIRST = [
     "graph_assortativity",
     "association_rules",
     "seasonal_residuals",
+    "user_trend_slopes",
+    "rfm_segments",
+    "ks_drift",
 ]
 
 
