@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     "user_trend_slopes",
     "rfm_segments",
     "ks_drift",
+    "centroid_distances",
+    # graph_pagerank_weighted is gate-only: identical per-round plan to
+    # the benched graph_pagerank plus one integer multiply — benching it
+    # would double the heaviest row for no added signal
     # prefix_filter_pairs is gate-only: like simhash_near_dup, the
     # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
     # its wall is dominated by emitting the answer, not the algorithm

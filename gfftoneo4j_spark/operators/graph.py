@@ -129,8 +129,19 @@ def pagerank_fixed_point(
     dst: str = "v",
     seeds: DataFrame | None = None,
     mat_every: int = 1,
+    weight: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over directed ``edges``, integer fixed-point.
+
+    ``weight`` (optional): name of a positive INTEGER multiplicity
+    column on ``edges`` (pre-aggregated one row per (u, v) by the
+    caller). The recurrence becomes
+    floor(r_k(u) * damping_num * w / (damping_den * wout(u))) with
+    wout(u) the node's total out-weight — identical plan shape, one
+    extra multiply; with all weights 1 the result is bit-identical to
+    the unweighted path (pytest-pinned). Integer weights keep the
+    fixed-point exact; headroom: r * damping_num * w must stay under
+    2^63 (w <= ~10^4 at scale 10^6 and hub in-rank ~10^12).
 
     r_0(n) = scale;
     r_{k+1}(n) = (1 - d) * scale + sum over in-edges (u -> n) of
@@ -157,10 +168,18 @@ def pagerank_fixed_point(
     cost, not part of the recurrence). See ``_mat`` for the measured
     columnar-vs-checkpoint numbers.
     """
+    cols = [F.col(src).alias("u"), F.col(dst).alias("v")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
+    e = edges.select(*cols).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    if weight is None:
+        # weighted callers pre-aggregate to one row per (u, v); the
+        # unweighted path dedups here as before
+        e = e.distinct()
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
+        e
         # re-key the snapshot on the per-round join key BEFORE
         # checkpointing: distinct() leaves hash(u, v) partitioning, so
         # every iteration would re-shuffle the edge table — the loop's
@@ -181,7 +200,10 @@ def pagerank_fixed_point(
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    outdeg = _mat(e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    degagg = (
+        F.sum("w") if weight is not None else F.count(F.lit(1))
+    )
+    outdeg = _mat(e.groupBy("u").agg(degagg.alias("deg")))
     base = int(scale * (damping_den - damping_num) // damping_den)
     if seeds is not None:
         # Personalized PageRank: all initial mass AND the teleport term
@@ -227,9 +249,11 @@ def pagerank_fixed_point(
             .join(outdeg.hint("shuffle_hash"), "u")
             .select(
                 F.col("v").alias("node"),
-                F.expr(f"(r * {damping_num}) div ({damping_den} * deg)").alias(
-                    "c"
-                ),
+                F.expr(
+                    f"(r * {damping_num} * w) div ({damping_den} * deg)"
+                    if weight is not None
+                    else f"(r * {damping_num}) div ({damping_den} * deg)"
+                ).alias("c"),
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))

@@ -7522,6 +7522,137 @@ def ks_drift(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Weighted PageRank (edge-multiplicity variant)
+# --------------------------------------------------------------------------
+
+_WPR_ROUND_SQL = """
+c{K} AS (
+  SELECT e.v AS node, sum((r.r * 85 * e.w) // (100 * o.deg)) AS s
+  FROM e JOIN r{P} r ON r.node = e.u JOIN outdeg o ON o.u = e.u
+  GROUP BY e.v
+),
+r{K} AS (
+  SELECT n.node, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{K} c ON c.node = n.node
+)"""
+
+_WPR_SQL = (
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+e AS (
+  SELECT subj AS u, obj AS v, CAST(count(*) AS BIGINT) AS w
+  FROM triples GROUP BY subj, obj
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  )
+),
+outdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY u),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_WPR_ROUND_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT node, r AS rank FROM r3
+"""
+)
+
+
+@register("graph_pagerank_weighted", _WPR_SQL)
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weight-proportional PageRank over the KG: edge weight = number
+    of distinct predicates between the pair (a 2x-cited relation pulls
+    2x the rank mass), recurrence
+    floor(r * 85 * w / (100 * wout(u))) in the same integer fixed-point
+    as graph_pagerank — one extra multiply, identical single-exchange
+    per-round plan, and with all weights 1 the operator is bit-identical
+    to the unweighted path (pytest-pinned equivalence, the strongest
+    regression guard a variant can have). Oracle: the same unrolled
+    3-round CTEs with the weighted recurrence."""
+    from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    we = (
+        t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(we, iters=3, weight="w")
+
+
+# --------------------------------------------------------------------------
+# Label-centroid distance matrix (class-separation audit)
+# --------------------------------------------------------------------------
+
+_CENTROID_DIST_SQL = """
+WITH d AS (
+  SELECT label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label, CAST(dim AS INTEGER) AS dim,
+         round(avg(CAST(x AS DOUBLE)), 6) AS v
+  FROM d GROUP BY label, dim
+)
+SELECT a.label AS l1, b.label AS l2,
+       round(sum(a.v * b.v)
+             / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6) AS cosine,
+       round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 6) AS l2_dist
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+"""
+
+
+@register("centroid_distances", _CENTROID_DIST_SQL)
+def centroid_distances(spark, sf_dir):
+    """Inter-class centroid separation: cosine + L2 between every
+    label-centroid pair — the one-table answer to "are my classes even
+    separable / did label noise collapse two of them". Builds on the
+    gated label_centroids aggregation (centroids rounded to 6dp on
+    both engines BEFORE the distance so the gate never rides partial-
+    sum order); the distance join runs on the labels x dims table —
+    schema-bounded, broadcast-sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = (
+        e.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .select("label", (F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+    )
+    a = c.select(
+        F.col("label").alias("l1"), "dim", F.col("v").alias("va")
+    )
+    b = c.select(
+        F.col("label").alias("l2"), "dim", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "dim")
+        .where(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.round(
+                F.sum(F.col("va") * F.col("vb"))
+                / (
+                    F.sqrt(F.sum(F.col("va") * F.col("va")))
+                    * F.sqrt(F.sum(F.col("vb") * F.col("vb")))
+                ),
+                6,
+            ).alias("cosine"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("va") - F.col("vb"))
+                        * (F.col("va") - F.col("vb"))
+                    )
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
