@@ -171,6 +171,10 @@ BENCH_QUERIES = [
     "rfm_segments",
     "ks_drift",
     "centroid_distances",
+    "wilson_conversion",
+    "burstiness",
+    "k_anonymity_audit",
+    "column_profile",
     # graph_pagerank_weighted is gate-only: identical per-round plan to
     # the benched graph_pagerank plus one integer multiply — benching it
     # would double the heaviest row for no added signal

@@ -7653,6 +7653,196 @@ def centroid_distances(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Conversion rates with Wilson confidence bounds
+# --------------------------------------------------------------------------
+
+_WILSON_EXPR = (
+    "(conv/n + 1.96*1.96/(2*n) {sign} 1.96*sqrt((conv/n)*(1-conv/n)/n"
+    " + 1.96*1.96/(4*n*n))) / (1 + 1.96*1.96/n)"
+)
+
+_WILSON_SQL = f"""
+WITH pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+tu AS (SELECT DISTINCT event_type, user_id FROM events),
+agg AS (
+  SELECT t.event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(p.user_id) AS DOUBLE) AS conv
+  FROM tu t LEFT JOIN pu p ON p.user_id = t.user_id
+  GROUP BY t.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       CAST(conv AS BIGINT) AS n_converted,
+       round(conv / n, 6) AS p,
+       round({_WILSON_EXPR.format(sign='-')}, 6) AS wilson_lo,
+       round({_WILSON_EXPR.format(sign='+')}, 6) AS wilson_hi
+FROM agg
+"""
+
+
+@register("wilson_conversion", _WILSON_SQL)
+def wilson_conversion(spark, sf_dir):
+    """Per-cohort conversion rate (did the user ever purchase) with the
+    Wilson 95% score interval — the A/B-metrics bound that stays sane
+    at small n where the normal approximation lies. The interval
+    expression is ONE shared SQL string evaluated by both engines
+    (F.expr on the Spark side), so the float arithmetic is structurally
+    identical, not merely equivalent. Shape: two distinct-user rollups
+    + a broadcast semi-probe + a 5-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumnRenamed("user_id", "pu")
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    agg = (
+        tu.join(F.broadcast(pu), tu["user_id"] == F.col("pu"), "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count("pu").cast("double").alias("conv"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("conv").cast("bigint").alias("n_converted"),
+        F.round(F.col("conv") / F.col("n"), 6).alias("p"),
+        F.expr(f"round({_WILSON_EXPR.format(sign='-')}, 6)").alias(
+            "wilson_lo"
+        ),
+        F.expr(f"round({_WILSON_EXPR.format(sign='+')}, 6)").alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Burstiness coefficient of inter-event gaps
+# --------------------------------------------------------------------------
+
+_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+       round((stddev_samp(gap) - avg(gap))
+             / (stddev_samp(gap) + avg(gap)), 6) AS burstiness
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY user_id HAVING count(gap) >= 2
+"""
+
+
+@register("burstiness", _BURSTINESS_SQL)
+def burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's inter-event gaps: -1 = metronome, 0 = Poisson, ->1 = bursty.
+    The one-number temporal signature that separates bots from humans
+    and batch exporters from organic traffic. One user-keyed lag
+    window + a combinable moment fold — the same exchange every other
+    per-user temporal feature already shares."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    gaps = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(
+                (F.stddev_samp("gap") - F.avg("gap"))
+                / (F.stddev_samp("gap") + F.avg("gap")),
+                6,
+            ).alias("burstiness"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+_KANON_SQL = """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       count(*) < 5 AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("k_anonymity_audit", _KANON_SQL)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (k=5) over the (nation, market-segment)
+    quasi-identifier pair: equivalence-class sizes with an at-risk
+    flag for classes small enough to re-identify — the privacy screen
+    run before any per-segment data release, and delete_propagation's
+    natural companion. One combinable groupBy; the class table is
+    bounded by the quasi-identifier domain, not the row count."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column completeness / cardinality profile
+# --------------------------------------------------------------------------
+
+_COLPROF_SQL = """
+SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props),
+       count(DISTINCT props) FROM events
+"""
+
+
+@register("column_profile", _COLPROF_SQL)
+def column_profile(spark, sf_dir):
+    """Per-column completeness + exact cardinality profile — the
+    first query anyone runs on an unfamiliar table, and the input to
+    dq_expectations thresholds. One pass per column of (count,
+    non-null count, count distinct); count(DISTINCT) is exact here —
+    at 10^12 rows the sketch tier (register_min_distinct) replaces it
+    per the usual documented switch. The five single-row folds union
+    into the profile table."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def prof(col):
+        return ev.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_total"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+        ).select("col", "n_total", "n_null", "n_distinct")
+
+    out = prof("event_id")
+    for c in ("user_id", "event_type", "value", "props"):
+        out = out.unionAll(prof(c))
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
