@@ -144,17 +144,37 @@ def register_min_distinct(
     same value in any engine, so an approximate algorithm faces the
     exact-hash correctness gate).
     """
+    return fold_registers(register_partials(df, keys, value, m), keys, m)
+
+
+def register_partials(
+    df: DataFrame, keys: list[str], value: str, m: int = 256
+) -> DataFrame:
+    """The mergeable half of `register_min_distinct`: per-(keys,
+    register) minima of the unit draw. Two partial tables over the
+    same key space merge by union + groupBy-min — the algebra the
+    streaming sketch (streaming/sketch_stream.py) leans on: min is
+    idempotent, so a REPLAYED batch's partials are absorbed for free,
+    which is exactly-once without any dedup bookkeeping."""
     md5 = F.md5(F.col(value).cast("string"))
     reg = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % m
     u = (
         F.conv(F.substring(md5, 3, _HEX_DIGITS), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(_HEX_SPACE)
-    per_reg = (
+    return (
         df.select(*keys, reg.alias("j"), u.alias("u"))
         .groupBy(*keys, "j")
         .agg(F.min("u").alias("umin"))
     )
+
+
+def fold_registers(
+    per_reg: DataFrame, keys: list[str], m: int = 256
+) -> DataFrame:
+    """Estimator half of `register_min_distinct`: fold (keys, j, umin)
+    registers into (keys, n_regs, distinct_est), empty registers at
+    the support max, linear-counting switch below 2.5m."""
     n_regs = F.count(F.lit(1))
     v_empty = F.lit(m) - n_regs
     raw = (

@@ -324,3 +324,55 @@ def merge_intervals(
         F.max(end).alias(end),
         F.count(F.lit(1)).alias("n_merged"),
     ).select(key, start, end, "n_merged")
+
+
+def segmented_running_sum(
+    df: DataFrame,
+    part: str,
+    order: Sequence[str],
+    value: str,
+    segment_rows: int,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Running sum over (partitionBy(part) orderBy(order)) computed
+    WITHOUT a whole-partition window task — the mega-user hardening
+    for cumulative features (cusum_changepoints' scale path, the
+    running twin of segmented_lead/lag). A plain running window puts
+    one user's entire history in one task; here rows are
+    range-segmented on order[0], the in-segment running sum is a
+    bounded window (<= segment_rows rows per task), and the
+    cross-segment carry is a running sum over the per-segment TOTALS —
+    |partition| / segment_rows rows, map-side-combinable aggregation
+    first. The stitch join reuses the (part, __seg) partitioning the
+    in-segment window established.
+
+    Exactness: bit-exact for integer/decimal values (addition is
+    associative); for doubles the re-association can differ from the
+    sequential window in the last ulps — the parity pytest pins
+    integers exactly and doubles to 1e-9.
+
+    Same contract as segmented_lead: order keys unique per partition,
+    order[0] numeric and roughly dense."""
+    seg = _with_segment(df, order[0], segment_rows)
+    w_in = (
+        Window.partitionBy(part, "__seg")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seg = (
+        Window.partitionBy(part)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = seg.groupBy(part, "__seg").agg(F.sum(value).alias("__segtot"))
+    offsets = totals.select(
+        part,
+        "__seg",
+        F.coalesce(F.sum("__segtot").over(w_seg), F.lit(0)).alias("__off"),
+    )
+    return (
+        seg.withColumn("__in", F.sum(value).over(w_in))
+        .join(offsets, [part, "__seg"])
+        .withColumn(out_col, F.col("__in") + F.col("__off"))
+        .drop("__seg", "__in", "__off")
+    )

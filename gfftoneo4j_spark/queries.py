@@ -7056,7 +7056,11 @@ def cusum_changepoints(spark, sf_dir):
     rows where |cusum| exceeds 16 global sigmas. One user-keyed
     ordered window (running frames evaluate left-to-right identically
     in both engines, the moving_window_stats precedent); mean/sigma
-    are 6dp-pinned broadcast scalars, so no second wide exchange."""
+    are 6dp-pinned broadcast scalars, so no second wide exchange. A
+    mega-user would put their whole history in one window task — the
+    scale path is operators/windows.py `segmented_running_sum`
+    (bounded in-segment windows + per-segment-total carry, parity
+    pytest in test_segmented_window.py)."""
     ev = load_table(spark, sf_dir, "events")
     g = ev.agg(
         F.round(F.avg("value"), 6).alias("mu"),

@@ -113,3 +113,35 @@ def test_segmented_plan_splits_the_partition_key(spark):
     plan = seg.triples._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(conv_id" in plan
     assert "__seg" in plan
+
+
+def test_segmented_running_sum_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from gfftoneo4j_spark.operators.windows import segmented_running_sum
+
+    rows = [
+        ("u1", i, (i * 7) % 13 - 6) for i in range(200)
+    ] + [("u2", i, (i * 3) % 5) for i in range(57)]
+    df = spark.createDataFrame(rows, "part string, idx long, val long")
+    w = Window.partitionBy("part").orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = sorted(
+        (r["part"], r["idx"], r["rs"])
+        for r in df.select(
+            "part", "idx", F.sum("val").over(w).alias("rs")
+        ).collect()
+    )
+    got = sorted(
+        (r["part"], r["idx"], r["running_sum"])
+        for r in segmented_running_sum(
+            df, "part", ["idx"], "val", segment_rows=32
+        ).collect()
+    )
+    assert got == want  # integers: bit-exact across the segmentation
+    # and the segmented plan's windows are keyed (part, __seg)
+    plan = segmented_running_sum(
+        df, "part", ["idx"], "val", segment_rows=32
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__seg" in plan
