@@ -75,3 +75,41 @@ def test_cli_incremental_mode(tmp_path):
     assert (s1["version"], s2["version"]) == (1, 2)
     assert s2["n_edges"] > s1["n_edges"]
     assert s1["mode"] == s2["mode"] == "incremental"
+
+
+def test_run_query_cli_list_run_and_oracle_check(tmp_path):
+    """tools/run_query.py: --list names every registered query; running
+    one prints rows; --oracle-check exits 0 on a gate-green query and
+    writes --out parquet."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "run_query.py")
+    r = subprocess.run(
+        [sys.executable, script, "--list"],
+        capture_output=True, text=True, timeout=120,
+    )
+    names = r.stdout.split()
+    assert r.returncode == 0 and "kg_triples" in names and len(names) > 150
+
+    out = str(tmp_path / "res")
+    r2 = subprocess.run(
+        [
+            sys.executable, script, "column_profile",
+            "/root/testdata/sf0.001", "--limit", "2",
+            "--oracle-check", "--out", out, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "oracle check: PASS" in r2.stderr
+    assert "col\tn_total" in r2.stdout
+    assert os.path.isdir(out)
+
+    r3 = subprocess.run(
+        [sys.executable, script, "no_such_query", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r3.returncode == 2

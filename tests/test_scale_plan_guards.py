@@ -176,3 +176,59 @@ def test_doc_chunking_stays_exchange_free_at_width_boundary(spark):
         "doc_id long, text string",
     )
     assert _n_exchanges(chunk_documents(df, width=64, overlap=16)) == 0
+
+
+def test_equi_depth_rank_windows_are_bucket_keyed(spark):
+    """equi_depth_binning's whole point is replacing ntile's global
+    sort: every Window in its physical plan must be keyed by the range
+    bucket (bk), never an empty partition spec over the event rows."""
+    from gfftoneo4j_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["equi_depth_binning"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # the offsets window runs over the 32-row counts frame (allowed);
+    # the per-row rank window must carry bk in its partition spec
+    row_windows = [
+        ln for ln in plan.splitlines() if "row_number" in ln
+    ]
+    assert row_windows
+    assert all("bk" in ln for ln in row_windows), row_windows
+    assert re.search(r"ntile", plan, re.I) is None
+
+
+def test_pareto_finish_is_not_a_nested_loop_over_the_corpus(spark):
+    """pareto_frontier's exact finish must be the bucket-co-partitioned
+    equi-join over candidates — a BroadcastNestedLoopJoin/Cartesian
+    over the full doc table would be the O(n^2) oracle smuggled into
+    the engine."""
+    from gfftoneo4j_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["pareto_frontier"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the dominance join carries the bucket as an equi-key
+    assert "bk" in plan
+
+
+def test_heavy_hitters_recount_is_candidate_pruned(spark):
+    """heavy_hitters' exact recount must probe a broadcast candidate
+    set (semi join), never shuffle the full key space."""
+    from gfftoneo4j_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["heavy_hitters"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "Broadcast" in plan
