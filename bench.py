@@ -175,6 +175,11 @@ BENCH_QUERIES = [
     "burstiness",
     "k_anonymity_audit",
     "column_profile",
+    "cuped_variance_reduction",
+    "pca_top_component",
+    # graph_modularity is gate-only: it re-runs the already-benched LPA
+    # (graph_communities) plus cheap joins — benching it would double
+    # the second-heaviest row for no added plan signal
     # graph_pagerank_weighted is gate-only: identical per-round plan to
     # the benched graph_pagerank plus one integer multiply — benching it
     # would double the heaviest row for no added signal

@@ -464,3 +464,63 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def gram_power_iteration(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Power-iteration steps toward the gram matrix's dominant
+    eigenvector, fully in-engine: C = X'X as ONE combinable
+    aggregation (explode + self-join on the row id fans each row to
+    dims^2 products, collapsed map-side; C is dims x dims =
+    broadcast-sized at any corpus scale), then ``iters`` rounds of
+    w <- C v with L1 normalization. C is rounded to 6dp BEFORE
+    iterating and every normalized vector re-rounded, so engines
+    iterate the SAME matrix and the result is reproducible — the same
+    pinning discipline as graph_hits.
+
+    Convergence is governed by the eigengap: on spiked spectra (a real
+    drift direction, a dominant topic) two steps land on the
+    eigenvector (pytest: cos > 0.99 on planted data); on a spectrally
+    flat corpus the output is still deterministic — it is "the
+    2-step power iterate", which is exactly what a drift MONITOR wants
+    to diff run-over-run. Returns (dim int 1-based, loading)."""
+    e1 = emb.select(
+        F.col(id_col).alias("rid"), F.posexplode(vec_col).alias("i0", "xi")
+    ).select("rid", (F.col("i0") + 1).alias("i"), "xi")
+    a = e1.select("rid", "i", F.col("xi").alias("xa"))
+    b = e1.select("rid", F.col("i").alias("j"), F.col("xi").alias("xb"))
+    c = (
+        a.join(b, "rid")
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("xa").cast("double") * F.col("xb").cast("double")
+                ),
+                6,
+            ).alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def normalize(w_df):
+        s = w_df.agg(F.sum(F.abs(F.col("w"))).alias("s"))
+        return w_df.crossJoin(F.broadcast(s)).select(
+            "i", F.round(F.col("w") / F.col("s"), 6).alias("v")
+        )
+
+    v = normalize(c.groupBy("i").agg(F.sum("c").alias("w")))
+    for _ in range(iters - 1):
+        w = (
+            c.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        v = normalize(w)
+    return v.select(
+        F.col("i").cast("int").alias("dim"), F.col("v").alias("loading")
+    )

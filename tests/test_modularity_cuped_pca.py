@@ -1,0 +1,111 @@
+"""Semantics checks for graph_modularity / cuped_variance_reduction /
+pca_top_component."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gfftoneo4j_spark.queries import QUERIES
+
+
+def test_modularity_two_cliques_scores_high(spark):
+    """Two 5-cliques joined by one bridge edge: LPA labels the cliques,
+    and modularity of that partition, recomputed by hand, must match
+    the operator pipeline's formula and be clearly positive."""
+    from gfftoneo4j_spark.operators.graph import label_propagation
+
+    cl = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+    cr = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges = spark.createDataFrame(
+        cl + cr + [("a0", "b0")], "u string, v string"
+    )
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert len({comm[f"a{i}"] for i in range(5)}) == 1
+    assert len({comm[f"b{i}"] for i in range(5)}) == 1
+    assert comm["a0"] != comm["b0"]
+    # hand modularity: m=21, intra=20, D_a = D_b = 21 each... compute
+    und = {}
+    for u, v in cl + cr + [("a0", "b0")]:
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    m = 21
+    intra = sum(
+        1
+        for u, v in cl + cr + [("a0", "b0")]
+        if comm[u] == comm[v]
+    )
+    dc = {}
+    for n, nbrs in und.items():
+        dc[comm[n]] = dc.get(comm[n], 0) + len(nbrs)
+    q = intra / m - sum(d * d for d in dc.values()) / (4 * m * m)
+    assert q > 0.3
+    assert intra == 20
+
+
+def test_modularity_gate_query_consistent(spark, sf_dir):
+    row = QUERIES["graph_modularity"](spark, sf_dir).collect()[0]
+    assert row["intra_edges"] <= row["m_edges"]
+    assert 1 <= row["n_communities"]
+    assert -0.5 <= row["modularity"] <= 1.0
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    row = QUERIES["cuped_variance_reduction"](spark, sf_dir).collect()[0]
+    # theta is the OLS minimizer, so in-sample adjusted variance can
+    # never exceed raw variance (up to the 6dp pin on theta/xbar)
+    assert row["var_y_adj"] <= row["var_y"] + 1e-3
+    assert 0.0 - 1e-6 <= row["reduction"] < 1.0
+    assert row["n_users"] > 0
+
+
+def test_pca_matches_numpy_replication_and_eigvec(spark, sf_dir):
+    from gfftoneo4j_spark.sources.transcripts import load_table
+
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    c = np.round(emb.T @ emb, 6)
+    w1 = c.sum(axis=1)
+    v1 = np.round(w1 / np.abs(w1).sum(), 6)
+    w2 = c @ v1
+    v2 = np.round(w2 / np.abs(w2).sum(), 6)
+    got = {
+        r["dim"]: r["loading"]
+        for r in QUERIES["pca_top_component"](spark, sf_dir).collect()
+    }
+    got_vec = np.array([got[i + 1] for i in range(len(v2))])
+    # exact replication of the rounded 2-step power iteration
+    assert np.max(np.abs(got_vec - v2)) < 2e-6
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """On a SPIKED spectrum (a real dominant direction — the case a
+    drift monitor exists for) two power steps land on the eigenvector;
+    the flat-spectrum corpus above only checks determinism."""
+    import random
+
+    from gfftoneo4j_spark.operators.similarity import gram_power_iteration
+
+    rng = random.Random(7)
+    dims, n = 16, 200
+    spike = np.array([rng.gauss(0, 1) for _ in range(dims)])
+    spike /= np.linalg.norm(spike)
+    rows = []
+    for k in range(n):
+        noise = np.array([rng.gauss(0, 0.1) for _ in range(dims)])
+        coef = rng.gauss(0, 1) * 3.0
+        rows.append((k, [float(x) for x in coef * spike + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["dim"]: r["loading"]
+        for r in gram_power_iteration(df, iters=2).collect()
+    }
+    v = np.array([got[i + 1] for i in range(dims)])
+    cos = abs(v @ spike) / np.linalg.norm(v)
+    assert cos > 0.99, cos
