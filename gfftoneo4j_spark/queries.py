@@ -8098,6 +8098,62 @@ def pca_top_component(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Power-law exponent of the degree tail (Clauset-style MLE)
+# --------------------------------------------------------------------------
+
+_PLAW_SQL = f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+raw AS (SELECT subj AS u, obj AS v FROM triples),
+und AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT u AS s, v AS t FROM raw UNION ALL SELECT v AS s, u AS t FROM raw
+  ) WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY s),
+tail AS (SELECT d FROM deg WHERE d >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       CAST(max(d) AS BIGINT) AS d_max,
+       round(1 + count(*) / sum(ln(d / 1.5)), 6) AS alpha
+FROM tail
+"""
+
+
+@register("powerlaw_alpha", _PLAW_SQL)
+def powerlaw_alpha(spark, sf_dir):
+    """Power-law exponent of the KG's degree tail via the Clauset/
+    Shalizi/Newman discrete MLE (alpha = 1 + n / sum ln(d/(dmin-1/2)),
+    dmin = 2): with graph_assortativity, the two-number structural
+    fingerprint that predicts how every hub-capped operator
+    (triangles, link prediction) will behave — alpha near 2 means
+    hubs dominate and the caps matter; alpha above 3 means they
+    don't. One combinable degree agg + a 3-column scalar fold; the
+    estimator expression is shared SQL text on both engines (the
+    wilson_conversion trick)."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .where(
+            F.col("s").isNotNull()
+            & F.col("t").isNotNull()
+            & (F.col("s") != F.col("t"))
+        )
+        .distinct()
+    )
+    tail = (
+        und.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= 2)
+    )
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.max("d").alias("d_max"),
+        F.expr("round(1 + count(*) / sum(ln(d / 1.5)), 6)").alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of

@@ -109,3 +109,24 @@ def test_power_iteration_finds_planted_direction(spark):
     v = np.array([got[i + 1] for i in range(dims)])
     cos = abs(v @ spike) / np.linalg.norm(v)
     assert cos > 0.99, cos
+
+
+def test_powerlaw_alpha_matches_numpy(spark, sf_dir):
+    import math
+
+    from gfftoneo4j_spark.queries import QUERIES
+
+    row = QUERIES["powerlaw_alpha"](spark, sf_dir).collect()[0]
+    t = QUERIES["kg_triples"](spark, sf_dir)
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for r in t.select("subj", "obj").distinct().collect():
+        if r["subj"] != r["obj"]:
+            nbrs[r["subj"]].add(r["obj"])
+            nbrs[r["obj"]].add(r["subj"])
+    tail = [len(v) for v in nbrs.values() if len(v) >= 2]
+    want = round(1 + len(tail) / sum(math.log(d / 1.5) for d in tail), 6)
+    assert row["n_tail"] == len(tail)
+    assert abs(row["alpha"] - want) < 1e-5
+    assert row["alpha"] > 1.0
