@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "column_profile",
     "cuped_variance_reduction",
     "pca_top_component",
+    "heaps_law",
     # powerlaw_alpha is gate-only: its wall is the kg_triples snapshot
     # plus one degree agg, both already measured via other rows
     # graph_modularity is gate-only: it re-runs the already-benched LPA

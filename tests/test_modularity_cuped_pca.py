@@ -130,3 +130,33 @@ def test_powerlaw_alpha_matches_numpy(spark, sf_dir):
     assert row["n_tail"] == len(tail)
     assert abs(row["alpha"] - want) < 1e-5
     assert row["alpha"] > 1.0
+
+
+def test_heaps_law_curve_invariants(spark, sf_dir):
+    from gfftoneo4j_spark.queries import QUERIES
+    from gfftoneo4j_spark.sources.transcripts import load_table
+
+    rows = sorted(
+        (r["bucket"], r["cum_tokens"], r["cum_vocab"])
+        for r in QUERIES["heaps_law"](spark, sf_dir).collect()
+    )
+    assert [b for b, _, _ in rows] == list(range(16))
+    toks = [t for _, t, _ in rows]
+    voc = [v for _, _, v in rows]
+    assert toks == sorted(toks) and voc == sorted(voc)  # cumulative
+    assert all(v <= t for t, v in zip(toks, voc))
+    # endpoints: exact totals recomputed independently
+    docs = [
+        (r["doc_id"], r["text"].strip().split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    total = sum(max(0, len(w) - 2) for _, w in docs)
+    vocab = len(
+        {
+            " ".join(w[p : p + 3])
+            for _, w in docs
+            for p in range(len(w) - 2)
+        }
+    )
+    assert toks[-1] == total
+    assert voc[-1] == vocab
