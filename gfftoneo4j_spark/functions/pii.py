@@ -48,6 +48,24 @@ def pii_count(text: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
+def pii_counts(text: Column) -> dict[str, Column]:
+    """All kinds' counts from ONE progressive redaction chain: kind K
+    is counted on the intermediate with every earlier kind already
+    replaced (same partition-not-overlap semantics as ``pii_count``),
+    but the earlier replacements are SHARED down the chain instead of
+    recomputed per kind — linear in #kinds where per-kind
+    ``pii_count`` calls are quadratic. Use this when projecting counts
+    for every kind at once (the gated ``pii_redaction`` query does)."""
+    out: dict[str, Column] = {}
+    cur = text
+    for kind, (pattern, repl) in PII_PATTERNS.items():
+        out[kind] = F.size(
+            F.regexp_extract_all(cur, F.lit(pattern), F.lit(0))
+        )
+        cur = F.regexp_replace(cur, pattern, repl)
+    return out
+
+
 def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     """Replace every PII occurrence with its typed placeholder.
 

@@ -107,11 +107,24 @@ def chunk_documents(
     step = width - overlap
     toks = docs.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
-    )
+        # filter('') : split(trim(''), '\\s+') yields [''] — without the
+        # guard an empty/whitespace-only doc emitted a phantom 1-token
+        # chunk of empty text
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("toks"),
+    ).where(F.size("toks") >= 1)
+    # Last start capped at n - overlap - 1 (not n - 1): a chunk starting
+    # at s >= n - overlap is wholly contained in its predecessor (which
+    # already covers [s-step, s+overlap-1] ⊇ [s, n-1]) — e.g. width=4,
+    # overlap=2, n=5 must emit starts [0, 2], not [0, 2, 4]. Coverage is
+    # still total: the largest kept multiple of step satisfies
+    # s_max + width >= n (proof: s_max > (n-overlap-1) - step =
+    # n - width - 1).
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.greatest(F.size("toks") - overlap - 1, F.lit(0)),
         F.lit(step),
     )
     chunks = toks.select(

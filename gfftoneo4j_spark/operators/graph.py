@@ -277,8 +277,15 @@ def pagerank_fixed_point(
             if (_i + 1) % 6 == 0:
                 # bound plan depth for deep loops: persist keeps
                 # lineage, so truncate with a (cache-fed, cheap)
-                # checkpoint
+                # checkpoint. The checkpoint COPIES the blocks, so the
+                # _mat cache it was fed from must be released here —
+                # prev_state now points at the checkpoint wrapper, and
+                # the next _mat(prev=...) would unpersist that no-op
+                # wrapper while the persisted frame leaked one cache
+                # per 6 rounds on deep loops.
+                mat_ref = ranks
                 ranks = ranks.localCheckpoint(eager=True)
+                mat_ref.unpersist(blocking=False)
             prev_state = ranks
         else:
             ranks = new_ranks
@@ -432,7 +439,11 @@ def label_propagation(
         # PageRank loop (_mat docstring)
         labels = _mat(labels, prev=prev_state)
         if (_i + 1) % 6 == 0:
+            # release the _mat cache the checkpoint copied from (same
+            # per-6-rounds leak as the PageRank loop, fixed the same way)
+            mat_ref = labels
             labels = labels.localCheckpoint(eager=True)
+            mat_ref.unpersist(blocking=False)
         prev_state = labels
     # free the edge-snapshot cache (answer lives in the final labels
     # cache; lineage intact for eviction-triggered recompute)

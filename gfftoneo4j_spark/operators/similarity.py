@@ -466,6 +466,55 @@ def ivf_topk(
     )
 
 
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """C = X'X over an embedding column, 6dp-rounded, as (i, j, c)
+    with 1-based dims — per-partition numpy partials, never a join.
+
+    One Arrow-batched ``mapInPandas`` accumulates a dense d x d
+    ``X.T @ X`` across each partition's batches and emits exactly d^2
+    rows per non-empty partition; one groupBy-sum folds the partials.
+    Shuffle volume is |partitions| * d^2 rows — independent of corpus
+    size — where the posexplode + self-join-on-row-id formulation this
+    replaced shuffled |rows| * d^2 product rows (0.6M-16M intermediate
+    rows PER DOCUMENT at real embedding widths d=768-4096). Plan shape
+    is pytest-frozen: no Join, no Generate (test_modularity_cuped_pca).
+    """
+
+    def _gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]],
+                dtype=np.float64,
+            )
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "p": acc.ravel(),
+                }
+            )
+
+    partials = emb.select(F.col(vec_col).alias("_vec")).mapInPandas(
+        _gram_partials, "i int, j int, p double"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("p"), 6).alias("c")
+    )
+
+
 def gram_power_iteration(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -473,14 +522,22 @@ def gram_power_iteration(
     iters: int = 2,
 ) -> DataFrame:
     """Power-iteration steps toward the gram matrix's dominant
-    eigenvector, fully in-engine: C = X'X as ONE combinable
-    aggregation (explode + self-join on the row id fans each row to
-    dims^2 products, collapsed map-side; C is dims x dims =
-    broadcast-sized at any corpus scale), then ``iters`` rounds of
-    w <- C v with L1 normalization. C is rounded to 6dp BEFORE
-    iterating and every normalized vector re-rounded, so engines
-    iterate the SAME matrix and the result is reproducible — the same
-    pinning discipline as graph_hits.
+    eigenvector, fully in-engine: C = X'X via PER-PARTITION numpy
+    partials (one Arrow-batched ``mapInPandas`` computes a d x d
+    ``X.T @ X`` per partition — the same vectorized escape hatch as
+    functions/extraction.py), then one union + groupBy-sum over only
+    |partitions| * d^2 rows; C is dims x dims = broadcast-sized at any
+    corpus scale. A first cut built C by posexplode + self-join on the
+    row id, which fans EVERY embedding row to d^2 product rows through
+    the join before the map-side combine — benign at the fixture's
+    d=64, but at a real embedding width (d=768-4096) that is 0.6M-16M
+    intermediate rows PER DOCUMENT and the shuffle write alone dwarfs
+    the corpus. The partial form shuffles a corpus-size-independent
+    number of rows. Then ``iters`` rounds of w <- C v with L1
+    normalization. C is rounded to 6dp BEFORE iterating and every
+    normalized vector re-rounded, so engines iterate the SAME matrix
+    and the result is reproducible — the same pinning discipline as
+    graph_hits.
 
     Convergence is governed by the eigengap: on spiked spectra (a real
     drift direction, a dominant topic) two steps land on the
@@ -488,24 +545,7 @@ def gram_power_iteration(
     flat corpus the output is still deterministic — it is "the
     2-step power iterate", which is exactly what a drift MONITOR wants
     to diff run-over-run. Returns (dim int 1-based, loading)."""
-    e1 = emb.select(
-        F.col(id_col).alias("rid"), F.posexplode(vec_col).alias("i0", "xi")
-    ).select("rid", (F.col("i0") + 1).alias("i"), "xi")
-    a = e1.select("rid", "i", F.col("xi").alias("xa"))
-    b = e1.select("rid", F.col("i").alias("j"), F.col("xi").alias("xb"))
-    c = (
-        a.join(b, "rid")
-        .groupBy("i", "j")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("xa").cast("double") * F.col("xb").cast("double")
-                ),
-                6,
-            ).alias("c")
-        )
-        .localCheckpoint(eager=True)
-    )
+    c = gram_matrix(emb, vec_col).localCheckpoint(eager=True)
 
     def normalize(w_df):
         s = w_df.agg(F.sum(F.abs(F.col("w"))).alias("s"))

@@ -156,6 +156,13 @@ def register_partials(
     streaming sketch (streaming/sketch_stream.py) leans on: min is
     idempotent, so a REPLAYED batch's partials are absorbed for free,
     which is exactly-once without any dedup bookkeeping."""
+    if m > 256:
+        raise ValueError(
+            f"register sketch supports m <= 256 (one md5 byte selects "
+            f"the register); got m={m} — beyond 256 distinct registers "
+            f"the extra ones are silently never hit and the estimator "
+            f"degrades"
+        )
     md5 = F.md5(F.col(value).cast("string"))
     reg = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % m
     u = (
@@ -175,6 +182,10 @@ def fold_registers(
     """Estimator half of `register_min_distinct`: fold (keys, j, umin)
     registers into (keys, n_regs, distinct_est), empty registers at
     the support max, linear-counting switch below 2.5m."""
+    if m > 256:
+        raise ValueError(
+            f"register sketch supports m <= 256; got m={m}"
+        )
     n_regs = F.count(F.lit(1))
     v_empty = F.lit(m) - n_regs
     raw = (
@@ -215,6 +226,13 @@ def bloom_build(
     ~= (1 - e^(-k n / m))^k, and the PROBE measures it against the
     exact semi-join in the gated query.
     """
+    if k > 4:
+        raise ValueError(
+            f"bloom sketch supports k <= 4 (md5 yields 32 hex chars = "
+            f"four independent 8-hex draws); got k={k} — a fifth draw "
+            f"would read past the digest, conv('') -> NULL positions, "
+            f"and membership checks would always miss"
+        )
     pos = [
         F.conv(F.substring(F.md5(F.col("val")), 1 + 8 * i, 8), 16, 10)
         .cast("long") % m_bits
@@ -248,6 +266,11 @@ def bloom_probe(
     join."""
     from pyspark.sql.functions import broadcast
 
+    if k > 4:
+        raise ValueError(
+            f"bloom sketch supports k <= 4 (md5 yields four independent "
+            f"8-hex draws); got k={k}"
+        )
     pos = [
         F.conv(F.substring(F.md5(F.col("val")), 1 + 8 * i, 8), 16, 10)
         .cast("long") % m_bits

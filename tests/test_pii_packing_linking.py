@@ -14,7 +14,12 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from gfftoneo4j_spark.functions.pii import PII_PATTERNS, pii_count, redact_pii
+from gfftoneo4j_spark.functions.pii import (
+    PII_PATTERNS,
+    pii_count,
+    pii_counts,
+    redact_pii,
+)
 from gfftoneo4j_spark.operators.linking import link_mentions_fuzzy
 from gfftoneo4j_spark.operators.packing import pack_next_fit
 
@@ -43,6 +48,28 @@ def test_redaction_removes_every_match(spark):
     assert (by_i[1]["phone"], by_i[1]["ipv4"]) == (2, 1)
     assert by_i[2]["email"] == by_i[2]["phone"] == by_i[2]["ipv4"] == 0
     assert by_i[0]["red"] == "mail <EMAIL> or <EMAIL>, ip <IP>"
+
+
+def test_pii_counts_shared_chain_matches_per_kind(spark):
+    # pii_counts builds ONE progressive redaction chain; it must agree
+    # with the per-kind pii_count (which recomputes the prefix) on
+    # every kind, including the cross-kind shadowing cases
+    rows = [
+        Row(i=0, t="mail a.b-c@x-corp.co.uk or b@c.io, ip 10.0.0.1"),
+        Row(i=1, t="call 555-123-4567 then 555-000-0000; 999.12.1.255"),
+        Row(i=2, t="x 555-123-4567@ex.com y"),
+        Row(i=3, t=""),
+    ]
+    df = spark.createDataFrame(rows)
+    shared = pii_counts(F.col("t"))
+    out = df.select(
+        "i",
+        *[shared[k].alias(f"s_{k}") for k in PII_PATTERNS],
+        *[pii_count(F.col("t"), k).alias(f"p_{k}") for k in PII_PATTERNS],
+    ).collect()
+    for r in out:
+        for k in PII_PATTERNS:
+            assert r[f"s_{k}"] == r[f"p_{k}"], (r["i"], k)
 
 
 def test_email_redacted_before_phone_digits_counted(spark):
