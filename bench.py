@@ -178,24 +178,56 @@ BENCH_QUERIES = [
     "cuped_variance_reduction",
     "pca_top_component",
     "heaps_law",
-    # powerlaw_alpha is gate-only: its wall is the kg_triples snapshot
-    # plus one degree agg, both already measured via other rows
-    # graph_modularity is gate-only: it re-runs the already-benched LPA
-    # (graph_communities) plus cheap joins — benching it would double
-    # the second-heaviest row for no added plan signal
-    # graph_pagerank_weighted is gate-only: identical per-round plan to
-    # the benched graph_pagerank plus one integer multiply — benching it
-    # would double the heaviest row for no added signal
-    # prefix_filter_pairs is gate-only: like simhash_near_dup, the
-    # synthetic corpus is near-dup-DENSE (51k true pairs at sf0.01) so
-    # its wall is dominated by emitting the answer, not the algorithm
-    # snapshot_diff is gate-only: its wall is two sink writes + read-back
-    # simhash_near_dup / near_dup_survivors / ngram_jaccard_banded are
-    # gate-only: the synthetic corpus is near-dup-DENSE, so their true
-    # answer is ~quadratic and the wall measures answer size.
-    # graph_sssp_bounded is gate-only too: its wall is 6 rounds of
-    # per-iteration job fixed cost (the pattern graph_khop already
-    # measures), not operator throughput
+    # ---- round 5: full-registry coverage (VERDICT r04 item 6) ----
+    # Rounds 1-4 left ~37 rows gate-only with documented reasons
+    # (snapshot-dominated walls, near-dup-dense answer-size walls,
+    # per-iteration fixed cost already measured elsewhere). Those
+    # reasons still hold as PLAN-signal caveats — read these rows as
+    # regression tripwires, not throughput statements — but the >=2x
+    # guard can't see what it doesn't time, so every registry query now
+    # gets a row.
+    "powerlaw_alpha",
+    "graph_modularity",
+    "graph_pagerank_weighted",
+    "prefix_filter_pairs",
+    "snapshot_diff",
+    "snapshot_time_travel",
+    "simhash_near_dup",
+    "near_dup_survivors",
+    "ngram_jaccard_banded",
+    "graph_sssp_bounded",
+    "graph_clustering_coeff",
+    "minhash_lsh_pairs",
+    "ann_multiprobe_topk",
+    "embedding_near_dup",
+    "lang_id_scores",
+    "quality_scores",
+    "multimodal_meta",
+    "media_frame_sample",
+    "graph_degree_distribution",
+    "dedup_survivors",
+    "scan_project_filter",
+    "null_encoding",
+    "raw_line_parse",
+    "attr_kv_parse",
+    "attr_union_type",
+    "id_strategy_dispatch",
+    "anti_join_misses",
+    "exactly_one_parent",
+    "hierarchy_nested",
+    "index_build",
+    "salted_aggregation",
+    "lineage_counts",
+    "window_row_number",
+    "set_union_merge",
+    "scalar_functions",
+    "dedup_on_write",
+    "graph_sink_roundtrip",
+    # ---- round-5 operators ----
+    "bpe_train_merges",
+    "bpe_tokenize",
+    "graph_betweenness_approx",
+    "incremental_dedup_index",
 ]
 
 

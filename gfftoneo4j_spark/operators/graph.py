@@ -733,6 +733,52 @@ def hits_fixed_point(
     return out
 
 
+def walk_visit_centrality(
+    edges: DataFrame,
+    steps: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Approximate path centrality (betweenness-style screening) via
+    deterministic-walk interior-visit counts: run ``deterministic_walks``
+    from every non-sink node, count how often each node is visited at
+    an INTERIOR step (1 <= step < steps, excluding visits to the walk's
+    own start), normalize by total interior visits.
+
+    This is the walk-sampling betweenness estimator family (sample
+    paths, count pass-throughs) with the engine's content-addressed
+    derandomization, so a sampling statistic faces the exact-hash gate.
+    Honest caveat, stated up front: visit frequency of a random walk
+    converges to the stationary distribution, which weights by degree —
+    so this SCREENS for high-traffic nodes (bridges on short walks,
+    hubs) rather than reproducing Brandes' exact betweenness values;
+    the pytest pins that the top node matches exact betweenness on a
+    hub-bridge toy graph, and that the statistic is bit-stable. Exact
+    Brandes needs all-pairs shortest-path DAGs — quadratic state the
+    100 TB path cannot afford; sampled walks are the published
+    scale-out compromise (Riondato-Kornaropoulos sampling bounds).
+
+    Shape: the walk table (|starts| * steps rows) + one combinable
+    count + one broadcast-scalar normalize — nothing beyond the walk
+    generator itself. Returns (node, visits, centrality 6dp).
+    """
+    w = deterministic_walks(edges, steps, src, dst)
+    interior = w.where(
+        (F.col("step") >= 1)
+        & (F.col("step") <= steps - 1)
+        & (F.col("node") != F.col("start"))
+    )
+    counts = interior.groupBy("node").agg(
+        F.count(F.lit(1)).alias("visits")
+    )
+    tot = counts.agg(F.sum("visits").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "visits",
+        F.round(F.col("visits") / F.col("t"), 6).alias("centrality"),
+    )
+
+
 def deterministic_walks(
     edges: DataFrame,
     steps: int = 3,

@@ -135,6 +135,195 @@ def bpe_pair_counts(
     )
 
 
+# --------------------------------------------------------------------------
+# Iterated BPE: k merge rounds + in-engine tokenizer apply
+# --------------------------------------------------------------------------
+
+#: symbol-boundary markers for the segmentation encoding: every symbol
+#: is stored as SEP + sym + END, concatenated. Wrapping EACH symbol in
+#: its own delimiters (rather than sep-joining) is the whole trick —
+#: adjacent merge sites then share NO characters, so plain
+#: non-overlapping left-to-right string `replace` of SEP+a+END+SEP+b+END
+#: is EXACTLY greedy BPE pair-merging (sep-joined forms share the
+#: middle separator between consecutive sites and string replace
+#: diverges from greedy on runs like 'b b b b'). Control chars never
+#: appear in whitespace-split corpus tokens.
+BPE_SEP = "\x1f"
+BPE_END = "\x1e"
+
+
+def _bpe_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, c): corpus word frequencies — everything downstream runs on
+    the VOCAB, not the corpus (Zipf: ~10^7 rows for a 10^12-token
+    corpus), the same trick as bpe_pair_counts."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _wrap_chars(col):
+    """'low' -> SEP l END SEP o END SEP w END (initial char-level seg)."""
+    return F.regexp_replace(col, "(.)", f"{BPE_SEP}$1{BPE_END}")
+
+
+def _seg_syms(seg_col):
+    """Segmentation string -> symbol array: strip the outer SEP/END,
+    split on the END+SEP inter-symbol boundary."""
+    inner = seg_col.substr(F.lit(2), F.length(seg_col) - 2)
+    return F.split(inner, BPE_END + BPE_SEP)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """``rounds`` iterations of BPE tokenizer training (Sennrich 2016
+    word-level BPE, from the public formulation): per round, count
+    adjacent symbol pairs weighted by word frequency, merge the argmax
+    pair (ties broken count-desc then lexicographic — deterministic,
+    exact-hash gateable) in every word's segmentation, repeat.
+
+    Scale shape (the PageRank driver-loop discipline):
+    - loop state is the VOCAB-sized (c, seg) table, re-checkpointed
+      every few rounds so plan depth stays bounded;
+    - per round: one zero-shuffle pair explode (arrays_zip of two
+      slices), one combinable groupBy-sum over pair keys, and a
+      1-row TakeOrderedAndProject collected to the driver (the
+      CC-checksum discipline: bounded scalar state re-enters the plan
+      as a literal);
+    - the merge apply is ONE codegen `replace` projection over the
+      vocab — greedy left-to-right BPE exactly, via the wrap-each-
+      symbol encoding (see BPE_SEP note above).
+
+    Returns (step, lhs, rhs, merged, n) — one row per merge round, in
+    training order. Stops early if no pair remains (fully merged).
+    """
+    spark = docs.sparkSession
+    seg = (
+        _bpe_vocab(docs, text_col)
+        .select("c", _wrap_chars(F.col("w")).alias("seg"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        syms = _seg_syms(F.col("seg"))
+        pairs = (
+            seg.select("c", syms.alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("s", 1, F.size("s") - 1).alias("a"),
+                        F.slice("s", 2, F.size("s") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((r, a, b, a + b, n))
+        pat = f"{BPE_SEP}{a}{BPE_END}{BPE_SEP}{b}{BPE_END}"
+        rep = f"{BPE_SEP}{a}{b}{BPE_END}"
+        seg = seg.select(
+            "c", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)).alias("seg")
+        )
+        if r % 4 == 0:
+            # bound plan depth: vocab-sized state, cheap to checkpoint
+            seg = seg.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, n bigint"
+    )
+
+
+def bpe_apply_merges(word_col, merges: list[tuple[str, str]]):
+    """Column expression applying ordered (lhs, rhs) merges to a word —
+    ``rounds`` chained codegen `replace` calls over the wrapped
+    segmentation; returns the segmentation string."""
+    seg = _wrap_chars(word_col)
+    for a, b in merges:
+        seg = F.replace(
+            seg,
+            F.lit(f"{BPE_SEP}{a}{BPE_END}{BPE_SEP}{b}{BPE_END}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_END}"),
+        )
+    return seg
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list to every document: the segmentation
+    operator producing the BPE token count every sampling / packing /
+    mixture operator upstream assumes, plus an order-exact fingerprint
+    of the token stream.
+
+    Scale shape: merges apply to the DISTINCT-WORD table (vocab-sized,
+    |merges| chained `replace` projections in one codegen stage); the
+    corpus-sized work is ONE word-keyed join of (doc, pos, word) rows
+    against the tokenized vocab plus a combinable per-doc fold — the
+    lm_perplexity scoring-join shape (hot stop-words left to AQE skew
+    split). The per-doc token-stream md5 reassembles order via
+    array_sort(collect_list(struct(pos, toks))) — per-doc bounded.
+
+    Returns (id_col, n_words, n_tokens, tok_md5): n_tokens = total BPE
+    symbols, tok_md5 = md5 of the space-joined token stream in document
+    order.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    seg = bpe_apply_merges(F.col("w"), merges)
+    vtok = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.replace(
+                seg.substr(F.lit(2), F.length(seg) - 2),
+                F.lit(BPE_END + BPE_SEP),
+                F.lit(" "),
+            ).alias("tstr"),
+            F.size(_seg_syms(seg)).cast("bigint").alias("n_syms"),
+        )
+    )
+    return (
+        words.join(vtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tstr"))
+                        ),
+                        lambda x: x["tstr"],
+                    ),
+                    " ",
+                )
+            ).alias("tok_md5"),
+        )
+    )
+
+
 def nb_classify(
     docs: DataFrame,
     label_col: str = "lang",

@@ -8273,6 +8273,232 @@ def heaps_law(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Iterated BPE: k-round tokenizer training loop + in-engine apply
+# (round 5; operators/lm.py bpe_train_merges / bpe_tokenize)
+# --------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"
+_BPE_END = "\x1e"
+
+
+def _bpe_train_ctes(rounds: int) -> str:
+    """Unrolled per-round CTEs for the BPE training loop — the
+    graph_pagerank oracle pattern (fixed iteration count unrolls as
+    SQL). Per round r: s{r} symbol arrays, p{r} weighted pair counts,
+    m{r} the argmax merge (count-desc, lexicographic tie-break), v{r}
+    the re-segmented vocab via the same wrap-each-symbol `replace`
+    encoding the engine uses (see operators/lm.py BPE_SEP note: wrapped
+    symbols make non-overlapping left-to-right replace exactly greedy
+    BPE). The coalesce fallbacks make an exhausted-merges round a
+    no-op ('SEP SEP' can never occur in a valid segmentation)."""
+    sep, end = _BPE_SEP, _BPE_END
+    # AS MATERIALIZED is load-bearing: each v{r} references v{r-1} once
+    # in FROM and four times via m{r}'s scalar subqueries; inlined CTEs
+    # would re-expand the base scan ~5^rounds times (DuckDB actually
+    # hit EMFILE re-opening the parquet before the fix).
+    parts = [
+        f"""
+vocab AS MATERIALIZED (
+  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+  WHERE t.tok <> '' GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT w, c, regexp_replace(w, '(.)', '{sep}\\1{end}', 'g') AS seg
+  FROM vocab
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(sum(c) AS BIGINT) AS n
+  FROM (
+    SELECT c, syms, generate_subscripts(syms, 1) AS i
+    FROM (SELECT c, string_split(substr(seg, 2, length(seg) - 2),
+                                 '{end}{sep}') AS syms
+          FROM v{p})
+  )
+  WHERE i < len(syms)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT lhs, rhs, n FROM p{r} ORDER BY n DESC, lhs, rhs LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT w, c, replace(seg,
+    coalesce('{sep}' || (SELECT lhs FROM m{r}) || '{end}{sep}'
+             || (SELECT rhs FROM m{r}) || '{end}', '{sep}{sep}'),
+    coalesce('{sep}' || (SELECT lhs FROM m{r})
+             || (SELECT rhs FROM m{r}) || '{end}', '')) AS seg
+  FROM v{p}
+)"""
+        )
+    return "".join(parts)
+
+
+_BPE_ROUNDS = 8
+
+_BPE_TRAIN_SQL = (
+    "WITH "
+    + _bpe_train_ctes(_BPE_ROUNDS)
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS step, lhs, rhs,"
+        f" lhs || rhs AS merged, n FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n)"
+)
+
+
+@register("bpe_train_merges", _BPE_TRAIN_SQL)
+def bpe_train_merges_q(spark, sf_dir):
+    """Iterated BPE tokenizer training, 8 merge rounds (Sennrich 2016
+    semantics): per round one vocab-sized combinable pair count, a
+    1-row argmax to the driver (deterministic count-desc/lex
+    tie-break), and ONE codegen `replace` re-segmentation — greedy
+    left-to-right merging exactly, via the wrap-each-symbol encoding
+    (operators/lm.py BPE_SEP). Everything runs on the word-frequency
+    VOCAB, never the corpus (Zipf: ~10^7 vocab rows for 10^12 tokens);
+    loop state re-checkpoints every 4 rounds, the PageRank discipline.
+    Oracle: the training loop unrolled as per-round CTEs."""
+    from gfftoneo4j_spark.operators.lm import bpe_train_merges
+
+    return bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS
+    )
+
+
+_BPE_TOKENIZE_SQL = (
+    "WITH "
+    + _bpe_train_ctes(_BPE_ROUNDS)
+    + f""",
+tok0 AS (
+  SELECT doc_id, ws[p] AS w, p AS pos
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws,
+               generate_subscripts(string_split(trim(text), ' '), 1) AS p
+        FROM documents)
+  WHERE ws[p] <> ''
+),
+vtok AS (
+  SELECT w,
+         replace(substr(seg, 2, length(seg) - 2),
+                 '{_BPE_END}{_BPE_SEP}', ' ') AS tstr,
+         CAST(len(string_split(substr(seg, 2, length(seg) - 2),
+                               '{_BPE_END}{_BPE_SEP}')) AS BIGINT) AS n_syms
+  FROM v{_BPE_ROUNDS}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       md5(string_agg(tstr, ' ' ORDER BY pos)) AS tok_md5
+FROM tok0 JOIN vtok USING (w)
+GROUP BY doc_id
+"""
+)
+
+
+@register("bpe_tokenize", _BPE_TOKENIZE_SQL)
+def bpe_tokenize_q(spark, sf_dir):
+    """Tokenizer APPLY: train 8 BPE merges in-engine, then segment
+    every document with them — the tokens-per-document count all the
+    sampling/packing/mixture operators upstream assume, plus an
+    order-exact md5 fingerprint of each document's token stream.
+    Scale shape: the |merges| chained replaces run on the DISTINCT-WORD
+    table (vocab-sized, one codegen stage); corpus-sized work is one
+    word-keyed join + a combinable per-doc fold (the lm_perplexity
+    scoring shape). Order reassembly is per-doc bounded
+    (array_sort(collect_list(struct(pos, tok))))."""
+    from gfftoneo4j_spark.operators.lm import (
+        bpe_tokenize,
+        bpe_train_merges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = bpe_train_merges(d, rounds=_BPE_ROUNDS)
+    merges = [(r["lhs"], r["rhs"]) for r in m.orderBy("step").collect()]
+    return bpe_tokenize(d, merges)
+
+
+# --------------------------------------------------------------------------
+# Approximate path centrality over deterministic walks (round 5)
+# --------------------------------------------------------------------------
+
+_BETWEEN_SQL = (
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+w0 AS (SELECT DISTINCT u AS start, u AS node FROM e),"""
+    + ",".join(_WALK_STEP_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+, interior AS (
+  SELECT node FROM (
+    SELECT start, node FROM w1 UNION ALL SELECT start, node FROM w2
+  ) WHERE node <> start
+),
+cnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS visits FROM interior GROUP BY node
+)
+SELECT node, visits,
+       round(visits / (SELECT sum(visits) FROM cnt), 6) AS centrality
+FROM cnt
+"""
+)
+
+
+@register("graph_betweenness_approx", _BETWEEN_SQL)
+def graph_betweenness_approx(spark, sf_dir):
+    """Approximate betweenness screening over the KG: interior-visit
+    counts of length-3 deterministic walks from every non-sink node,
+    normalized (operators/graph.py walk_visit_centrality — honest
+    caveat about degree bias in its docstring; pytest pins the top
+    node against exact Brandes on a hub-bridge toy). Content-addressed
+    walks make a SAMPLING centrality exact-hash gateable; the oracle
+    reuses the unrolled arg_min walk CTEs. Cost beyond the walk table:
+    one combinable count + a broadcast-scalar normalize."""
+    from gfftoneo4j_spark.operators.graph import walk_visit_centrality
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return walk_visit_centrality(edges, steps=3)
+
+
+# --------------------------------------------------------------------------
+# Incremental LSH dedup across snapshot boundaries (round 5)
+# --------------------------------------------------------------------------
+
+
+@register("incremental_dedup_index", ORACLE["minhash_lsh_pairs"])
+def incremental_dedup_index(spark, sf_dir):
+    """Incremental MinHash+LSH dedup: the dup-injected corpus arrives
+    as TWO batches (doc_id parity split); each batch shingles only
+    itself, probes the persisted band index, exact-verifies candidates
+    against the persisted token index, and appends its own state
+    (operators/incremental_dedup.py). The oracle is the FULL-CORPUS
+    LSH SQL (shared verbatim with minhash_lsh_pairs) — the gate itself
+    proves incremental == rebuild, which content-addressed signatures
+    guarantee for any batch split. State lives in a per-invocation
+    scratch subdir so the query is invocation-idempotent."""
+    import uuid
+
+    from gfftoneo4j_spark.operators.incremental_dedup import (
+        lsh_index_append,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    b1 = corpus.where(F.col("doc_id") % 2 == 0)
+    b2 = corpus.where(F.col("doc_id") % 2 == 1)
+    state = (
+        _scratch_dir(spark, "lsh_idx", sf_dir) + "/" + uuid.uuid4().hex
+    )
+    p1 = lsh_index_append(spark, b1, state)
+    p2 = lsh_index_append(spark, b2, state)
+    return p1.unionByName(p2)
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
