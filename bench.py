@@ -228,6 +228,11 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "graph_betweenness_approx",
     "incremental_dedup_index",
+    "graph_katz_centrality",
+    "countmin_freq_estimate",
+    "token_zipf_alpha",
+    "jl_projection",
+    "pq_encode",
 ]
 
 

@@ -232,30 +232,60 @@ def pagerank_fixed_point(
     ranks = nodes.select("node", init_col.cast("long").alias("r"))
     prev_state = None
     for _i in range(iters):
-        contrib = (
-            # SHUFFLE_HASH on the rank/degree sides: SortMergeJoin
-            # would re-SORT the checkpointed |E|-row snapshot every
-            # iteration (measured: ~half of each round's wall at 60M
-            # edges, and the sort is the memory-bandwidth-bound step
-            # that wrecked N-vs-4N scaling on one box). A hash join
-            # builds each partition's |V|/P rank map and STREAMS the
-            # edges unsorted — the right plan at any scale: the build
-            # side is the rank vector partition (tiny), the stream
-            # side is the big edge table.
-            e.join(
-                ranks.withColumnRenamed("node", "u").hint("shuffle_hash"),
-                "u",
+        # Per-node quotient BEFORE the edge join (unweighted path): the
+        # per-edge contribution (r * num) div (den * deg) depends only
+        # on the SOURCE node, so compute it once per node by joining the
+        # two hash(u)-co-partitioned |V| vectors (zero exchange) and
+        # ship ONE column through the edge probe. This (a) halves the
+        # per-edge hash-table passes (one build side instead of
+        # rank + degree), (b) moves the 64-bit division off the |E|-row
+        # path onto the |V|-row path, and (c) shrinks per-round state
+        # bytes through the probe — the DRAM-bandwidth levers the
+        # N-vs-4N scaling runs identified. Bit-identical by
+        # construction: the same integer expression evaluated per
+        # source node instead of per edge. The WEIGHTED path cannot
+        # hoist the division (floor((r*num*w)/(den*deg)) != w*floor(..))
+        # and keeps the two-build-side probe.
+        if weight is None:
+            qvec = (
+                ranks.withColumnRenamed("node", "u")
+                .join(outdeg.hint("shuffle_hash"), "u")
+                .select(
+                    "u",
+                    F.expr(
+                        f"(r * {damping_num}) div ({damping_den} * deg)"
+                    ).alias("q"),
+                )
             )
-            .join(outdeg.hint("shuffle_hash"), "u")
-            .select(
-                F.col("v").alias("node"),
-                F.expr(
-                    f"(r * {damping_num} * w) div ({damping_den} * deg)"
-                    if weight is not None
-                    else f"(r * {damping_num}) div ({damping_den} * deg)"
-                ).alias("c"),
+            contrib = (
+                # SHUFFLE_HASH on the quotient side: SortMergeJoin
+                # would re-SORT the checkpointed |E|-row snapshot every
+                # iteration (measured: ~half of each round's wall at
+                # 60M edges, the memory-bandwidth-bound step that
+                # wrecked N-vs-4N scaling on one box). A hash join
+                # builds each partition's |V|/P quotient map and
+                # STREAMS the edges unsorted.
+                e.join(qvec.hint("shuffle_hash"), "u").select(
+                    F.col("v").alias("node"), F.col("q").alias("c")
+                )
             )
-        )
+        else:
+            contrib = (
+                e.join(
+                    ranks.withColumnRenamed("node", "u").hint(
+                        "shuffle_hash"
+                    ),
+                    "u",
+                )
+                .join(outdeg.hint("shuffle_hash"), "u")
+                .select(
+                    F.col("v").alias("node"),
+                    F.expr(
+                        f"(r * {damping_num} * w)"
+                        f" div ({damping_den} * deg)"
+                    ).alias("c"),
+                )
+            )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         new_ranks = nodes.join(summed, "node", "left").select(
             "node",
@@ -731,6 +761,75 @@ def hits_fixed_point(
     for inv in (e_by_u, e_by_v, *cached[:-2]):
         inv.unpersist(blocking=False)
     return out
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    alpha_num: int = 20,
+    alpha_den: int = 100,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Truncated Katz centrality, integer fixed-point: x_0 = scale;
+    x_{k+1}(n) = scale + sum over in-edges (u -> n) of
+    floor(x_k(u) * alpha_num / alpha_den). With a fixed iteration
+    count this is the k-truncated Katz series (paths up to length k,
+    attenuated alpha^len) — the centrality that, unlike PageRank, does
+    NOT divide by out-degree, so prolific sources pass their full
+    influence downstream; the natural "how reachable is this entity
+    through short attributed chains" score for a KG.
+
+    Same machinery as pagerank_fixed_point, one join cheaper: the
+    attenuation quotient depends only on the source node, so each round
+    is (1) a zero-exchange join of the hash(u)-co-partitioned rank
+    vector... no degree vector at all, (2) ONE SHUFFLE_HASH probe of
+    the pre-keyed edge snapshot, (3) a combinable groupBy-sum + left
+    join back to nodes. Integer floors make every engine/partitioning
+    bit-identical (unrolled-CTE oracle). Headroom: with alpha < 1 the
+    series is bounded by scale * (hub in-degree)^k * alpha^k — at
+    alpha=0.2, 10^6 scale and hub degree 10^4, three rounds stay under
+    2^62.
+
+    Returns (node, katz long).
+    """
+    e = _mat(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .repartition("u")
+    )
+    nodes = _mat(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    x = nodes.select("node", F.lit(scale).cast("long").alias("x"))
+    prev_state = None
+    for _i in range(iters):
+        qvec = x.withColumnRenamed("node", "u").select(
+            "u",
+            F.expr(f"(x * {alpha_num}) div {alpha_den}").alias("q"),
+        )
+        summed = (
+            e.join(qvec.hint("shuffle_hash"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("q").alias("s"))
+        )
+        x = _mat(
+            nodes.join(summed, "node", "left").select(
+                "node",
+                (F.lit(scale) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("x"),
+            ),
+            prev=prev_state,
+        )
+        prev_state = x
+    for inv in (e, nodes):
+        inv.unpersist(blocking=False)
+    return x.select("node", F.col("x").alias("katz"))
 
 
 def walk_visit_centrality(

@@ -564,3 +564,175 @@ def gram_power_iteration(
     return v.select(
         F.col("i").cast("int").alias("dim"), F.col("v").alias("loading")
     )
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: reduce each
+    embedding to ``out_dim`` components p_k = sum_i sign(k, i) * x_i,
+    with sign(k, i) = +-1 from the first hex digit of
+    md5('jl:<k>:<i>') — the content-addressed plane trick the LSH/ANN
+    family uses, extended from sign-only hashing to the real-valued
+    projection JL compression needs. Distances are preserved within
+    the JL distortion bound in expectation; signs are a pure function
+    of (k, i), so every engine draws the SAME matrix and the projection
+    faces the exact-hash gate.
+
+    Scale shape: the sign matrix is out_dim x in_dim scalars inlined
+    as LITERALS (computed once, driver-side, from the same md5 both
+    engines use), so the projection is a ZERO-SHUFFLE per-row
+    zip_with + aggregate inside codegen — a 100 TB embedding table
+    compresses 8x in a map-only stage. The explode to (id, k, proj)
+    rows is for the gate; a pipeline would keep the wide form.
+
+    Returns (id_col, k, proj) with proj rounded 6dp.
+    """
+    import hashlib
+
+    def _sign(k: int, i: int) -> float:
+        h = hashlib.md5(f"jl:{k}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) >= 8 else -1.0
+
+    vec = F.col(vec_col).cast("array<double>")
+    projs = []
+    for k in range(out_dim):
+        signs = F.array(
+            *[F.lit(_sign(k, i)) for i in range(1, in_dim + 1)]
+        )
+        p = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        projs.append(
+            F.struct(F.lit(k).alias("k"), F.round(p, 6).alias("proj"))
+        )
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*projs)).alias("p")
+    ).select(id_col, F.col("p.k").alias("k"), F.col("p.proj").alias("proj"))
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_blocks: int = 4,
+    block_dim: int = 16,
+    k: int = 4,
+    lloyd_rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou 2011, public formulation): split
+    each vector into ``n_blocks`` sub-vectors of ``block_dim`` dims,
+    k-means each block independently (content-addressed seeding +
+    ``lloyd_rounds`` rounds — the ann_ivf_topk training discipline,
+    with L2 distance as PQ defines), and emit each vector's nearest
+    sub-centroid id per block. The codes table is the 100 TB ANN
+    artifact: n_blocks bytes per vector instead of 4 * dim, with
+    distance estimation against a (k * n_blocks)-row codebook.
+
+    Determinism (what makes a trained quantizer exact-hash gateable):
+    seeds are the k lowest md5('pq:<block>:' || id) rows per block;
+    distances are rounded to 6dp before the argmin with c_id
+    tie-break; centroid updates are integer-truncated means
+    (trunc(x * 1e6) // count) so float division order can't wobble the
+    codebook; empty clusters carry their previous centroid.
+
+    Scale shape per block & round: the sub-vector table never leaves
+    its partition until ONE groupBy (vec_id, block) distance-argmin
+    (combinable min_by) and one centroid-update aggregation whose
+    state is k * block_dim — the classic mirror of IVF training. The
+    blocks are independent; they share the single exploded pass over
+    the corpus.
+
+    Returns (id_col, block, code) — n_blocks rows per vector.
+    """
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).select(
+        "id",
+        (F.col("i0") / block_dim).cast("int").alias("block"),
+        (F.col("i0") % block_dim).alias("bi"),
+        "x",
+    ).where(F.col("block") < n_blocks)
+    ex = ex.localCheckpoint(eager=True)
+
+    # content-addressed seeds: k lowest md5 per block, rank = code id
+    w = Window.partitionBy("block").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("pq:"),
+                F.col("block").cast("string"),
+                F.lit(":"),
+                F.col("id").cast("string"),
+            )
+        ),
+        "id",
+    )
+    seed_ids = (
+        ex.select("block", "id")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("block", "id", (F.col("rn") - 1).alias("c_id"))
+    )
+    cent = (
+        seed_ids.join(ex, ["block", "id"])
+        .select("block", "c_id", "bi", F.col("x").alias("cx"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _assign(centroids):
+        d = (
+            ex.join(centroids, ["block", "bi"])
+            .groupBy("id", "block", "c_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("x") - F.col("cx"))
+                        * (F.col("x") - F.col("cx"))
+                    ),
+                    6,
+                ).alias("dist2")
+            )
+        )
+        return d.groupBy("id", "block").agg(
+            F.min(F.struct("dist2", "c_id")).alias("best")
+        ).select("id", "block", F.col("best.c_id").alias("code"))
+
+    for _ in range(lloyd_rounds):
+        assign = _assign(cent)
+        upd = (
+            assign.join(ex, ["id", "block"])
+            .groupBy("block", F.col("code").alias("c_id"), "bi")
+            .agg(
+                # CAST toward zero == DuckDB trunc(); `s div cnt` ==
+                # DuckDB `//` (both truncate) — train_centroids_kmeans'
+                # cross-engine integer-mean discipline
+                F.sum((F.col("x") * 1_000_000).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                "block",
+                "c_id",
+                "bi",
+                (
+                    F.expr("s div cnt").cast("double") / F.lit(1000000.0)
+                ).alias("cx"),
+            )
+        )
+        # empty clusters keep their previous centroid (the IVF trick)
+        survivors = upd.select("block", "c_id").distinct()
+        carried = cent.join(survivors, ["block", "c_id"], "left_anti")
+        cent = upd.unionByName(carried).localCheckpoint(eager=True)
+
+    out = _assign(cent)
+    ex.unpersist(blocking=False)
+    return out.select(F.col("id").alias(id_col), "block", "code")

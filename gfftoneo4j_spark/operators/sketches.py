@@ -411,3 +411,82 @@ def rolling_register_min(
             3,
         ).alias("distinct_est"),
     )
+
+
+def countmin_counters(
+    df: DataFrame, value: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch build: (j, pos, n) counters, depth x width rows
+    total. Row r increments counter (j, h_j(value)) for each of the
+    ``depth`` independent rows; h_j = first byte of md5('<j>:' || value)
+    mod width — content-addressed like every sketch here, so the
+    counters are bit-identical across engines and the ESTIMATES face
+    the exact gate. One explode(depth) + combinable groupBy-count; the
+    output is depth * width rows regardless of corpus size — the
+    fixed-size frequency summary you ship instead of a 10^9-row
+    count table when only point estimates are needed.
+
+    Width is capped at 256 (one md5 byte addresses the row) — same
+    silent-degradation guard as the register sketches."""
+    if width > 256:
+        raise ValueError(
+            f"count-min sketch supports width <= 256 (one md5 byte"
+            f" selects the counter); got width={width}"
+        )
+    rows = df.select(F.col(value).cast("string").alias("val")).select(
+        "val", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("val"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % width
+    )
+    return (
+        rows.select("j", pos.alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def countmin_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    value: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each
+    probe value, min over the depth rows of its counter — the classic
+    one-sided estimator (est >= true always; overshoot bounded by
+    collisions, pytest-pinned on the exact side). The counters table
+    broadcasts (depth * width rows); probing is explode(depth) +
+    broadcast join + a combinable min — the probe table never
+    shuffles wider than itself."""
+    p = probes.select(F.col(value).cast("string").alias("val")).select(
+        "val", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("val"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % width
+    )
+    return (
+        p.select("val", "j", pos.alias("pos"))
+        .join(F.broadcast(counters), ["j", "pos"], "left")
+        .groupBy("val")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

@@ -8499,6 +8499,311 @@ def incremental_dedup_index(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Katz centrality (truncated series, integer fixed-point) — round 5
+# --------------------------------------------------------------------------
+
+_KATZ_ROUND_SQL = """
+c{K} AS (
+  SELECT e.v AS node, sum((k.x * 20) // 100) AS s
+  FROM edges e JOIN k{P} k ON k.node = e.u
+  GROUP BY e.v
+),
+k{K} AS (
+  SELECT n.node, CAST(1000000 + coalesce(c.s, 0) AS BIGINT) AS x
+  FROM nodes n LEFT JOIN c{K} c ON c.node = n.node
+)"""
+
+_KATZ_SQL = (
+    f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+edges AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  )
+),
+k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes),"""
+    + ",".join(_KATZ_ROUND_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT node, x AS katz FROM k3
+"""
+)
+
+
+@register("graph_katz_centrality", _KATZ_SQL)
+def graph_katz_centrality(spark, sf_dir):
+    """3-round truncated Katz centrality over the KG (alpha = 0.20 as
+    the 20/100 integer fixed-point): unlike PageRank there is no
+    out-degree division, so prolific sources pass full influence —
+    the "reachable through short chains" score that completes the
+    centrality suite (degree / PageRank / PPR / HITS / walk-visit).
+    One join CHEAPER per round than PageRank: the attenuation quotient
+    depends only on the source node, so each round is a zero-exchange
+    |V|-vector projection + ONE SHUFFLE_HASH edge probe + a combinable
+    sum (operators/graph.py katz_centrality; unrolled-CTE oracle,
+    bit-exact at any partitioning)."""
+    from gfftoneo4j_spark.operators.graph import katz_centrality
+
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    edges = t.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    return katz_centrality(edges, iters=3)
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency sketch (round 5)
+# --------------------------------------------------------------------------
+
+_CMS_SQL = """
+WITH tok AS (
+  SELECT t.tok AS token
+  FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+counters AS (
+  SELECT j.j AS j,
+         CAST(('0x' || md5(j.j || ':' || token)[1:2]) AS INTEGER) % 256 AS pos,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok, (SELECT unnest(generate_series(0, 3)) AS j) j
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+  FROM tok GROUP BY token
+),
+probes AS (
+  SELECT token, exact_n FROM exact
+  ORDER BY exact_n DESC, token LIMIT 20
+),
+est AS (
+  SELECT p.token,
+         min(coalesce(c.n, 0)) AS est_n
+  FROM (SELECT token, j.j AS j,
+               CAST(('0x' || md5(j.j || ':' || token)[1:2]) AS INTEGER) % 256 AS pos
+        FROM probes, (SELECT unnest(generate_series(0, 3)) AS j) j) p
+  LEFT JOIN counters c ON c.j = p.j AND c.pos = p.pos
+  GROUP BY p.token
+)
+SELECT p.token, p.exact_n, CAST(e.est_n AS BIGINT) AS est_n
+FROM probes p JOIN est e ON e.token = p.token
+"""
+
+
+@register("countmin_freq_estimate", _CMS_SQL)
+def countmin_freq_estimate(spark, sf_dir):
+    """Count-Min frequency sketch (4 x 256 counters) over corpus
+    tokens, audited against exact counts for the 20 most frequent
+    tokens: est_n >= exact_n always (one-sided overshoot from
+    collisions — the property pytest pins). The sketch is depth*width
+    rows REGARDLESS of corpus size and merges by cell-wise addition
+    (Spark's two-phase aggregation does it for free) — the fixed-size
+    frequency summary shipped instead of a 10^9-row count table when
+    only point estimates are needed (operators/sketches.py
+    countmin_counters / countmin_estimate; content-addressed md5
+    hashing makes the estimates exact-hash gateable)."""
+    from gfftoneo4j_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+    )
+    counters = countmin_counters(tok, "token").localCheckpoint(eager=True)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.desc("exact_n"), "token").limit(20)
+    est = countmin_estimate(counters, probes.select("token"), "token")
+    return probes.join(est, probes["token"] == est["val"]).select(
+        "token", "exact_n", F.col("est_n").cast("bigint").alias("est_n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf exponent of the token-frequency tail (round 5)
+# --------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT t.tok AS token
+  FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+tail AS (SELECT c FROM freq WHERE c >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       CAST(max(c) AS BIGINT) AS c_max,
+       round(1 + count(*) / sum(ln(c / 1.5)), 6) AS alpha
+FROM tail
+"""
+
+
+@register("token_zipf_alpha", _ZIPF_SQL)
+def token_zipf_alpha(spark, sf_dir):
+    """Zipf exponent of the token-frequency distribution via the same
+    Clauset/Shalizi/Newman discrete MLE as powerlaw_alpha (cmin = 2) —
+    the corpus-side twin of the degree-tail fingerprint: alpha near 1
+    means natural-language Zipf; a flat tail (large alpha) means
+    template/boilerplate text, the cheap pre-training screen run
+    before paying for perplexity scoring. One tokenize + combinable
+    count + a 3-column scalar fold; estimator expression is shared
+    SQL text on both engines."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+    )
+    tail = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.max("c").alias("c_max"),
+        F.expr("round(1 + count(*) / sum(ln(c / 1.5)), 6)").alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign random projection (round 5)
+# --------------------------------------------------------------------------
+
+_JL_SQL = """
+WITH planes AS (
+  SELECT k.k AS k, i.i AS i,
+         CASE WHEN substring(md5('jl:' || k.k || ':' || i.i), 1, 1)
+              IN ('8','9','a','b','c','d','e','f')
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(generate_series(0, 7)) AS k) k,
+       (SELECT unnest(generate_series(1, 64)) AS i) i
+),
+ev AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT ev.vec_id, p.k, round(sum(ev.x * p.s), 6) AS proj
+FROM ev JOIN planes p ON p.i = ev.i
+GROUP BY ev.vec_id, p.k
+"""
+
+
+@register("jl_projection", _JL_SQL)
+def jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64->8 sign random projection of the
+    embedding table — the compression pass an ANN/clustering pipeline
+    runs before shipping vectors anywhere. Signs are md5('jl:k:i')
+    parity (the content-addressed plane trick), inlined as LITERALS so
+    the whole projection is a zero-shuffle per-row zip_with +
+    aggregate inside codegen: a 100 TB embedding table compresses 8x
+    in a map-only stage (operators/similarity.py jl_project).
+    Deterministic left-fold summation keeps the 6dp rounding safely
+    above fp noise."""
+    from gfftoneo4j_spark.operators.similarity import jl_project
+
+    return jl_project(
+        load_table(spark, sf_dir, "embeddings"), out_dim=8, in_dim=64
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization codes (round 5)
+# --------------------------------------------------------------------------
+
+_PQ_SQL = """
+WITH ex AS MATERIALIZED (
+  SELECT id, CAST((i - 1) // 16 AS INTEGER) AS block,
+         (i - 1) % 16 AS bi, x
+  FROM (
+    SELECT vec_id AS id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+),
+seeds AS (
+  SELECT block, id, CAST(rn - 1 AS INTEGER) AS c_id FROM (
+    SELECT block, id, row_number() OVER (PARTITION BY block
+      ORDER BY md5('pq:' || block || ':' || id), id) AS rn
+    FROM (SELECT DISTINCT block, id FROM ex)
+  ) WHERE rn <= 4
+),
+c0 AS MATERIALIZED (
+  SELECT s.block, s.c_id, e.bi, e.x AS cx
+  FROM seeds s JOIN ex e ON e.block = s.block AND e.id = s.id
+),
+d1 AS (
+  SELECT e.id, e.block, c.c_id,
+         round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS dist2
+  FROM ex e JOIN c0 c ON c.block = e.block AND c.bi = e.bi
+  GROUP BY e.id, e.block, c.c_id
+),
+a1 AS MATERIALIZED (
+  SELECT id, block, c_id AS code FROM (
+    SELECT id, block, c_id, row_number() OVER (PARTITION BY id, block
+      ORDER BY dist2, c_id) AS rn FROM d1
+  ) WHERE rn = 1
+),
+u1 AS MATERIALIZED (
+  SELECT e.block, a.code AS c_id, e.bi,
+         sum(CAST(trunc(e.x * 1000000) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM a1 a JOIN ex e ON e.id = a.id AND e.block = a.block
+  GROUP BY e.block, a.code, e.bi
+),
+c1 AS MATERIALIZED (
+  SELECT block, c_id, bi, CAST(s // cnt AS DOUBLE) / 1000000 AS cx
+  FROM u1
+  UNION ALL
+  SELECT c.block, c.c_id, c.bi, c.cx FROM c0 c
+  WHERE NOT EXISTS (SELECT 1 FROM u1 u
+                    WHERE u.block = c.block AND u.c_id = c.c_id)
+),
+d2 AS (
+  SELECT e.id, e.block, c.c_id,
+         round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS dist2
+  FROM ex e JOIN c1 c ON c.block = e.block AND c.bi = e.bi
+  GROUP BY e.id, e.block, c.c_id
+)
+SELECT id AS vec_id, block, code FROM (
+  SELECT id, block, c_id AS code, row_number() OVER (PARTITION BY id, block
+    ORDER BY dist2, c_id) AS rn FROM d2
+) WHERE rn = 1
+"""
+
+
+@register("pq_encode", _PQ_SQL)
+def pq_encode_q(spark, sf_dir):
+    """Product quantization (Jegou 2011): 64-dim embeddings split into
+    4 x 16-dim blocks, each block k-means'd independently (k=4, one
+    Lloyd round, content-addressed seeds + 6dp-rounded L2 argmin +
+    integer-truncated centroid means — the train_centroids_kmeans
+    determinism discipline applied per block), emitting each vector's
+    nearest sub-centroid per block. 4 codes ~ 4 bytes per vector
+    instead of 256 — THE embedding-compression artifact a 100 TB ANN
+    index ships (operators/similarity.py pq_encode). The blocks share
+    one exploded pass; per round the heavy ops are a combinable
+    distance fold and a k*block_dim-state update."""
+    from gfftoneo4j_spark.operators.similarity import pq_encode
+
+    return pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        n_blocks=4,
+        block_dim=16,
+        k=4,
+        lloyd_rounds=1,
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -8566,6 +8871,11 @@ _WINDOW_FIRST = [
     "bpe_tokenize",
     "graph_betweenness_approx",
     "incremental_dedup_index",
+    "graph_katz_centrality",
+    "countmin_freq_estimate",
+    "token_zipf_alpha",
+    "jl_projection",
+    "pq_encode",
     # -- round-5 fixed plans: driver row re-proves the fix --
     "pca_top_component",
     "heaps_law",
