@@ -233,6 +233,14 @@ BENCH_QUERIES = [
     "token_zipf_alpha",
     "jl_projection",
     "pq_encode",
+    "ancestor_closure",
+    "graph_closeness_approx",
+    "dsir_resample",
+    "temperature_mixture",
+    "winsorized_stats",
+    "session_window_agg",
+    "semantic_dedup",
+    "kg_integrity_audit",
 ]
 
 

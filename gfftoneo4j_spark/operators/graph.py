@@ -932,3 +932,117 @@ def deterministic_walks(
         )
     e.unpersist(blocking=False)
     return out
+
+
+def ancestor_closure(
+    parents: DataFrame,
+    max_depth: int,
+    child: str = "c",
+    parent: str = "p",
+) -> DataFrame:
+    """Transitive ancestor closure over a forest/unique-path DAG via
+    pointer DOUBLING: O(log2(max_depth)) join rounds instead of the
+    naive O(max_depth) chase (the recursive-CTE transcription).
+
+    Round k holds every (child, ancestor, dist) pair with
+    dist <= 2^k; the doubling step composes the relation with itself
+    (R ∪ R∘R), so a 1000-level hierarchy closes in 10 shuffles — the
+    property that makes ontology/category-tree closure viable at
+    100 TB, where a per-level loop would run 1000 jobs. On a forest
+    every (child, ancestor) pair has a unique path, so the distinct()
+    is pure dedup of alternative SPLIT POINTS (3 = 1+2 = 2+1), never a
+    min() re-aggregation.
+
+    Iterative-loop discipline as pagerank_fixed_point: each round's
+    relation is an eager localCheckpoint so lineage stays flat.
+
+    Returns (node, anc, dist) for 1 <= dist <= max_depth.
+    KG role: the reference materializes only direct parent edges
+    (GeneReader.scala:65-135 two-level fold); closure is what its
+    Neo4j consumers compute per-query with variable-length match —
+    here it is a first-class batch operator.
+    """
+    rel = (
+        parents.select(
+            F.col(child).alias("c"),
+            F.col(parent).alias("a"),
+            F.lit(1).alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = 1
+    while reach < max_depth:
+        hop = (
+            rel.alias("l")
+            .join(rel.alias("r"), F.col("l.a") == F.col("r.c"))
+            .select(
+                F.col("l.c").alias("c"),
+                F.col("r.a").alias("a"),
+                (F.col("l.d") + F.col("r.d")).alias("d"),
+            )
+            .where(F.col("d") <= max_depth)
+        )
+        rel = rel.unionByName(hop).distinct().localCheckpoint(eager=True)
+        reach *= 2
+    return rel.select(
+        F.col("c").alias("node"),
+        F.col("a").alias("anc"),
+        F.col("d").cast("integer").alias("dist"),
+    )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded BFS from MANY sources in one frontier loop: the visited
+    and frontier relations are keyed by (seed, node), so s seeds cost
+    one shared scan of the edge snapshot per round — not s independent
+    BFS runs. This is the landmark/pivot primitive behind approximate
+    closeness, eccentricity and distance-sketch operators (Cohen 2014
+    all-distances sketches use exactly this loop shape).
+
+    Same frontier discipline as bfs_distances: expand only last
+    round's discoveries, anti-join the visited set, eager
+    localCheckpoint per round. First discovery level == min hop
+    distance, deterministic for any partitioning.
+
+    seeds: a DataFrame with one bigint column naming the seed nodes.
+    Returns (seed, node, dist), dist 0..max_depth.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    visited = (
+        seeds.select(
+            F.col(seed_col).cast("bigint").alias("seed"),
+            F.col(seed_col).cast("bigint").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        reached = (
+            frontier.join(und, frontier["node"] == und["s"])
+            .select("seed", und["t"].alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(visited, ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited

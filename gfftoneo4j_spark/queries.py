@@ -8804,6 +8804,732 @@ def pq_encode_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Ancestor closure via pointer doubling (ontology / category-tree closure)
+# --------------------------------------------------------------------------
+
+_CLOSURE_SQL = """
+WITH RECURSIVE m AS (SELECT count(*) AS m FROM documents),
+nodes AS (SELECT DISTINCT doc_id % m.m AS i FROM documents, m),
+par AS (SELECT i AS c, (i - 1) // 3 AS p FROM nodes WHERE i > 0),
+cl AS (
+  SELECT c, p, 1 AS d FROM par
+  UNION
+  SELECT cl.c, par.p, cl.d + 1 FROM cl JOIN par ON par.c = cl.p
+  WHERE cl.d < 15
+)
+SELECT c AS node, p AS anc, CAST(d AS INTEGER) AS dist FROM cl
+"""
+
+
+@register("ancestor_closure", _CLOSURE_SQL)
+def ancestor_closure_q(spark, sf_dir):
+    """Transitive ancestor closure over a deterministic ternary forest
+    (parent(i) = (i-1) div 3 over the documents' id space) by pointer
+    DOUBLING (operators/graph.ancestor_closure): ceil(log2(depth))
+    self-join rounds instead of the oracle's depth-many recursive-CTE
+    steps — the shape that closes a 1000-level hierarchy in 10
+    shuffles at 100 TB. The reference stores only direct parent edges
+    (GeneReader.scala:65-135); its Neo4j consumers re-walk them per
+    query with variable-length match — here closure is a batch
+    operator with exact hop distances."""
+    from gfftoneo4j_spark.operators.graph import ancestor_closure
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    nodes = d.select((F.col("doc_id") % m).alias("i")).distinct()
+    par = nodes.where(F.col("i") > 0).select(
+        F.col("i").alias("c"), F.expr("(i - 1) DIV 3").alias("p")
+    )
+    return ancestor_closure(par, max_depth=15, child="c", parent="p")
+
+
+# --------------------------------------------------------------------------
+# Approximate closeness centrality (landmark multi-source BFS)
+# --------------------------------------------------------------------------
+
+_CLOSENESS_SQL = """
+WITH RECURSIVE m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION SELECT t, s FROM raw WHERE s <> t
+),
+seeds AS (
+  SELECT i FROM (SELECT DISTINCT i FROM base)
+  ORDER BY md5('s:' || CAST(i AS VARCHAR)), i LIMIT 4
+),
+bfs AS (
+  SELECT i AS seed, i AS node, 0 AS d FROM seeds
+  UNION
+  SELECT b.seed, u.t AS node, b.d + 1
+  FROM bfs b JOIN und u ON u.s = b.node WHERE b.d < 6
+),
+md AS (SELECT seed, node, min(d) AS d FROM bfs GROUP BY seed, node)
+SELECT node, CAST(count(*) AS INTEGER) AS n_reached,
+       CAST(sum(CAST(floor(1000000.0 / d) AS BIGINT)) AS BIGINT)
+           AS closeness_ppm
+FROM md WHERE d > 0 GROUP BY node
+"""
+
+
+@register("graph_closeness_approx", _CLOSENESS_SQL)
+def graph_closeness_approx(spark, sf_dir):
+    """Approximate harmonic closeness centrality from 4 landmark seeds
+    (Eppstein-Wang style pivot sampling; seeds md5-content-addressed
+    so both engines pick the identical set): ONE multi-source BFS
+    (operators/graph.multi_source_bfs) keyed (seed, node) shares each
+    round's edge-snapshot scan across all seeds — s landmarks cost one
+    BFS, not s. Harmonic form handles disconnection without special
+    cases; contributions are integer fixed-point floor(1e6/d) so sums
+    are order-free and bit-exact at any partitioning. At 100 TB this
+    is the centrality you can actually afford: landmark count, not
+    |V|, scales the work."""
+    from gfftoneo4j_spark.operators.graph import multi_source_bfs
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    nodes = d.select((F.col("doc_id") % m).alias("i")).distinct()
+    seeds = (
+        nodes.select(
+            "i",
+            F.md5(F.concat(F.lit("s:"), F.col("i").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "i")
+        .limit(4)
+        .select("i")
+    )
+    vis = multi_source_bfs(
+        _circulant_edges(spark, sf_dir), seeds, max_depth=6, src="s", dst="t"
+    )
+    return (
+        vis.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("integer").alias("n_reached"),
+            F.sum(
+                F.floor(F.lit(1000000.0) / F.col("dist")).cast("bigint")
+            ).alias("closeness_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (data selection toward a target domain)
+# --------------------------------------------------------------------------
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT d.doc_id, d.lang, t.tok
+  FROM documents d, unnest(string_split_regex(trim(d.text), ' +')) AS t(tok)
+  WHERE t.tok <> ''
+),
+f AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || md5(tok)[1:4]) AS INTEGER) % 1024 AS b
+  FROM tok
+),
+bc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM f GROUP BY b
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nr,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM f
+),
+lr AS (
+  SELECT b, CAST(floor(1000000.0 *
+           (ln((ct + 1.0) / (nt + 1024.0)) - ln((cr + 1.0) / (nr + 1024.0)))
+         ) AS BIGINT) AS lr_fp
+  FROM bc, tot
+),
+db AS (
+  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+  FROM f GROUP BY doc_id, lang, b
+),
+sc AS (
+  SELECT db.doc_id, db.lang, CAST(sum(db.c * lr.lr_fp) AS BIGINT) AS score_fp
+  FROM db JOIN lr ON lr.b = db.b GROUP BY db.doc_id, db.lang
+)
+SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INTEGER)
+           AS rk,
+       doc_id, lang, score_fp
+FROM sc ORDER BY score_fp DESC, doc_id LIMIT 200
+"""
+
+
+@register("dsir_resample", _DSIR_SQL)
+def dsir_resample(spark, sf_dir):
+    """DSIR data selection (Xie 2023, public arXiv 2302.03169): score
+    every document by hashed-unigram importance toward a target domain
+    (the 'en' slice) — features are 1024 md5-hash buckets, the weight
+    is sum_b c_doc(b) * (ln p_target(b) - ln p_raw(b)) with Laplace
+    smoothing, and the top-200 by weight are the resampled corpus.
+    Plan: token explode -> one groupBy per grain; the 1024-row
+    log-ratio table BROADCASTS into the per-doc fold; per-bucket terms
+    are integer fixed-point (floor 1e6*ln-ratio) so the per-doc sum is
+    an order-free BIGINT; final top-k is TakeOrderedAndProject, never
+    a global sort. At 100 TB: two scans of the token stream + one
+    broadcast join — the cheapest defensible domain-selection pass."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"),
+    ).where(F.col("tok") != "")
+    f = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+            % 1024
+        ).alias("b"),
+    )
+    bc = f.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+    )
+    tot = f.agg(
+        F.count("*").cast("bigint").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + 1024.0))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + 1024.0))
+            )
+        )
+        .cast("bigint")
+        .alias("lr_fp"),
+    )
+    db = f.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    sc = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("lr_fp")).cast("bigint").alias("score_fp"))
+    )
+    top = sc.orderBy(F.desc("score_fp"), "doc_id").limit(200)
+    # rank window over the already-capped 200 rows (bounded-window rule)
+    w = Window.orderBy(F.desc("score_fp"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("integer").alias("rk"),
+        "doc_id",
+        "lang",
+        "score_fp",
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled training mixture (quota allocation + exact pick)
+# --------------------------------------------------------------------------
+
+_TEMP_MIX_SQL = """
+WITH sc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+            GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS s_fp
+      FROM sc),
+tot AS (SELECT CAST(sum(s_fp) AS BIGINT) AS tot FROM w),
+q AS (SELECT lang, CAST((200 * s_fp) // tot.tot AS BIGINT) AS quota
+      FROM w, tot),
+r AS (
+  SELECT d.lang, d.doc_id,
+         CAST(row_number() OVER (PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS rk
+  FROM documents d
+)
+SELECT r.lang, q.quota, r.doc_id, r.rk
+FROM r JOIN q ON q.lang = r.lang WHERE r.rk <= q.quota
+"""
+
+
+@register("temperature_mixture", _TEMP_MIX_SQL)
+def temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture sampling (the multilingual-LM recipe,
+    e.g. mT5's alpha=0.5 upsampling of low-resource languages): stratum
+    weights n_s^0.5 / sum(n_s^0.5) flatten the skewed lang histogram,
+    quotas allocate a 200-doc budget, and the picks are exact-k per
+    stratum by md5 rank. Determinism discipline: sqrt is IEEE
+    correctly-rounded in both engines, weights go integer fixed-point
+    (floor(sqrt(n)*1000)) BEFORE the sum so the normalizer is an exact
+    BIGINT, and quota = 200*s_fp div tot is pure integer math — no
+    float accumulation anywhere. Plan: one combinable count, a
+    broadcast quota map, one rank window per stratum. Companions:
+    mixture_sample (fixed rates, zero shuffle), stratified_sample
+    (fixed k)."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    w = sc.select(
+        "lang",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("s_fp"),
+    )
+    tot = w.agg(F.sum("s_fp").cast("bigint").alias("tot"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr("(200 * s_fp) DIV tot").cast("bigint").alias("quota"),
+    )
+    rw = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "lang", "doc_id", F.row_number().over(rw).cast("bigint").alias("rk")
+    )
+    return (
+        r.join(F.broadcast(q), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("lang", "quota", "doc_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized / trimmed robust statistics (order-statistic clamp)
+# --------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_fp,
+         CAST(row_number() OVER (PARTITION BY event_type
+           ORDER BY value, event_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type, n,
+         CASE WHEN (5 * n + 99) // 100 < 1 THEN 1
+              ELSE (5 * n + 99) // 100 END AS lo_rk,
+         (95 * n + 99) // 100 AS hi_rk
+  FROM (SELECT DISTINCT event_type, n FROM v)
+),
+bounds AS (
+  SELECT v.event_type,
+         min(CASE WHEN v.rk = b.lo_rk THEN v.v_fp END) AS lo_fp,
+         min(CASE WHEN v.rk = b.hi_rk THEN v.v_fp END) AS hi_fp
+  FROM v JOIN b ON b.event_type = v.event_type
+  GROUP BY v.event_type
+)
+SELECT v.event_type, max(v.n) AS n, max(bo.lo_fp) AS lo_fp,
+       max(bo.hi_fp) AS hi_fp,
+       CAST(sum(CASE WHEN v.v_fp < bo.lo_fp THEN bo.lo_fp
+                     WHEN v.v_fp > bo.hi_fp THEN bo.hi_fp
+                     ELSE v.v_fp END) AS BIGINT) AS wins_sum_fp,
+       CAST(sum(CASE WHEN v.v_fp >= bo.lo_fp AND v.v_fp <= bo.hi_fp
+                     THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+       CAST(sum(CASE WHEN v.v_fp >= bo.lo_fp AND v.v_fp <= bo.hi_fp
+                     THEN v.v_fp ELSE 0 END) AS BIGINT) AS trim_sum_fp
+FROM v JOIN bounds bo ON bo.event_type = v.event_type
+GROUP BY v.event_type
+"""
+
+
+@register("winsorized_stats", _WINSOR_SQL)
+def winsorized_stats(spark, sf_dir):
+    """Winsorized and trimmed sums per event_type at the [p05, p95]
+    ORDER-STATISTIC bounds (rank ceil(q*n) via pure integer
+    (q*100*n + 99) div 100 — no float quantile interpolation, so the
+    clamp values are bit-identical in any engine; the reason Spark's
+    percentile() vs an independent implementation can NEVER be exactly
+    gated is interpolation ulp, and order statistics dodge it).
+    Values go integer fixed-point before summing — order-free BIGINT
+    folds. Plan: one rank window per group + broadcast bounds join +
+    one combinable rollup. The robust-mean feature a quality pipeline
+    feeds on heavy-tailed signals (compare mad_anomaly's
+    median/MAD)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v_fp"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count("*").over(cw).cast("bigint").alias("n"),
+    )
+    b = (
+        v.select("event_type", "n")
+        .distinct()
+        .select(
+            "event_type",
+            "n",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr("(5 * n + 99) DIV 100"),
+            ).alias("lo_rk"),
+            F.expr("(95 * n + 99) DIV 100").alias("hi_rk"),
+        )
+    )
+    bounds = (
+        v.join(F.broadcast(b.select("event_type", "lo_rk", "hi_rk")),
+               "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rk") == F.col("lo_rk"), F.col("v_fp"))).alias(
+                "lo_fp"
+            ),
+            F.min(F.when(F.col("rk") == F.col("hi_rk"), F.col("v_fp"))).alias(
+                "hi_fp"
+            ),
+        )
+    )
+    in_band = (F.col("v_fp") >= F.col("lo_fp")) & (
+        F.col("v_fp") <= F.col("hi_fp")
+    )
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_fp").alias("lo_fp"),
+            F.max("hi_fp").alias("hi_fp"),
+            F.sum(
+                F.when(F.col("v_fp") < F.col("lo_fp"), F.col("lo_fp"))
+                .when(F.col("v_fp") > F.col("hi_fp"), F.col("hi_fp"))
+                .otherwise(F.col("v_fp"))
+            )
+            .cast("bigint")
+            .alias("wins_sum_fp"),
+            F.sum(F.when(in_band, 1).otherwise(0))
+            .cast("bigint")
+            .alias("trim_n"),
+            F.sum(F.when(in_band, F.col("v_fp")).otherwise(0))
+            .cast("bigint")
+            .alias("trim_sum_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Built-in session windows (F.session_window; streaming-native shape)
+# --------------------------------------------------------------------------
+
+_SESSION_WINDOW_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+),
+sess AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("session_window_agg", _SESSION_WINDOW_SQL)
+def session_window_agg(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (30-min gap): the
+    merging-interval groupBy that Structured Streaming uses for
+    late-data-tolerant sessionization — this batch twin proves the
+    semantics against an independent gaps-and-islands oracle at full
+    MICROSECOND precision (a second-floored oracle silently disagrees
+    on sub-second gaps; window end = last event + gap, new session iff
+    gap >= 30 min exactly matches the [start, last+gap) half-open
+    contract). Plan: one shuffle on user_id, sessions merged in the
+    agg — no window-function sort pass at all, and the identical
+    expression runs under a watermark in streaming
+    (streaming parity pytest). Companion: sessionize_events, the
+    manual lag/running-sum form."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC
+            # (session.py:64) so the NTZ->TIMESTAMP cast is the
+            # identity instant and unix_micros == DuckDB epoch_us.
+            F.unix_micros(F.col("session_window.start").cast("timestamp"))
+            .cast("bigint")
+            .alias("start_us"),
+            F.unix_micros(F.col("session_window.end").cast("timestamp"))
+            .cast("bigint")
+            .alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate pruning inside embedding clusters
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_prepend(v[1] + 0.1, v[2:]) FROM base
+  WHERE vec_id % 7 = 0
+),
+ex AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM corpus
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS c_id FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM corpus
+  ) WHERE rn <= 8
+),
+c0 AS (SELECT s.c_id, e.i, e.x FROM seeds s JOIN ex e ON e.vec_id = s.vec_id),
+nc0 AS (SELECT c_id, sqrt(sum(x * x)) AS nrm FROM c0 GROUP BY c_id),
+d0 AS (
+  SELECT e.vec_id, c.c_id, sum(e.x * c.x) AS dp
+  FROM ex e JOIN c0 c ON c.i = e.i GROUP BY e.vec_id, c.c_id
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, c_id FROM (
+    SELECT d.vec_id, d.c_id, row_number() OVER (PARTITION BY d.vec_id
+      ORDER BY round(d.dp / (nv.nrm * nc.nrm), 3) DESC, d.c_id) AS rn
+    FROM d0 d JOIN n nv ON nv.vec_id = d.vec_id JOIN nc0 nc ON nc.c_id = d.c_id
+  ) WHERE rn = 1
+),
+u0 AS MATERIALIZED (
+  SELECT a.c_id, e.i, sum(CAST(trunc(e.x * 1000000) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM a0 a JOIN ex e ON e.vec_id = a.vec_id GROUP BY a.c_id, e.i
+),
+c1 AS MATERIALIZED (
+  SELECT c_id, i, CAST(s // cnt AS DOUBLE) / 1000000 AS x FROM u0
+  UNION ALL
+  SELECT c_id, i, x FROM c0 WHERE c_id NOT IN (SELECT c_id FROM u0)
+),
+nc1 AS (SELECT c_id, sqrt(sum(x * x)) AS nrm FROM c1 GROUP BY c_id),
+d1 AS (
+  SELECT e.vec_id, c.c_id, sum(e.x * c.x) AS dp
+  FROM ex e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.c_id
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, c_id FROM (
+    SELECT d.vec_id, d.c_id, row_number() OVER (PARTITION BY d.vec_id
+      ORDER BY round(d.dp / (nv.nrm * nc.nrm), 3) DESC, d.c_id) AS rn
+    FROM d1 d JOIN n nv ON nv.vec_id = d.vec_id JOIN nc1 nc ON nc.c_id = d.c_id
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.c_id, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM a1 a JOIN a1 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.c_id, p.id_a, p.id_b, sum(ea.x * eb.x) AS dp
+  FROM pairs p
+  JOIN ex ea ON ea.vec_id = p.id_a
+  JOIN ex eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY p.c_id, p.id_a, p.id_b
+)
+SELECT c_id, id_a, id_b, round(dp / (na.nrm * nb.nrm), 3) AS score
+FROM dots JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+WHERE round(dp / (na.nrm * nb.nrm), 3) >= 0.9
+"""
+
+
+@register("semantic_dedup", _SEMDEDUP_SQL)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas 2023, public arXiv 2303.09540): cluster the
+    embedding corpus with the in-engine deterministic k-means
+    (similarity.train_centroids_kmeans, the ann_ivf_topk trainer),
+    then hunt cosine near-duplicates ONLY inside each cluster — the
+    clustering turns the quadratic all-pairs scan into sum-of-cluster-
+    squares, and k grows with the corpus so cluster sizes stay bounded
+    at 100 TB (the same never-all-pairs contract as the LSH families).
+    Every 7th vector is re-injected with a +0.1 first-coordinate
+    perturbation (cosine ~0.995 vs a <=0.41 natural ceiling measured
+    on this corpus), so recall of true semantic dups is checkable.
+    The oracle unrolls the full k-means round, the assignment, and the
+    in-cluster pair scan as one CTE chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.1)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    cents = SIM.train_centroids_kmeans(corpus, k=8, iters=1, seed=42)
+    assign = SIM.ivf_assign(corpus, cents)
+    av = assign.join(
+        corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        "id",
+    )
+    a = av.select("c_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = av.select("c_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    score = F.round(SIM.cosine(F.col("va"), F.col("vb")), 3)
+    return (
+        a.join(b, "c_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("c_id", "id_a", "id_b", score.alias("score"))
+        .where(F.col("score") >= 0.9)
+    )
+
+
+# --------------------------------------------------------------------------
+# KG integrity audit (constraint checks over the materialized graph)
+# --------------------------------------------------------------------------
+
+_KG_AUDIT_SQL = f"""
+WITH t AS ({_KG_TRIPLES_SQL}),
+mn AS (SELECT min(subj) AS m FROM t WHERE pred = 'refers_to'),
+corrupt AS (
+  SELECT m AS subj, 'refers_to' AS pred, 'ent:E_CORRUPT0' AS obj FROM mn
+  UNION ALL
+  SELECT 'mention:ghost:0:0', 'links', 'mention:ghost:0:1'
+),
+tt AS (SELECT subj, pred, obj FROM t UNION ALL SELECT * FROM corrupt),
+mentions AS (SELECT DISTINCT obj AS mid FROM tt WHERE pred = 'has_mention'),
+rt AS (
+  SELECT subj, count(DISTINCT obj) AS k FROM tt
+  WHERE pred = 'refers_to' GROUP BY subj
+)
+SELECT 'refers_to_fanout' AS check_name,
+       CAST((SELECT count(*) FROM rt WHERE k <> 1) AS BIGINT) AS n_bad
+UNION ALL
+SELECT 'mention_no_entity',
+       CAST((SELECT count(*) FROM mentions m
+             WHERE m.mid NOT IN (SELECT subj FROM rt)) AS BIGINT)
+UNION ALL
+SELECT 'links_dangling_src',
+       CAST((SELECT count(*) FROM tt WHERE pred = 'links'
+             AND subj NOT IN (SELECT mid FROM mentions)) AS BIGINT)
+UNION ALL
+SELECT 'links_dangling_dst',
+       CAST((SELECT count(*) FROM tt WHERE pred = 'links'
+             AND obj NOT IN (SELECT mid FROM mentions)) AS BIGINT)
+UNION ALL
+SELECT 'next_turn_fanin',
+       CAST((SELECT count(*) FROM (
+         SELECT obj FROM tt WHERE pred = 'next_turn'
+         GROUP BY obj HAVING count(*) > 1)) AS BIGINT)
+"""
+
+
+@register("kg_integrity_audit", _KG_AUDIT_SQL)
+def kg_integrity_audit(spark, sf_dir):
+    """Constraint audit over the MATERIALIZED knowledge graph — the
+    closed-loop check the reference never had (its `create unique`
+    Cypher, Neo4JUtils.scala:22-51, enforces edge dedup at write time
+    but nothing re-verifies graph shape after the fact): functional-
+    predicate fan-out (every mention refers_to exactly one entity, the
+    Q9 exactly-one-parent rule lifted to the graph), dangling link
+    endpoints, orphan mentions, and next_turn in-degree. Two
+    deterministic corruptions are injected (a duplicate refers_to on
+    the min mention, a ghost links edge) so each detector's positive
+    path is exercised, not just its zero. Plan: the triples snapshot
+    is localCheckpointed once and every check is a combinable agg or
+    broadcast anti-join over it — audit cost is O(|E|) regardless of
+    how many checks run."""
+    t = kg_triples(spark, sf_dir)
+    mn = (
+        t.where(F.col("pred") == "refers_to")
+        .agg(F.min("subj").alias("subj"))
+        .select(
+            "subj",
+            F.lit("refers_to").alias("pred"),
+            F.lit("ent:E_CORRUPT0").alias("obj"),
+        )
+    )
+    ghost = spark.range(1).select(
+        F.lit("mention:ghost:0:0").alias("subj"),
+        F.lit("links").alias("pred"),
+        F.lit("mention:ghost:0:1").alias("obj"),
+    )
+    tt = t.unionByName(mn).unionByName(ghost).localCheckpoint(eager=True)
+    mentions = (
+        tt.where(F.col("pred") == "has_mention")
+        .select(F.col("obj").alias("mid"))
+        .distinct()
+    )
+    rt = (
+        tt.where(F.col("pred") == "refers_to")
+        .groupBy("subj")
+        .agg(F.countDistinct("obj").alias("k"))
+    )
+    links = tt.where(F.col("pred") == "links")
+
+    def _count(name, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    return (
+        _count("refers_to_fanout", rt.where(F.col("k") != 1))
+        .unionByName(
+            _count(
+                "mention_no_entity",
+                mentions.join(
+                    rt.select(F.col("subj").alias("mid")), "mid", "left_anti"
+                ),
+            )
+        )
+        .unionByName(
+            _count(
+                "links_dangling_src",
+                links.join(
+                    mentions.select(F.col("mid").alias("subj")),
+                    "subj",
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            _count(
+                "links_dangling_dst",
+                links.join(
+                    mentions.select(F.col("mid").alias("obj")),
+                    "obj",
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            _count(
+                "next_turn_fanin",
+                tt.where(F.col("pred") == "next_turn")
+                .groupBy("obj")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > 1),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
