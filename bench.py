@@ -241,6 +241,11 @@ BENCH_QUERIES = [
     "session_window_agg",
     "semantic_dedup",
     "kg_integrity_audit",
+    "ols_quality_fit",
+    "rouge_bigram_pairs",
+    "temporal_reachability",
+    "shard_rebalance",
+    "salt_advisor",
 ]
 
 

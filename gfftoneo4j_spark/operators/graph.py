@@ -1046,3 +1046,78 @@ def multi_source_bfs(
         visited = visited.unionAll(new).localCheckpoint(eager=True)
         frontier = new
     return visited
+
+
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "s",
+    dst: str = "t",
+    time: str = "et",
+) -> DataFrame:
+    """Time-respecting earliest-arrival over a temporal edge stream:
+    a path is valid only if edge times strictly increase, so plain
+    reachability overstates what information/influence can actually
+    flow through a KG built from timestamped interactions. Computes
+    arr_k(v) = min(arr_{k-1}(v), min{et : (u,v,et), et > arr_{k-1}(u)})
+    for k relaxation rounds — exact for <=k-hop journeys because
+    earlier arrival never disables an edge (the waiting-allowed
+    monotonicity that gives temporal BFS optimal substructure,
+    Wu 2014 "Path Problems in Temporal Graphs").
+
+    Loop discipline as multi_source_bfs: per round ONE hash join of
+    the improved frontier against the time-keyed edge snapshot plus a
+    combinable min — never path enumeration (the oracle's recursive
+    CTE enumerates; this relaxes state, which is why it survives
+    out-degree^k blowup at 100 TB). min() is order-free, so results
+    are bit-exact at any partitioning.
+
+    seeds: one bigint column. Returns (seed, node, arrival) with
+    arrival = -1 for the seed origin rows (filter `arrival >= 0`
+    for reached-only semantics).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("es"),
+            F.col(dst).cast("bigint").alias("ed"),
+            F.col(time).cast("bigint").alias("et"),
+        )
+        .where(F.col("es") != F.col("ed"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    state = (
+        seeds.select(
+            F.col(seed_col).cast("bigint").alias("seed"),
+            F.col(seed_col).cast("bigint").alias("node"),
+            F.lit(-1).cast("bigint").alias("arr"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(rounds):
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["es"])
+            .where(F.col("et") > F.col("arr"))
+            .groupBy("seed", F.col("ed").alias("node2"))
+            .agg(F.min("et").alias("cand"))
+            .withColumnRenamed("node2", "node")
+        )
+        # keep only strict improvements: they are next round's frontier
+        improved = (
+            relaxed.join(state, ["seed", "node"], "left_outer")
+            .where(F.col("arr").isNull() | (F.col("cand") < F.col("arr")))
+            .select("seed", "node", F.col("cand").alias("arr"))
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            state.unionByName(improved)
+            .groupBy("seed", "node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return state.select("seed", "node", F.col("arr").alias("arrival"))

@@ -9530,6 +9530,423 @@ def kg_integrity_audit(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# In-engine OLS quality regression (normal equations, exact)
+# --------------------------------------------------------------------------
+
+_OLS_SQL = """
+WITH f AS (
+  SELECT lang,
+         CAST(n_chars AS HUGEINT) AS y,
+         CAST(len(string_split(trim(text), ' ')) AS HUGEINT) AS x1,
+         CAST(length(text) -
+              length(regexp_replace(text, '[aeiou]', '', 'g')) AS HUGEINT)
+             AS x2
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+         sum(y * y) AS syy
+  FROM f GROUP BY lang
+),
+d AS (
+  SELECT lang, n, sy, s1y, s2y, syy,
+         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM m
+),
+w AS (
+  SELECT lang, CAST(n AS BIGINT) AS n,
+         CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
+         CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
+         CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2,
+         CAST(sy AS DOUBLE) AS syd, CAST(s1y AS DOUBLE) AS s1yd,
+         CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(n AS DOUBLE) AS nd
+  FROM d WHERE det <> 0
+)
+SELECT lang, n,
+       round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+       round(1.0 - (syyd - w0 * syd - w1 * s1yd - w2 * s2yd)
+                 / (syyd - syd * syd / nd), 6) AS r2
+FROM w
+"""
+
+
+@register("ols_quality_fit", _OLS_SQL)
+def ols_quality_fit(spark, sf_dir):
+    """Per-language OLS fit n_chars ~ w0 + w1*tokens + w2*vowels — the
+    smallest real TRAINING workload a selection pipeline runs in-engine
+    (fit a quality regression, ship coefficients to the scorer). The
+    entire fit is ONE map-side-combinable groupBy producing ten integer
+    moment sums, then a scalar Cramer 3x3 solve per group
+    (operators/regression.py): zero extra shuffles, so at 100 TB the
+    cost is exactly one aggregation pass over the corpus. Moments are
+    exact BIGINT; determinants run in decimal(38,0) (int128-exact both
+    engines); only the final division drops to double — the fit is
+    bit-identical at any partitioning. The reference's closest shape is
+    its per-feature fold (GeneReader.scala:65-135); sufficient
+    statistics generalize that fold to model training."""
+    from gfftoneo4j_spark.operators.regression import ols_fit_normal_eq
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[aeiou]", ""))
+        )
+        .cast("bigint")
+        .alias("x2"),
+    )
+    return ols_fit_normal_eq(feat, y="y", x1="x1", x2="x2", group="lang")
+
+
+# --------------------------------------------------------------------------
+# ROUGE-2 overlap between consecutive conversation turns
+# --------------------------------------------------------------------------
+
+_ROUGE_SQL = """
+WITH t AS (
+  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS INTEGER) AS turn_idx,
+         'evt ' || event_type || ' <<m:' || event_type ||
+             CAST(CAST(floor(value) AS BIGINT) % 5 AS VARCHAR) || '>>' AS text
+  FROM events
+),
+tw AS (
+  SELECT conv_id, turn_idx, string_split(text, ' ') AS w FROM t
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT DISTINCT conv_id, turn_idx,
+         array_to_string(w[p:p + 1], ' ') AS b
+  FROM (SELECT conv_id, turn_idx, w, generate_subscripts(w, 1) AS p FROM tw)
+  WHERE p + 1 <= len(w)
+),
+nb AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS nb
+  FROM bg GROUP BY conv_id, turn_idx
+),
+pairs AS (
+  SELECT c.conv_id, c.turn_idx, c.nb AS cn, r.nb AS rn
+  FROM nb c JOIN nb r
+    ON r.conv_id = c.conv_id AND r.turn_idx = c.turn_idx - 1
+),
+inter AS (
+  SELECT a.conv_id, a.turn_idx, CAST(count(*) AS BIGINT) AS i_n
+  FROM bg a JOIN bg b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx - 1
+       AND b.b = a.b
+  GROUP BY a.conv_id, a.turn_idx
+)
+SELECT p.conv_id, p.turn_idx, coalesce(i.i_n, 0) AS inter_n,
+       CAST((coalesce(i.i_n, 0) * 1000000) // p.cn AS BIGINT) AS p_ppm,
+       CAST((coalesce(i.i_n, 0) * 1000000) // p.rn AS BIGINT) AS r_ppm,
+       CAST((coalesce(i.i_n, 0) * 2000000) // (p.cn + p.rn) AS BIGINT)
+           AS f1_ppm
+FROM pairs p LEFT JOIN inter i
+  ON i.conv_id = p.conv_id AND i.turn_idx = p.turn_idx
+"""
+
+
+@register("rouge_bigram_pairs", _ROUGE_SQL)
+def rouge_bigram_pairs(spark, sf_dir):
+    """ROUGE-2 between every turn and its predecessor (candidate =
+    turn t, reference = turn t-1): distinct-bigram intersection over
+    precision/recall/F1, the n-gram overlap metric instruction-data
+    dedup and response-eval pipelines score at corpus scale. All joins
+    are keyed by (conv_id, turn_idx[, bigram]) — co-partitioned by
+    conversation, so a 100 TB corpus shuffles each transcript once and
+    every count is map-side combinable. Scores are integer ppm
+    (floor-division) — order-free and bit-exact. Distinct-bigram
+    semantics (count each shared bigram once) is the ROUGE variant
+    that is set-algebraic, hence expressible without per-row Python."""
+    t = transcripts_from_events(spark, sf_dir)
+    tw = t.select(
+        "conv_id", "turn_idx", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 2)
+    bg = tw.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(w[i-1], ' ', w[i]))"
+                )
+            )
+        ).alias("b"),
+    )
+    nb = bg.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").cast("bigint").alias("nb")
+    )
+    pairs = (
+        nb.alias("c")
+        .join(
+            nb.alias("r"),
+            (F.col("r.conv_id") == F.col("c.conv_id"))
+            & (F.col("r.turn_idx") == F.col("c.turn_idx") - 1),
+        )
+        .select(
+            F.col("c.conv_id").alias("conv_id"),
+            F.col("c.turn_idx").alias("turn_idx"),
+            F.col("c.nb").alias("cn"),
+            F.col("r.nb").alias("rn"),
+        )
+    )
+    inter = (
+        bg.alias("a")
+        .join(
+            bg.alias("b"),
+            (F.col("b.conv_id") == F.col("a.conv_id"))
+            & (F.col("b.turn_idx") == F.col("a.turn_idx") - 1)
+            & (F.col("b.b") == F.col("a.b")),
+        )
+        .groupBy(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("turn_idx"),
+        )
+        .agg(F.count("*").cast("bigint").alias("i_n"))
+    )
+    return (
+        pairs.join(inter, ["conv_id", "turn_idx"], "left_outer")
+        .withColumn("inter_n", F.coalesce(F.col("i_n"), F.lit(0)))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("inter_n").cast("bigint").alias("inter_n"),
+            F.expr("CAST((inter_n * 1000000) DIV cn AS BIGINT)").alias(
+                "p_ppm"
+            ),
+            F.expr("CAST((inter_n * 1000000) DIV rn AS BIGINT)").alias(
+                "r_ppm"
+            ),
+            F.expr(
+                "CAST((inter_n * 2000000) DIV (cn + rn) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-respecting reachability (temporal earliest arrival)
+# --------------------------------------------------------------------------
+
+_TEMPORAL_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT user_id % 97 AS s,
+         (user_id * 7 + event_id) % 97 AS t,
+         CAST(floor(epoch(ts)) AS BIGINT) AS et
+  FROM events
+  WHERE user_id % 97 <> (user_id * 7 + event_id) % 97
+),
+seeds AS (
+  SELECT s AS i FROM (SELECT DISTINCT s FROM e)
+  ORDER BY md5('t:' || CAST(s AS VARCHAR)), s LIMIT 3
+),
+walk AS (
+  SELECT i AS seed, i AS node, CAST(-1 AS BIGINT) AS at, 0 AS k FROM seeds
+  UNION
+  SELECT w.seed, e.t AS node, e.et AS at, w.k + 1
+  FROM walk w JOIN e ON e.s = w.node AND e.et > w.at
+  WHERE w.k < 4
+)
+SELECT seed, node, CAST(min(at) AS BIGINT) AS arrival
+FROM walk GROUP BY seed, node HAVING min(at) >= 0
+"""
+
+
+@register("temporal_reachability", _TEMPORAL_SQL)
+def temporal_reachability(spark, sf_dir):
+    """Earliest time-respecting arrival from 3 md5-content-addressed
+    seeds over the event-derived temporal graph (edges carry their
+    event's timestamp; a journey is valid only if times strictly
+    increase — Wu 2014). Plain reachability overstates influence flow
+    in any KG built from timestamped interactions; this is the exact
+    bounded-hop correction. The Spark plan
+    (operators/graph.temporal_earliest_arrival) relaxes min-arrival
+    STATE — one frontier hash-join + combinable min per round — while
+    the oracle's recursive CTE enumerates paths; state relaxation is
+    what survives out-degree^k blowup at 100 TB. min() is order-free:
+    bit-exact at any parallelism."""
+    from gfftoneo4j_spark.operators.graph import temporal_earliest_arrival
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 97).alias("s"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 97).alias("t"),
+        F.unix_timestamp("ts").cast("bigint").alias("et"),
+    ).where(F.col("s") != F.col("t"))
+    seeds = (
+        edges.select("s")
+        .distinct()
+        .select(
+            "s",
+            F.md5(F.concat(F.lit("t:"), F.col("s").cast("string"))).alias(
+                "h"
+            ),
+        )
+        .orderBy("h", "s")
+        .limit(3)
+        .select("s")
+    )
+    arr = temporal_earliest_arrival(edges, seeds, rounds=4)
+    return arr.where(F.col("arrival") >= 0)
+
+
+# --------------------------------------------------------------------------
+# Consistent-hash shard rebalance audit (16 -> 20 shards)
+# --------------------------------------------------------------------------
+
+_SHARD_SQL = """
+WITH ring AS (
+  SELECT CAST(i // 8 AS INTEGER) AS shard,
+         md5('ring:' || CAST(i // 8 AS VARCHAR) || ':' ||
+             CAST(i % 8 AS VARCHAR)) AS ph
+  FROM range(160) t(i)
+),
+k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS kh FROM documents),
+a AS (
+  SELECT k.doc_id,
+         coalesce(min(CASE WHEN r.shard < 16 AND r.ph >= k.kh
+                           THEN r.ph END),
+                  min(CASE WHEN r.shard < 16 THEN r.ph END)) AS pt16,
+         coalesce(min(CASE WHEN r.ph >= k.kh THEN r.ph END),
+                  min(r.ph)) AS pt20
+  FROM k CROSS JOIN ring r GROUP BY k.doc_id, k.kh
+),
+asg AS (
+  SELECT a.doc_id, r16.shard AS old_shard, r20.shard AS new_shard
+  FROM a
+  JOIN ring r16 ON r16.ph = a.pt16
+  JOIN ring r20 ON r20.ph = a.pt20
+)
+SELECT old_shard, new_shard, CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END AS INTEGER)
+           AS moved
+FROM asg GROUP BY old_shard, new_shard
+"""
+
+
+@register("shard_rebalance", _SHARD_SQL)
+def shard_rebalance(spark, sf_dir):
+    """Consistent-hash ring rebalance audit: assign every doc to its
+    shard on a 16-shard ring (8 md5 virtual points each) and on the
+    grown 20-shard ring (same points + 32 new), and report the
+    old->new movement matrix. Because growth only ADDS ring points,
+    keys either stay put or move to one of the NEW shards — the
+    minimal-movement property (Karger 1997) that makes resharding a
+    100 TB store an append-only copy instead of a full reshuffle
+    (asserted in tests/test_rebalance_regression.py). Plan: the ring
+    is 160 broadcast rows; per doc the successor point is a combinable
+    conditional min over the map-side crossJoin — no shuffle until the
+    final 16x20-bounded matrix groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    ring = spark.range(160).select(
+        F.expr("CAST(id DIV 8 AS INTEGER)").alias("shard"),
+        F.md5(
+            F.concat(
+                F.lit("ring:"),
+                F.expr("CAST(id DIV 8 AS STRING)"),
+                F.lit(":"),
+                F.expr("CAST(id % 8 AS STRING)"),
+            )
+        ).alias("ph"),
+    )
+    k = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("kh")
+    )
+    ge = F.col("ph") >= F.col("kh")
+    in16 = F.col("shard") < 16
+    a = (
+        k.crossJoin(F.broadcast(ring))
+        .groupBy("doc_id", "kh")
+        .agg(
+            F.coalesce(
+                F.min(F.when(in16 & ge, F.col("ph"))),
+                F.min(F.when(in16, F.col("ph"))),
+            ).alias("pt16"),
+            F.coalesce(
+                F.min(F.when(ge, F.col("ph"))), F.min(F.col("ph"))
+            ).alias("pt20"),
+        )
+    )
+    r16 = ring.select(F.col("shard").alias("old_shard"), F.col("ph"))
+    r20 = ring.select(F.col("shard").alias("new_shard"), F.col("ph"))
+    asg = a.join(
+        F.broadcast(r16), a["pt16"] == r16["ph"]
+    ).join(F.broadcast(r20), a["pt20"] == r20["ph"])
+    return (
+        asg.groupBy("old_shard", "new_shard")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "old_shard",
+            "new_shard",
+            "n",
+            F.when(F.col("old_shard") != F.col("new_shard"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("integer")
+            .alias("moved"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hot-key salt advisor (skew remediation planning)
+# --------------------------------------------------------------------------
+
+_SALT_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events)
+SELECT event_type, n,
+       CAST((n * 1000000) // t AS BIGINT) AS share_ppm,
+       CAST(least(16, (n * 32 + t - 1) // t) AS INTEGER) AS salt_n
+FROM c, tot
+"""
+
+
+@register("salt_advisor", _SALT_SQL)
+def salt_advisor(spark, sf_dir):
+    """Skew-remediation planner: per join-key share of the table and
+    the salt factor ceil(n_key * P / total) (P=32 target partitions,
+    capped 16) that splits each hot key across just enough salted
+    partitions to restore balance — the number salted_join consumes.
+    At 100 TB key-frequency profiling is the cheap combinable agg you
+    ALWAYS run before a skewed join; AQE fixes sort-merge skew at
+    runtime but broadcast-salting a pathological key still needs this
+    plan-time number. Integer ceil-division keeps the advisory
+    bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = ev.agg(F.count("*").cast("bigint").alias("t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.expr("CAST((n * 1000000) DIV t AS BIGINT)").alias("share_ppm"),
+        F.expr(
+            "CAST(least(16, (n * 32 + t - 1) DIV t) AS INTEGER)"
+        ).alias("salt_n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
