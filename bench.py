@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     "temporal_reachability",
     "shard_rebalance",
     "salt_advisor",
+    "scc_components",
+    "compaction_plan",
+    "stats_pruning_audit",
 ]
 
 

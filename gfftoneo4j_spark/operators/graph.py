@@ -1121,3 +1121,145 @@ def temporal_earliest_arrival(
         )
         frontier = improved
     return state.select("seed", "node", F.col("arr").alias("arrival"))
+
+
+def scc_coloring(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    prop_rounds: int = 8,
+    max_outer: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Strongly connected components by forward max-label COLORING
+    (Orzan 2004 / the FB-coloring family Slota 2014 benchmarks):
+    each outer round (1) propagates the max node id forward to
+    fixpoint — color(v) = max{u : u ->* v} — as a pagerank-shaped
+    combinable fixed point, (2) takes roots (color(v) == v: no larger
+    node reaches v), (3) extracts each root's SCC as the backward
+    reach within its own color (a multi_source_bfs-shaped frontier
+    loop), then removes extracted nodes and repeats. Correctness: v
+    extracted under root r iff v ->* r and color(v) = r (so r ->* v),
+    i.e. exactly SCC(r); within-color restriction is lossless because
+    every intermediate node of a v ->* r path is itself in SCC(r).
+
+    prop_rounds must be >= the remaining graph's diameter (one-hop
+    max propagation per round); max_outer bounds the outer loop —
+    each round extracts at least every current root's SCC, so a long
+    singleton chain is the known worst case (production pairs this
+    with trimming; the registry's synthetic gate graph completes in
+    one round and the random-digraph pytest cross-checks a hand
+    Tarjan). Per inner round the heavy op is ONE hash join against
+    the active edge snapshot plus a combinable max/min — never
+    closure materialization, which is what keeps SCC viable at
+    100 TB.
+
+    Returns (node, scc_id) with scc_id = min member id. Nodes left
+    active after max_outer rounds are NOT emitted (caller asserts
+    completion by row count).
+    """
+    e_all = (
+        edges.select(
+            F.col(src).cast("bigint").alias("eu"),
+            F.col(dst).cast("bigint").alias("ev"),
+        )
+        .where(F.col("eu") != F.col("ev"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes is None:
+        active = (
+            e_all.select(F.col("eu").alias("node"))
+            .unionAll(e_all.select(F.col("ev").alias("node")))
+            .distinct()
+        )
+    else:
+        ncol = nodes.columns[0]
+        active = nodes.select(F.col(ncol).cast("bigint").alias("node"))
+    active = active.localCheckpoint(eager=True)
+    out = None
+    for _ in range(max_outer):
+        if active.limit(1).count() == 0:
+            break
+        e_act = (
+            e_all.join(active.withColumnRenamed("node", "eu"), "eu")
+            .join(active.withColumnRenamed("node", "ev"), "ev")
+            .localCheckpoint(eager=True)
+        )
+        color = active.select("node", F.col("node").alias("c"))
+        for _ in range(prop_rounds):
+            upd = (
+                e_act.join(color, e_act["eu"] == color["node"])
+                .groupBy(F.col("ev").alias("node2"))
+                .agg(F.max("c").alias("uc"))
+                .withColumnRenamed("node2", "node")
+            )
+            color = (
+                color.join(upd, "node", "left_outer")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("c"), F.coalesce(F.col("uc"), F.lit(-1))
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        roots = color.where(F.col("c") == F.col("node"))
+        # backward reach from each root restricted to its color
+        ec = (
+            e_act.join(
+                color.select(
+                    F.col("node").alias("eu"), F.col("c").alias("cu")
+                ),
+                "eu",
+            )
+            .join(
+                color.select(
+                    F.col("node").alias("ev"), F.col("c").alias("cv")
+                ),
+                "ev",
+            )
+            .where(F.col("cu") == F.col("cv"))
+            .select("eu", "ev", F.col("cu").alias("col"))
+            .localCheckpoint(eager=True)
+        )
+        visited = roots.select(
+            F.col("c").alias("col"), F.col("node")
+        ).localCheckpoint(eager=True)
+        frontier = visited
+        for _ in range(prop_rounds):
+            reached = (
+                frontier.join(
+                    ec,
+                    (frontier["node"] == ec["ev"])
+                    & (frontier["col"] == ec["col"]),
+                )
+                .select(frontier["col"], ec["eu"].alias("node"))
+                .distinct()
+            )
+            new = reached.join(
+                visited, ["col", "node"], "left_anti"
+            ).localCheckpoint(eager=True)
+            if new.limit(1).count() == 0:
+                break
+            visited = visited.unionAll(new).localCheckpoint(eager=True)
+            frontier = new
+        members = visited.groupBy("col").agg(
+            F.min("node").alias("scc_id")
+        )
+        extracted = (
+            visited.join(members, "col")
+            .select("node", "scc_id")
+            .localCheckpoint(eager=True)
+        )
+        out = (
+            extracted if out is None else out.unionAll(extracted)
+        ).localCheckpoint(eager=True)
+        active = active.join(
+            extracted.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    if out is None:
+        return active.select(
+            "node", F.col("node").alias("scc_id")
+        ).where(F.lit(False))
+    return out

@@ -9947,6 +9947,206 @@ def salt_advisor(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Strongly connected components (FW-BW max-label coloring)
+# --------------------------------------------------------------------------
+
+_SCC_SQL = """
+SELECT CAST(i AS BIGINT) AS node, CAST((i // 8) * 8 AS BIGINT) AS scc_id
+FROM range(97) t(i)
+"""
+
+
+@register("scc_components", _SCC_SQL)
+def scc_components(spark, sf_dir):
+    """Directed SCC via forward max-label coloring + within-color
+    backward extraction (operators/graph.scc_coloring; Orzan 2004).
+    The gate graph is ADVERSARIAL-BY-CONSTRUCTION with an analytic
+    answer: 97 nodes in 8-node directed cycles (block b = nodes
+    8b..8b+7, i -> next in cycle) plus event-derived cross edges that
+    only ever point from a lower block to a higher block — so the
+    block DAG is acyclic and the true SCCs are exactly the blocks
+    (scc_id = block start; node 96 is a singleton). The oracle states
+    that ground truth directly: if the distributed algorithm merges
+    across a DAG edge, misses a cycle member, or extracts a partial
+    cycle, the hash mismatches. Generality on random digraphs is
+    pytest-proven against a hand-written Tarjan
+    (tests/test_scc.py). Per round the heavy ops are one hash join +
+    a combinable max (coloring) and one frontier join + anti-join
+    (extraction) — the pagerank/BFS disciplines; no closure is ever
+    materialized. The reference walks its graph only along stored
+    parent edges (GeneReader.scala:65-135); cycle detection over a
+    built KG is exactly what its Neo4j consumers cannot do in batch."""
+    from gfftoneo4j_spark.operators.graph import scc_coloring
+
+    ev = load_table(spark, sf_dir, "events")
+    nodes = spark.range(97).select(F.col("id").alias("i"))
+    cyc = nodes.select(
+        F.col("i").alias("u"),
+        F.expr(
+            "CAST((i DIV 8) * 8"
+            " + ((i - (i DIV 8) * 8 + 1) % least(8, 97 - (i DIV 8) * 8))"
+            " AS BIGINT)"
+        ).alias("v"),
+    )
+    cross = ev.select(
+        (F.col("user_id") % 97).alias("u"),
+        ((F.expr("user_id DIV 97") + F.col("event_id")) % 97).alias("v"),
+    ).where(F.expr("u DIV 8 < v DIV 8"))
+    edges = cyc.unionByName(cross)
+    res = scc_coloring(
+        edges, nodes=nodes, prop_rounds=8, max_outer=2
+    )
+    return res.select("node", "scc_id")
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction plan (offset bin packing, Spark's own strategy)
+# --------------------------------------------------------------------------
+
+_COMPACT_SQL = """
+WITH files AS (
+  SELECT source, doc_id // 20 AS file_id,
+         CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, doc_id // 20
+),
+o AS (
+  SELECT source, file_id, bytes,
+         coalesce(sum(bytes) OVER (
+             PARTITION BY source ORDER BY bytes DESC, file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM files
+)
+SELECT source, file_id, bytes,
+       CAST(cum_before // 4096 AS INTEGER) AS target_bin
+FROM o
+"""
+
+
+@register("compaction_plan", _COMPACT_SQL)
+def compaction_plan(spark, sf_dir):
+    """Small-file compaction planner: group each source's files in
+    size-descending order and assign target output bins by OFFSET
+    packing (bin = cumulative-bytes-before DIV capacity) — the same
+    strategy Spark's FilePartition coalescing applies under
+    spark.sql.files.maxPartitionBytes, made explicit as a queryable
+    plan. The small-files problem is THE silent 100 TB killer (a
+    million 1 MB parquet files = a million scan tasks); the plan is
+    one bounded window per source (files per source, not rows) and
+    integer division, so planning cost is negligible next to the
+    rewrite it saves. Descending order packs large files first,
+    keeping bin overshoot under one file."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", F.expr("doc_id DIV 20").alias("file_id")
+    ).agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("bytes"), "file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return files.select(
+        "source",
+        "file_id",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    ).select(
+        "source",
+        "file_id",
+        "bytes",
+        F.expr("CAST(cum_before DIV 4096 AS INTEGER)").alias("target_bin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning audit (data skipping over file-level min/max stats)
+# --------------------------------------------------------------------------
+
+_PRUNE_SQL = """
+WITH files AS (
+  SELECT source, doc_id // 20 AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(n_chars) AS BIGINT) AS min_nc,
+         CAST(max(n_chars) AS BIGINT) AS max_nc,
+         min(lang) AS min_lang, max(lang) AS max_lang
+  FROM documents GROUP BY source, doc_id // 20
+),
+audit AS (
+  SELECT source, n_rows,
+         CASE WHEN max_nc <= 600 OR min_lang > 'en' OR max_lang < 'en'
+              THEN 1 ELSE 0 END AS skipped
+  FROM files
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(skipped) AS BIGINT) AS n_skipped,
+       CAST((sum(skipped) * 1000000) // count(*) AS BIGINT) AS skip_ppm,
+       CAST(sum(CASE WHEN skipped = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_skipped
+FROM audit GROUP BY source
+"""
+
+
+@register("stats_pruning_audit", _PRUNE_SQL)
+def stats_pruning_audit(spark, sf_dir):
+    """Zone-map data-skipping audit: build file-level min/max stats
+    (the parquet footer / Iceberg manifest stats) for n_chars and
+    lang, then report how many files the predicate
+    `n_chars > 600 AND lang = 'en'` can prove empty without opening
+    them (skip iff max_nc <= 600 OR 'en' outside [min_lang,
+    max_lang]). This ratio is the first number to check before any
+    100 TB scan: pruning happens in the PLANNER against KB-sized
+    stats, so a layout with bad clustering (skip_ppm ~ 0) means every
+    query pays the full scan — the motivation for zorder_layout and
+    compaction_plan upstream. Pure combinable aggs; bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", F.expr("doc_id DIV 20").alias("file_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("n_chars").cast("bigint").alias("min_nc"),
+        F.max("n_chars").cast("bigint").alias("max_nc"),
+        F.min("lang").alias("min_lang"),
+        F.max("lang").alias("max_lang"),
+    )
+    audit = files.select(
+        "source",
+        "n_rows",
+        F.when(
+            (F.col("max_nc") <= 600)
+            | (F.col("min_lang") > "en")
+            | (F.col("max_lang") < "en"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("skipped"),
+    )
+    return (
+        audit.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("skipped").cast("bigint").alias("n_skipped"),
+            F.sum(
+                F.when(F.col("skipped") == 1, F.col("n_rows")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rows_skipped"),
+        )
+        .select(
+            "source",
+            "n_files",
+            "n_skipped",
+            F.expr(
+                "CAST((n_skipped * 1000000) DIV n_files AS BIGINT)"
+            ).alias("skip_ppm"),
+            "rows_skipped",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
