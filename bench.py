@@ -249,6 +249,10 @@ BENCH_QUERIES = [
     "scc_components",
     "compaction_plan",
     "stats_pruning_audit",
+    "graph_truss_peel",
+    "edit_distance_pairs",
+    "l_diversity_audit",
+    "rrf_fusion",
 ]
 
 

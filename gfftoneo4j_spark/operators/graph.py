@@ -46,37 +46,13 @@ def _mat(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
     return out
 
 
-def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
-    """Per-node triangle counts over an undirected simple graph —
-    the compact-forward / degree-orientation algorithm, relational.
-
-    Naive triangle enumeration joins the edge list with itself on
-    shared endpoints: a hub of degree d contributes d^2 wedge rows, so
-    one celebrity node in a 10^12-edge graph explodes the join. The
-    classic fix (Latapy's compact-forward; also how GraphX counts
-    triangles) orients every edge from the endpoint with the SMALLER
-    (degree, id) to the larger: out-degree under this orientation is
-    bounded by ~sqrt(2m), so wedge generation — the only quadratic
-    step — is bounded per node by sqrt(2m)^2 = 2m regardless of hub
-    skew.
-
-    Plan: canonicalize+dedup edges (one shuffle), degree aggregation
-    (combinable), orient (two broadcast-or-shuffle joins against the
-    degree table), wedge self-join on the oriented source, close each
-    wedge with a semi-ish join against the oriented edge set, then
-    explode each triangle to its 3 corners and count per node
-    (combinable). Every triangle (x, y, z) with pi(x) < pi(y) < pi(z)
-    is generated exactly once, as the wedge at x closed by y->z.
-
-    Returns (node string, n_triangles long), nodes with >= 1 triangle.
-    """
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = (
-        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .select(a.alias("a"), b.alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """Triangle enumeration over a canonical undirected edge set
+    (a, b) with a < b, deduped: degree-orientation (compact-forward)
+    so wedge fan-out is bounded by ~sqrt(2m) per node regardless of
+    hub skew. Each triangle is produced exactly once as (x, y, z)
+    with pi(x) < pi(y) < pi(z) under pi = (degree, id). Shared by
+    triangle_counts, clustering coefficients and truss_peel."""
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -112,7 +88,41 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     closing = oriented.select(
         F.col("x").alias("y"), F.col("y").alias("z")
     )
-    tris = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    return wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+
+
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the compact-forward / degree-orientation algorithm, relational.
+
+    Naive triangle enumeration joins the edge list with itself on
+    shared endpoints: a hub of degree d contributes d^2 wedge rows, so
+    one celebrity node in a 10^12-edge graph explodes the join. The
+    classic fix (Latapy's compact-forward; also how GraphX counts
+    triangles) orients every edge from the endpoint with the SMALLER
+    (degree, id) to the larger: out-degree under this orientation is
+    bounded by ~sqrt(2m), so wedge generation — the only quadratic
+    step — is bounded per node by sqrt(2m)^2 = 2m regardless of hub
+    skew.
+
+    Plan: canonicalize+dedup edges (one shuffle), degree aggregation
+    (combinable), orient (two broadcast-or-shuffle joins against the
+    degree table), wedge self-join on the oriented source, close each
+    wedge with a semi-ish join against the oriented edge set, then
+    explode each triangle to its 3 corners and count per node
+    (combinable). Every triangle (x, y, z) with pi(x) < pi(y) < pi(z)
+    is generated exactly once, as the wedge at x closed by y->z.
+
+    Returns (node string, n_triangles long), nodes with >= 1 triangle.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    tris = _enumerate_triangles(und)
     corners = tris.select(
         F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
     )
@@ -1263,3 +1273,75 @@ def scc_coloring(
             "node", F.col("node").alias("scc_id")
         ).where(F.lit(False))
     return out
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical undirected edge set
+    (a, b), a < b: every enumerated triangle contributes 1 to each of
+    its three edges. Combinable count; support 0 edges are absent."""
+    tris = _enumerate_triangles(und)
+    pair = lambda p, q: F.struct(  # noqa: E731
+        F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
+    )
+    exploded = tris.select(
+        F.explode(
+            F.array(
+                pair(F.col("x"), F.col("y")),
+                pair(F.col("x"), F.col("z")),
+                pair(F.col("y"), F.col("z")),
+            )
+        ).alias("e")
+    )
+    return exploded.select("e.a", "e.b").groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+
+
+def truss_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded k-truss peeling (Cohen 2008): each round drops every
+    edge whose triangle support is < k-2, then recounts — edge-level
+    cohesion strictly stronger than k-core (k-core bounds degree;
+    k-truss demands each edge sit in k-2 triangles). `rounds` bounds
+    the peel (full truss decomposition iterates to fixpoint; bounded
+    rounds keep the gate deterministic and the job count fixed — the
+    pagerank discipline). Support counting reuses the degree-oriented
+    triangle enumeration, so per round the quadratic wedge step stays
+    sqrt(2m)-bounded and the peel itself is a broadcast-or-shuffle
+    left join + filter. Returns surviving edges with their support
+    RECOUNTED on the surviving subgraph: (u, v, support), u < v.
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    thresh = k - 2
+    for _ in range(rounds):
+        sup = _edge_support(und)
+        und = (
+            und.join(sup, ["a", "b"], "left_outer")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= thresh)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final = _edge_support(und)
+    return (
+        und.join(final, ["a", "b"], "left_outer")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.coalesce(F.col("support"), F.lit(0))
+            .cast("bigint")
+            .alias("support"),
+        )
+    )

@@ -5146,7 +5146,7 @@ e{K} AS (
 
 _KCORE_SQL = (
     _UND_EDGES_SQL.replace("{triples}", _KG_TRIPLES_SQL)
-    + ",\ne0 AS (SELECT s, t FROM und),"
+    + ",\ne0 AS MATERIALIZED (SELECT s, t FROM und),"
     + ",".join(_KCORE_ROUND_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
     + """
 SELECT s AS node, CAST(count(*) AS BIGINT) AS degree FROM e3 GROUP BY s
@@ -8057,7 +8057,7 @@ def cuped_variance_reduction(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _PCA_SQL = """
-WITH e1 AS (
+WITH e1 AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          unnest(embedding) AS xi
   FROM embeddings
@@ -10143,6 +10143,307 @@ def stats_pruning_audit(spark, sf_dir):
             ).alias("skip_ppm"),
             "rows_skipped",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded k-truss peeling (edge-cohesion decomposition)
+# --------------------------------------------------------------------------
+
+
+def _truss_support_block(p: str, rel: str) -> str:
+    """One edge-support CTE block (degree-oriented triangle
+    enumeration, same shape as the graph_clustering_coeff oracle)
+    computing {p}sup(a, b, support) over edge relation `rel`."""
+    return f"""
+{p}deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM {rel} UNION ALL SELECT b AS n FROM {rel}
+  ) GROUP BY n
+),
+{p}keyed AS (
+  SELECT u.a, u.b, x.d AS da, y.d AS db
+  FROM {rel} u JOIN {p}deg x ON x.n = u.a JOIN {p}deg y ON y.n = u.b
+),
+{p}o AS MATERIALIZED (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS x,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS y,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dy
+  FROM {p}keyed
+),
+{p}w AS (
+  SELECT e1.x, e1.y, e2.y AS z FROM {p}o e1 JOIN {p}o e2 ON e1.x = e2.x
+  WHERE e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y)
+),
+{p}t AS MATERIALIZED (
+  SELECT w.x, w.y, w.z FROM {p}w w JOIN {p}o c ON c.x = w.y AND c.y = w.z
+),
+{p}sup AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT least(x, y) AS a, greatest(x, y) AS b FROM {p}t
+    UNION ALL SELECT least(x, z), greatest(x, z) FROM {p}t
+    UNION ALL SELECT least(y, z), greatest(y, z) FROM {p}t
+  ) GROUP BY a, b
+)"""
+
+
+_TRUSS_SQL = f"""
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i + 2) % m FROM base
+  UNION ALL SELECT i, (i + 3) % m FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+),
+{_truss_support_block("r0", "e0")},
+e1 AS MATERIALIZED (
+  SELECT u.a, u.b FROM e0 u LEFT JOIN r0sup s ON s.a = u.a AND s.b = u.b
+  WHERE coalesce(s.support, 0) >= 2
+),
+{_truss_support_block("r1", "e1")},
+e2 AS MATERIALIZED (
+  SELECT u.a, u.b FROM e1 u LEFT JOIN r1sup s ON s.a = u.a AND s.b = u.b
+  WHERE coalesce(s.support, 0) >= 2
+),
+{_truss_support_block("rf", "e2")}
+SELECT u.a AS u, u.b AS v, coalesce(s.support, 0) AS support
+FROM e2 u LEFT JOIN rfsup s ON s.a = u.a AND s.b = u.b
+"""
+
+
+@register("graph_truss_peel", _TRUSS_SQL)
+def graph_truss_peel(spark, sf_dir):
+    """Bounded 4-truss peeling over a triangle-rich deterministic
+    graph (additive circulant i -> i+1, i+2, i+3 plus the
+    multiplicative i -> 2i generator; at sf0.01 the peel cascades
+    1993 -> 1506 -> 1504 edges with final supports 2..5): each round
+    drops edges in fewer than k-2 = 2 triangles and recounts — the
+    edge-cohesion decomposition one notch stronger than k-core
+    (operators/graph.truss_peel, Cohen 2008). Support counting reuses
+    the degree-oriented triangle enumeration, so the quadratic wedge
+    step stays sqrt(2m)-bounded under hub skew, and the peel is a
+    left join + filter per round; bounded rounds keep the job count
+    fixed (the pagerank discipline). Communities that survive a
+    k-truss are the seed sets entity-resolution uses at 100 TB."""
+    from gfftoneo4j_spark.operators.graph import truss_peel
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 2) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 3) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t")
+            )
+        )
+    )
+    return truss_peel(raw, k=4, rounds=2, src="s", dst="t")
+
+
+# --------------------------------------------------------------------------
+# Blocked edit-distance near-dup pairs (levenshtein within prefix blocks)
+# --------------------------------------------------------------------------
+
+_EDITDIST_SQL = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 24) AS title, substr(text, 1, 12) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM t a JOIN t b ON b.blk = a.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 6
+"""
+
+
+@register("edit_distance_pairs", _EDITDIST_SQL)
+def edit_distance_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs over doc title prefixes with
+    PREFIX BLOCKING: only pairs sharing their first 12 chars are
+    compared, so the quadratic levenshtein step runs within blocks
+    (the classic record-linkage blocking discipline — same role the
+    length bands play in ngram_jaccard_banded). Levenshtein is the
+    one string distance regex/hash tricks can't fake (handles
+    transposition-adjacent edits, insertions, deletions with unit
+    cost) and both engines implement the identical unit-cost DP —
+    exact, gateable. At 100 TB the block key bounds candidate fan-out
+    the way LSH bands do for MinHash; an unblocked pairwise
+    levenshtein is never viable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("title"),
+        F.substring("text", 1, 12).alias("blk"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.blk") == F.col("a.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title"))
+            .cast("integer")
+            .alias("dist"),
+        )
+        .where(F.col("dist") <= 6)
+    )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (companion to k_anonymity_audit)
+# --------------------------------------------------------------------------
+
+_LDIV_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT n_chars // 100) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN count(DISTINCT n_chars // 100) < 3 THEN 1 ELSE 0 END
+            AS INTEGER) AS violates_l3
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("l_diversity_audit", _LDIV_SQL)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala 2007), the companion check
+    k-anonymity misses: a quasi-identifier group can be large (k-safe)
+    yet expose its members if the SENSITIVE attribute is constant
+    within it. Per (lang, source) group: size, distinct sensitive
+    buckets (n_chars DIV 100), and an l=3 violation flag. One
+    combinable agg + distinct-within-group — at 100 TB this is a
+    single shuffle on the quasi-identifier, the same cost class as
+    k_anonymity_audit, and together they gate what a training-data
+    release pipeline must prove before publishing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("group_n"),
+        F.countDistinct(F.expr("n_chars DIV 100"))
+        .cast("bigint")
+        .alias("n_sensitive"),
+        F.when(
+            F.countDistinct(F.expr("n_chars DIV 100")) < 3, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("integer")
+        .alias("violates_l3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of two top-k selection lists
+# --------------------------------------------------------------------------
+
+_RRF_SQL = """
+WITH sa AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 200
+),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM sa
+),
+sb AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+             AS s
+  FROM documents ORDER BY s DESC, doc_id LIMIT 200
+),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM sb
+)
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       CAST(coalesce(ra.r, 0) AS INTEGER) AS rank_a,
+       CAST(coalesce(rb.r, 0) AS INTEGER) AS rank_b,
+       CAST(coalesce(1000000000 // (60 + ra.r), 0)
+            + coalesce(1000000000 // (60 + rb.r), 0) AS BIGINT) AS rrf_fp
+FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
+"""
+
+
+@register("rrf_fusion", _RRF_SQL)
+def rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack 2009) of two top-200 selection
+    lists — the standard way retrieval/data-selection pipelines merge
+    heterogeneous scores without calibrating them (here: doc length
+    vs distinct-vocabulary size). Each list is pre-capped by
+    TakeOrderedAndProject BEFORE ranking, so the row_number windows
+    run over <= 200 rows (the journey_paths bounded-window rule —
+    fusion is over top-k lists by definition, which is exactly why
+    RRF scales: the global sort never happens). Scores are integer
+    fixed-point floor(1e9/(60+r)) — order-free, bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sa = (
+        d.select("doc_id", F.col("n_chars").cast("bigint").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(200)
+    )
+    ra = sa.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .alias("r"),
+    )
+    sb = (
+        d.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split(F.trim("text"), " ")))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(200)
+    )
+    rb = sb.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .alias("r"),
+    )
+    j = ra.alias("ra").join(
+        rb.alias("rb"),
+        F.col("rb.doc_id") == F.col("ra.doc_id"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("ra.doc_id"), F.col("rb.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("ra.r"), F.lit(0)).cast("integer").alias("rank_a"),
+        F.coalesce(F.col("rb.r"), F.lit(0)).cast("integer").alias("rank_b"),
+        (
+            F.coalesce(
+                F.expr("CAST(1000000000 DIV (60 + ra.r) AS BIGINT)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr("CAST(1000000000 DIV (60 + rb.r) AS BIGINT)"),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_fp"),
     )
 
 
