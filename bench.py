@@ -253,6 +253,9 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     "l_diversity_audit",
     "rrf_fusion",
+    "luby_mis",
+    "stupid_backoff_scores",
+    "fellegi_sunter_scores",
 ]
 
 

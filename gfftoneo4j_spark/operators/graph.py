@@ -1345,3 +1345,90 @@ def truss_peel(
             .alias("support"),
         )
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm with
+    content-addressed priorities: per round every active node whose
+    md5 priority beats ALL active neighbors joins the MIS, then its
+    closed neighborhood leaves the active set. md5 gives a
+    collision-free deterministic total order, so the classically
+    randomized algorithm becomes bit-exact and oracle-gateable —
+    the same trick the registry's sampling operators use. Luby 1986
+    terminates in O(log n) rounds w.h.p.; `rounds` bounds the loop
+    (callers assert exhaustion — the gate graph empties in 6).
+
+    Per round the heavy ops are ONE hash join of the undirected edge
+    snapshot against the active set and a combinable min — the BFS
+    discipline. MIS is the scheduling primitive for conflict-free
+    batching (e.g. committing KG edge mutations that share endpoints
+    in independent waves).
+
+    Returns (node, round) for MIS members, round = selection wave.
+    """
+    und = (
+        edges.select(F.col(src).cast("bigint").alias("s"),
+                     F.col(dst).cast("bigint").alias("t"))
+        .where(F.col("s") != F.col("t"))
+    )
+    und = (
+        und.unionAll(und.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ncol = nodes.columns[0]
+    active = (
+        nodes.select(F.col(ncol).cast("bigint").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.md5(F.concat(F.lit("mis:"), F.col("node").cast("string")))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(rounds):
+        if active.limit(1).count() == 0:
+            break
+        # min active-neighbor priority per active node
+        nbr = (
+            und.join(
+                active.select(F.col("node").alias("s"),
+                              F.col("p").alias("ps")),
+                "s",
+            )
+            .join(active.select(F.col("node").alias("t")), "t")
+            .groupBy("t")
+            .agg(F.min("ps").alias("minp"))
+            .withColumnRenamed("t", "node")
+        )
+        sel = (
+            active.join(nbr, "node", "left_outer")
+            .where(F.col("minp").isNull() | (F.col("p") < F.col("minp")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        picked = sel.select("node", F.lit(r).cast("integer").alias("round"))
+        out = picked if out is None else out.unionAll(picked)
+        out = out.localCheckpoint(eager=True)
+        removed = sel.unionAll(
+            und.join(sel.withColumnRenamed("node", "s"), "s").select(
+                F.col("t").alias("node")
+            )
+        ).distinct()
+        active = active.join(removed, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if out is None:
+        return nodes.select(
+            F.col(ncol).cast("bigint").alias("node"),
+            F.lit(0).cast("integer").alias("round"),
+        ).where(F.lit(False))
+    return out

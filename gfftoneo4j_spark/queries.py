@@ -10448,6 +10448,277 @@ def rrf_fusion(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Maximal independent set (Luby, content-addressed priorities)
+# --------------------------------------------------------------------------
+
+
+def _mis_round_sql(r: int) -> str:
+    return f"""
+nbr{r} AS (
+  SELECT a2.node AS node, min(a1.p) AS minp
+  FROM und e JOIN a{r} a1 ON a1.node = e.s JOIN a{r} a2 ON a2.node = e.t
+  GROUP BY a2.node
+),
+sel{r} AS MATERIALIZED (
+  SELECT a.node FROM a{r} a LEFT JOIN nbr{r} n ON n.node = a.node
+  WHERE n.minp IS NULL OR a.p < n.minp
+),
+rem{r} AS (
+  SELECT node FROM sel{r}
+  UNION
+  SELECT e.t FROM und e JOIN sel{r} s ON s.node = e.s
+),
+a{r + 1} AS MATERIALIZED (
+  SELECT a.node, a.p FROM a{r} a LEFT JOIN rem{r} x ON x.node = a.node
+  WHERE x.node IS NULL
+)"""
+
+
+_MIS_SQL = (
+    """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i + 2) % m FROM base
+  UNION ALL SELECT i, (i + 3) % m FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT i AS node, md5('mis:' || CAST(i AS VARCHAR)) AS p
+  FROM base
+),"""
+    + ",".join(_mis_round_sql(r) for r in range(6))
+    + """
+SELECT node, CAST(r AS INTEGER) AS round FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT node, {r} AS r FROM sel{r}" for r in range(6)
+    )
+    + """
+)
+"""
+)
+
+
+@register("luby_mis", _MIS_SQL)
+def luby_mis_q(spark, sf_dir):
+    """Maximal independent set via Luby's algorithm with md5
+    content-addressed priorities (operators/graph.luby_mis) — the
+    distributed scheduling primitive: an MIS over a conflict graph is
+    a wave of operations safe to run concurrently (e.g. KG edge
+    mutations sharing endpoints commit in independent waves). The
+    classically randomized selection becomes deterministic and
+    oracle-gateable through the md5 total order; per round ONE hash
+    join against the active set + a combinable min, O(log n) rounds
+    w.h.p. (the sf0.01 graph exhausts in 6, pytest-asserted with
+    independence + maximality checks). The oracle unrolls the rounds
+    as CTE blocks — the graph_kcore pattern."""
+    from gfftoneo4j_spark.operators.graph import luby_mis
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 2) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 3) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t")
+            )
+        )
+    )
+    return luby_mis(raw, nodes=base, rounds=6, src="s", dst="t")
+
+
+# --------------------------------------------------------------------------
+# Stupid-backoff bigram scores (Brants 2007)
+# --------------------------------------------------------------------------
+
+_BACKOFF_SQL = """
+WITH toks AS (
+  SELECT doc_id, w, generate_subscripts(w, 1) AS p
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+uni AS MATERIALIZED (
+  SELECT w[p] AS tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bi AS MATERIALIZED (
+  SELECT w[p] AS w1, w[p + 1] AS w2, CAST(count(*) AS BIGINT) AS c2
+  FROM toks WHERE p + 1 <= len(w) GROUP BY 1, 2
+),
+top AS MATERIALIZED (SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT 40),
+cand AS (
+  SELECT a.tok AS w1, a.c AS c1, b.tok AS w2, b.c AS cw2
+  FROM top a CROSS JOIN top b
+)
+SELECT w1, w2, c2, score_ppm FROM (
+  SELECT c.w1, c.w2, coalesce(bi.c2, 0) AS c2,
+         CAST(CASE WHEN coalesce(bi.c2, 0) > 0
+                   THEN (bi.c2 * 1000000) // c.c1
+                   ELSE (c.cw2 * 400000) // n.n END AS BIGINT) AS score_ppm
+  FROM cand c LEFT JOIN bi ON bi.w1 = c.w1 AND bi.w2 = c.w2, n
+)
+"""
+
+
+@register("stupid_backoff_scores", _BACKOFF_SQL)
+def stupid_backoff_scores(spark, sf_dir):
+    """Stupid-backoff bigram LM scoring (Brants 2007, the Google
+    large-LM recipe that DROPPED normalization because at corpus
+    scale counts beat smoothing): S(w2|w1) = c(w1 w2)/c(w1) if the
+    bigram was seen, else 0.4 * c(w2)/N. Scored over the top-40 x
+    top-40 candidate grid — the cap exceeds the synthetic corpus's
+    31-word vocab, so the grid is the full vocab^2 and both branches
+    exercise at every SF (916 of 961 bigrams observed, 45 back off);
+    at production vocab sizes the same cap bounds the grid by k^2
+    independent of corpus size. Everything is integer count arithmetic in ppm
+    fixed-point — no logs, no floats, bit-exact. Counts are
+    combinable aggs; the candidate grid is a broadcast cross of two
+    TakeOrdered(20) lists, so the plan never materializes the
+    quadratic vocab grid a naive LM join would."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    n = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bi = (
+        d.select(F.split(F.trim("text"), " ").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    top = uni.orderBy(F.desc("c"), "tok").limit(40)
+    cand = (
+        top.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+        .crossJoin(
+            F.broadcast(
+                top.select(
+                    F.col("tok").alias("w2"), F.col("c").alias("cw2")
+                )
+            )
+        )
+    )
+    scored = (
+        cand.join(bi, ["w1", "w2"], "left_outer")
+        .withColumn("c2", F.coalesce(F.col("c2"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("c2").cast("bigint").alias("c2"),
+        F.expr(
+            "CAST(CASE WHEN c2 > 0 THEN (c2 * 1000000) DIV c1"
+            " ELSE (cw2 * 400000) DIV n END AS BIGINT)"
+        ).alias("score_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scores (blocked candidate pairs)
+# --------------------------------------------------------------------------
+
+_FS_SQL = """
+WITH a AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         CAST(floor(value) AS BIGINT) // 10 AS vb
+  FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         CAST(floor(value) AS BIGINT) // 10 AS vb
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT id_a, id_b, fs_score FROM (
+  SELECT a.event_id AS id_a, b.event_id AS id_b,
+         CAST((CASE WHEN a.event_type = b.event_type THEN 24 ELSE -8 END)
+            + (CASE WHEN a.hr = b.hr THEN 12 ELSE -4 END)
+            + (CASE WHEN a.vb = b.vb THEN 18 ELSE -6 END) AS INTEGER)
+             AS fs_score
+  FROM a JOIN b ON b.user_id = a.user_id
+)
+WHERE fs_score >= 30
+"""
+
+
+@register("fellegi_sunter_scores", _FS_SQL)
+def fellegi_sunter_scores(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (1969, still the
+    backbone of production entity resolution): candidate pairs from
+    BLOCKING (same user_id — the A-file/B-file split is even/odd
+    event ids), each field comparison contributing its integer
+    log-odds agreement/disagreement weight (type +24/-8, hour
+    +12/-4, value-bucket +18/-6 — fixed-point ln(m/u) analogs), sum
+    thresholded at 30. The structure at 100 TB: blocking bounds the
+    quadratic comparison space exactly like LSH bands bound MinHash,
+    the field weights are pure codegen CASE arithmetic, and the
+    shuffle is one hash join on the block key. Integer weights keep
+    the score order-free and gateable."""
+    ev = load_table(spark, sf_dir, "events")
+    proj = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.hour("ts").cast("integer").alias("hr"),
+        F.expr("CAST(floor(value) AS BIGINT) DIV 10").alias("vb"),
+    )
+    a = proj.where(F.col("event_id") % 2 == 0)
+    b = proj.where(F.col("event_id") % 2 == 1)
+    j = a.alias("a").join(
+        b.alias("b"), F.col("b.user_id") == F.col("a.user_id")
+    )
+    return (
+        j.select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (
+                F.when(
+                    F.col("a.event_type") == F.col("b.event_type"),
+                    F.lit(24),
+                ).otherwise(F.lit(-8))
+                + F.when(F.col("a.hr") == F.col("b.hr"), F.lit(12)).otherwise(
+                    F.lit(-4)
+                )
+                + F.when(F.col("a.vb") == F.col("b.vb"), F.lit(18)).otherwise(
+                    F.lit(-6)
+                )
+            )
+            .cast("integer")
+            .alias("fs_score"),
+        )
+        .where(F.col("fs_score") >= 30)
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
