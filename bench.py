@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "luby_mis",
     "stupid_backoff_scores",
     "fellegi_sunter_scores",
+    "negative_edge_samples",
+    "span_corruption_plan",
+    "srm_check",
 ]
 
 

@@ -10719,6 +10719,277 @@ def fellegi_sunter_scores(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Deterministic negative-edge sampling (GNN / link-pred training data)
+# --------------------------------------------------------------------------
+
+_NEGSAMPLE_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+),
+nodes AS (SELECT DISTINCT i, m FROM base),
+cand AS (
+  SELECT n.i AS u, j.j,
+         CAST(('0x' || md5('neg:' || CAST(n.i AS VARCHAR) || ':' ||
+                           CAST(j.j AS VARCHAR))[1:8]) AS BIGINT) % n.m
+             AS neg
+  FROM nodes n CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+)
+SELECT c.u, c.neg, CAST(c.j AS INTEGER) AS draw
+FROM cand c
+LEFT JOIN und e ON e.a = least(c.u, c.neg) AND e.b = greatest(c.u, c.neg)
+WHERE c.neg <> c.u AND e.a IS NULL
+"""
+
+
+@register("negative_edge_samples", _NEGSAMPLE_SQL)
+def negative_edge_samples(spark, sf_dir):
+    """Deterministic negative-edge sampling — the other half of GNN /
+    link-prediction training data (neighbor_sample draws the
+    positives): per node, 4 md5 content-addressed candidate targets,
+    each kept only if the undirected edge does NOT exist (left
+    anti-join against the canonical edge set). Content-addressed
+    draws make a sampling op exactly gateable and reproducible at any
+    parallelism; the anti-join is one hash join on the canonical
+    (least, greatest) key, and candidate volume is k*|V| — never
+    |V|^2 — which is what makes negative sampling viable where
+    enumerating non-edges never is. The rejected draws (true edges)
+    are simply absent, the standard rejection-sampling contract."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 3) % m).alias("t")
+            )
+        )
+    )
+    und = (
+        raw.where(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    cand = (
+        base.distinct()
+        .select("i", F.explode(F.expr("sequence(1, 4)")).alias("j"))
+        .select(
+            F.col("i").alias("u"),
+            F.col("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m
+            ).alias("neg"),
+        )
+        .where(F.col("neg") != F.col("u"))
+    )
+    keyed = cand.select(
+        "u",
+        "neg",
+        "j",
+        F.least("u", "neg").alias("a"),
+        F.greatest("u", "neg").alias("b"),
+    )
+    return keyed.join(und, ["a", "b"], "left_anti").select(
+        "u", "neg", F.col("j").cast("integer").alias("draw")
+    )
+
+
+# --------------------------------------------------------------------------
+# Span-corruption masking plan (T5-style denoising pre-training)
+# --------------------------------------------------------------------------
+
+_SPANPLAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, w, generate_subscripts(w, 1) AS p, len(w) AS n
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+)
+SELECT doc_id, CAST(p AS INTEGER) AS start_pos,
+       CAST(least(
+           1 + CAST(('0x' || md5('len:' || CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(p AS VARCHAR))[1:2]) AS INTEGER) % 3,
+           n - p + 1) AS INTEGER) AS span_len
+FROM toks
+WHERE CAST(('0x' || md5('span:' || CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(p AS VARCHAR))[1:4]) AS INTEGER) % 20 = 0
+"""
+
+
+@register("span_corruption_plan", _SPANPLAN_SQL)
+def span_corruption_plan(spark, sf_dir):
+    """Span-corruption masking plan (the T5/UL2 denoising objective's
+    data-prep step): each token position opens a mask span with
+    probability 1/20 and draws a 1-3 token length, both
+    content-addressed on (doc_id, position) so the \"random\" plan is
+    bit-identical at any parallelism and across engines — the
+    sampling discipline every gated stochastic op here uses. Spans
+    are clipped at the doc end; overlap merging is the consumer's
+    concern (T5 merges adjacent spans at application time). Pure
+    map-side codegen over the exploded positions: zero shuffles, so
+    at 100 TB the plan costs one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.posexplode("w").alias("p0", "tok"),
+        F.size("w").alias("n"),
+    )
+    t = toks.select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.col("n")
+    )
+    start_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("span:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("integer")
+    len_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("len:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("integer")
+    return t.where(start_h % 20 == 0).select(
+        "doc_id",
+        F.col("p").cast("integer").alias("start_pos"),
+        F.least(
+            F.lit(1) + (len_h % 3), F.col("n") - F.col("p") + 1
+        )
+        .cast("integer")
+        .alias("span_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch check (A/B assignment health)
+# --------------------------------------------------------------------------
+
+_SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+asg AS (
+  SELECT user_id,
+         CAST(('0x' || md5('ab:' || CAST(user_id AS VARCHAR))[1:2])
+              AS INTEGER) % 2 AS arm
+  FROM u
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM asg
+)
+SELECT n0, n1,
+       CAST(((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS BIGINT)
+           AS chi2_ppm,
+       CAST(CASE WHEN ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1)
+                      > 3841459 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM c
+"""
+
+
+@register("srm_check", _SRM_SQL)
+def srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check — the first A/B-test health gate
+    every experimentation platform runs before reading a metric: hash
+    users into two arms (md5 content-addressed, the deterministic
+    twin of production bucketing) and chi-square the observed split
+    against 50/50. For two arms chi2 = (n0-n1)^2/n, computed in
+    integer ppm with the 0.05 critical value 3.841459 as an integer
+    threshold — order-free, bit-exact. One distinct + one combinable
+    agg; at 100 TB this costs one shuffle on user_id, and it is the
+    difference between a real effect and a broken bucketing hash."""
+    ev = load_table(spark, sf_dir, "events")
+    asg = ev.select("user_id").distinct().select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("integer")
+            % 2
+        ).alias("arm")
+    )
+    c = asg.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return c.select(
+        "n0",
+        "n1",
+        F.expr(
+            "CAST(((n0 - n1) * (n0 - n1) * 1000000) DIV (n0 + n1)"
+            " AS BIGINT)"
+        ).alias("chi2_ppm"),
+        F.expr(
+            "CAST(CASE WHEN ((n0 - n1) * (n0 - n1) * 1000000)"
+            " DIV (n0 + n1) > 3841459 THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
