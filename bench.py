@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "negative_edge_samples",
     "span_corruption_plan",
     "srm_check",
+    "hard_negative_mining",
 ]
 
 

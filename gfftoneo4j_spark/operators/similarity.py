@@ -736,3 +736,59 @@ def pq_encode(
     out = _assign(cent)
     ex.unpersist(blocking=False)
     return out.select(F.col("id").alias(id_col), "block", "code")
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors whose LABEL DIFFERS — the examples a
+    contrastive/embedding fine-tune learns most from (easy negatives
+    are already far; hard negatives define the margin). Identical
+    plan to cosine_topk (queries broadcast, corpus streamed, one
+    bounded per-query window) plus the label inequality pushed BELOW
+    the ranking window, so the k survivors are true cross-label
+    neighbors, not a post-filter of a cross-label-blind top-k. At
+    scale the broadcast-queries shape is the batch-mining pattern:
+    a fixed query batch sweeps the corpus in one pass.
+
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    q = emb.join(
+        query_ids, emb[id_col] == query_ids[id_col], "left_semi"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("n_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), round_to).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -10990,6 +10990,57 @@ def srm_check(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data)
+# --------------------------------------------------------------------------
+
+_HARDNEG_SQL = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q JOIN ex e ON q.i = e.i AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(d.dp / (nq.nrm * ne.nrm), 3) AS score
+  FROM dots d
+  JOIN n nq ON nq.vec_id = d.query_id
+  JOIN n ne ON ne.vec_id = d.neighbor_id
+  JOIN lab lq ON lq.vec_id = d.query_id
+  JOIN lab ln ON ln.vec_id = d.neighbor_id
+  WHERE ln.label <> lq.label
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("hard_negative_mining", _HARDNEG_SQL)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive fine-tuning: per query,
+    the top-3 most-similar embeddings with a DIFFERENT label
+    (operators/similarity.hard_negative_topk) — the margin-defining
+    examples an embedding model learns from; random negatives are
+    already far and teach nothing. The label inequality sits BELOW
+    the ranking window (a cross-label-blind top-k post-filtered would
+    under-deliver negatives). Same plan as embedding_topk: query
+    batch broadcast, corpus streamed once, per-query bounded window —
+    the shape batch mining keeps at 100 TB. Scores 3dp-rounded before
+    the tie-break so ordering is total and cross-engine exact."""
+    from gfftoneo4j_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    return hard_negative_topk(emb, qids, k=3)
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
@@ -11053,6 +11104,11 @@ _DRIVER_PROVEN = frozenset({
 #: rolls into round 6's window.
 _WINDOW_FIRST = [
     # -- round-5 new operators (registered this round) --
+    "scc_components",
+    "luby_mis",
+    "graph_truss_peel",
+    "ols_quality_fit",
+    "temporal_reachability",
     "bpe_train_merges",
     "bpe_tokenize",
     "graph_betweenness_approx",

@@ -92,3 +92,39 @@ def test_backoff_candidate_grid_is_bounded(spark, sf_dir):
     assert df.count() <= 40 * 40
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_are_cross_label_and_exact(spark, sf_dir):
+    import numpy as np
+
+    rows = QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, got in by_q.items():
+        qv, ql = emb[qid]
+        # brute-force cross-label top-3 with the same 3dp + id tiebreak
+        scored = []
+        for nid, (nv, nl) in emb.items():
+            if nid == qid or nl == ql:
+                continue
+            s = round(
+                float(qv @ nv)
+                / (float(np.linalg.norm(qv)) * float(np.linalg.norm(nv))),
+                3,
+            )
+            scored.append((-s, nid))
+        scored.sort()
+        expect = [(nid, -negs) for negs, nid in scored[:3]]
+        got.sort(key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["score"]) for r in got] == [
+            (nid, round(s, 3)) for nid, s in expect
+        ]
+        # every mined negative is truly cross-label
+        for r in got:
+            assert emb[r["neighbor_id"]][1] != ql
