@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "span_corruption_plan",
     "srm_check",
     "hard_negative_mining",
+    "er_clusters",
+    "late_data_audit",
 ]
 
 

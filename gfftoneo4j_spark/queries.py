@@ -11041,6 +11041,150 @@ def hard_negative_mining(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# End-to-end entity resolution: FS scores -> match edges -> CC clusters
+# --------------------------------------------------------------------------
+
+_ER_SQL = """
+WITH RECURSIVE a AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         CAST(floor(value) AS BIGINT) // 10 AS vb
+  FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         CAST(floor(value) AS BIGINT) // 10 AS vb
+  FROM events WHERE event_id % 2 = 1
+),
+fs AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           (CASE WHEN a.event_type = b.event_type THEN 24 ELSE -8 END)
+         + (CASE WHEN a.hr = b.hr THEN 12 ELSE -4 END)
+         + (CASE WHEN a.vb = b.vb THEN 18 ELSE -6 END) AS fs_score
+    FROM a JOIN b ON b.user_id = a.user_id
+  ) WHERE fs_score >= 38
+),
+und AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM fs
+  UNION SELECT id_b, id_a FROM fs
+),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+walk AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.v AS node, w.lbl FROM walk w JOIN und e ON e.u = w.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT c.node AS event_id, c.component, s.cluster_size
+FROM comp c JOIN sz s USING (component)
+"""
+
+
+@register("er_clusters", _ER_SQL)
+def er_clusters(spark, sf_dir):
+    """End-to-end entity resolution: Fellegi-Sunter candidate scoring
+    (same blocked comparison as fellegi_sunter_scores, match
+    threshold raised to 38 = at least type+value agreement) feeds
+    match edges into the DISTRIBUTED large-star/small-star connected
+    components (local_threshold=0 forces the scale path), and each
+    record gets its cluster id (min member) + cluster size — the
+    dedup-key assignment a master-data/ER pipeline ships. This is the
+    full production shape at 100 TB: blocking bounds comparisons, the
+    scorer is codegen CASE arithmetic, and CC runs the same operator
+    the KG canonicalizer uses (operators/connected_components.py).
+    The oracle's recursive min-label CC is exact because components
+    are confined within user blocks (bounded enumeration)."""
+    from gfftoneo4j_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    fs = fellegi_sunter_scores(spark, sf_dir).where(F.col("fs_score") >= 38)
+    # bigint node ids throughout: component = NUMERIC min member (a
+    # string cast would make the min lexicographic and diverge)
+    edges = fs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    comp = connected_components(edges, local_threshold=0)
+    sz = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sz, "component").select(
+        F.col("node").cast("bigint").alias("event_id"),
+        F.col("component").cast("bigint").alias("component"),
+        "cluster_size",
+    )
+
+
+# --------------------------------------------------------------------------
+# Late-data audit (batch twin of the streaming watermark contract)
+# --------------------------------------------------------------------------
+
+_LATE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS mx
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN ts < mx THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN ts < mx
+                 THEN floor(epoch(mx)) - floor(epoch(ts)) END), 0)
+            AS BIGINT) AS max_lag_sec
+FROM o GROUP BY user_id
+"""
+
+
+@register("late_data_audit", _LATE_SQL)
+def late_data_audit(spark, sf_dir):
+    """Late-data audit — the batch measurement behind every streaming
+    watermark decision: within each key's ARRIVAL order (event_id),
+    an event is late iff its event time precedes the running max
+    already seen, and max_lag_sec is the watermark delay that would
+    have kept it. Run this before picking withWatermark(): a
+    watermark below the observed p-max lag silently drops data, one
+    far above it bloats state. The window is partitioned per user
+    (bounded by key history) and everything downstream is a
+    combinable agg — one shuffle at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.max("ts").over(w).alias("mx"),
+    )
+    late = F.col("ts") < F.col("mx")
+    return o.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    late,
+                    F.unix_timestamp("mx") - F.unix_timestamp("ts"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_lag_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
