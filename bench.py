@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "er_clusters",
     "late_data_audit",
+    "graph_coloring",
+    "theil_sen_slopes",
 ]
 
 

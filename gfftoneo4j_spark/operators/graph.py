@@ -1432,3 +1432,88 @@ def luby_mis(
             F.lit(0).cast("integer").alias("round"),
         ).where(F.lit(False))
     return out
+
+
+def jones_plassmann_coloring(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Greedy distributed graph coloring (Jones-Plassmann 1993) with
+    md5 content-addressed priorities: per round, every UNCOLORED node
+    whose priority beats all uncolored neighbors takes the current
+    round index as its color, and leaves the active set — neighbors
+    stay (unlike luby_mis, which removes the closed neighborhood).
+    Adjacent nodes can never be selected in the same round (one of
+    them sees a smaller neighbor priority), so the result is a proper
+    coloring; every color class is an independent set of the residual
+    graph. Deterministic priorities make the classically randomized
+    algorithm bit-exact and oracle-gateable (unrolled-CTE twin).
+
+    Rounds bound the loop; the per-round heavy ops are one hash join
+    against the active set + a combinable min — the luby_mis/BFS
+    discipline. Coloring is the conflict-free SCHEDULE: color classes
+    are the waves in which mutations touching shared keys can commit
+    concurrently.
+
+    Returns (node, color) for nodes colored within `rounds` (callers
+    assert exhaustion).
+    """
+    und = (
+        edges.select(F.col(src).cast("bigint").alias("s"),
+                     F.col(dst).cast("bigint").alias("t"))
+        .where(F.col("s") != F.col("t"))
+    )
+    und = (
+        und.unionAll(und.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ncol = nodes.columns[0]
+    active = (
+        nodes.select(F.col(ncol).cast("bigint").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.md5(F.concat(F.lit("jp:"), F.col("node").cast("string")))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(rounds):
+        if active.limit(1).count() == 0:
+            break
+        nbr = (
+            und.join(
+                active.select(F.col("node").alias("s"),
+                              F.col("p").alias("ps")),
+                "s",
+            )
+            .join(active.select(F.col("node").alias("t")), "t")
+            .groupBy("t")
+            .agg(F.min("ps").alias("minp"))
+            .withColumnRenamed("t", "node")
+        )
+        sel = (
+            active.join(nbr, "node", "left_outer")
+            .where(F.col("minp").isNull() | (F.col("p") < F.col("minp")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        colored = sel.select(
+            "node", F.lit(r).cast("integer").alias("color")
+        )
+        out = colored if out is None else out.unionAll(colored)
+        out = out.localCheckpoint(eager=True)
+        active = active.join(sel, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if out is None:
+        return nodes.select(
+            F.col(ncol).cast("bigint").alias("node"),
+            F.lit(0).cast("integer").alias("color"),
+        ).where(F.lit(False))
+    return out

@@ -11185,6 +11185,174 @@ def late_data_audit(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Greedy distributed graph coloring (Jones-Plassmann)
+# --------------------------------------------------------------------------
+
+_JP_ROUNDS = 16
+
+
+def _jp_round_sql(r: int) -> str:
+    return f"""
+jnbr{r} AS (
+  SELECT a2.node AS node, min(a1.p) AS minp
+  FROM und e JOIN ja{r} a1 ON a1.node = e.s JOIN ja{r} a2 ON a2.node = e.t
+  GROUP BY a2.node
+),
+jsel{r} AS MATERIALIZED (
+  SELECT a.node FROM ja{r} a LEFT JOIN jnbr{r} n ON n.node = a.node
+  WHERE n.minp IS NULL OR a.p < n.minp
+),
+ja{r + 1} AS MATERIALIZED (
+  SELECT a.node, a.p FROM ja{r} a LEFT JOIN jsel{r} x ON x.node = a.node
+  WHERE x.node IS NULL
+)"""
+
+
+_JP_SQL = (
+    """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+ja0 AS MATERIALIZED (
+  SELECT DISTINCT i AS node, md5('jp:' || CAST(i AS VARCHAR)) AS p
+  FROM base
+),"""
+    + ",".join(_jp_round_sql(r) for r in range(_JP_ROUNDS))
+    + """
+SELECT node, CAST(r AS INTEGER) AS color FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT node, {r} AS r FROM jsel{r}" for r in range(_JP_ROUNDS)
+    )
+    + """
+)
+"""
+)
+
+
+@register("graph_coloring", _JP_SQL)
+def graph_coloring(spark, sf_dir):
+    """Greedy distributed graph coloring (Jones-Plassmann 1993,
+    operators/graph.jones_plassmann_coloring): md5 priorities, each
+    round colors every uncolored node that is a local priority
+    minimum among uncolored neighbors — adjacent nodes can never
+    share a round, so color classes are independent sets and the
+    round index is a proper color. Coloring IS the conflict-free
+    commit schedule: mutations touching shared KG keys run wave by
+    wave. Deterministic priorities make the randomized classic
+    bit-exact; the oracle unrolls the rounds (graph_kcore pattern).
+    Per round one hash join + combinable min; the sf0.01 circulant
+    (max degree 6) exhausts inside 16 rounds
+    (pytest-asserted, with edge-by-edge properness)."""
+    from gfftoneo4j_spark.operators.graph import jones_plassmann_coloring
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 3) % m).alias("t")
+            )
+        )
+    )
+    return jones_plassmann_coloring(
+        raw, nodes=base, rounds=_JP_ROUNDS, src="s", dst="t"
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend slopes (median of pairwise slopes per user)
+# --------------------------------------------------------------------------
+
+_THEILSEN_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
+  FROM events
+),
+p AS (
+  SELECT a.user_id,
+         CAST(floor((b.v - a.v) * 1000000 / (b.t - a.t)) AS BIGINT) AS sl
+  FROM e a JOIN e b ON b.user_id = a.user_id
+       AND b.event_id > a.event_id AND b.t <> a.t
+),
+r AS (
+  SELECT user_id, sl,
+         row_number() OVER (PARTITION BY user_id ORDER BY sl) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs, sl AS theil_sen_fp
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+@register("theil_sen_slopes", _THEILSEN_SQL)
+def theil_sen_slopes(spark, sf_dir):
+    """Theil-Sen robust trend slope per user — the median of all
+    pairwise slopes, resistant to ~29% outliers where the OLS slope
+    (user_trend_slopes) is dragged by a single spike; the estimator
+    production metric pipelines switch to once they meet real data.
+    The pairwise self-join is keyed by user (co-partitioned, bounded
+    per-key fan-out — per-user history, never cross-user quadratics),
+    slopes go fixed-point per pair BEFORE any aggregation (floor of
+    an identical IEEE expression both engines, so order-free), and
+    the exact lower median is an in-group rank over the bounded pair
+    set. Same-timestamp pairs are excluded (undefined slope)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+        F.col("value").alias("v"),
+    )
+    p = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.event_id") > F.col("a.event_id"))
+            & (F.col("b.t") != F.col("a.t")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.expr(
+                "CAST(floor((b.v - a.v) * 1000000 / (b.t - a.t)) AS BIGINT)"
+            ).alias("sl"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sl")
+    cw = Window.partitionBy("user_id")
+    r = p.select(
+        "user_id",
+        "sl",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    return r.where(F.expr("rn = (n + 1) DIV 2")).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("sl").alias("theil_sen_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
