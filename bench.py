@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "late_data_audit",
     "graph_coloring",
     "theil_sen_slopes",
+    "graph_eccentricity_approx",
+    "boruvka_mst",
 ]
 
 

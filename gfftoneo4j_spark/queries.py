@@ -11353,6 +11353,121 @@ def theil_sen_slopes(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Landmark eccentricity / diameter lower bound
+# --------------------------------------------------------------------------
+
+_ECC_SQL = """
+WITH RECURSIVE m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION SELECT t, s FROM raw WHERE s <> t
+),
+seeds AS (
+  SELECT i FROM (SELECT DISTINCT i FROM base)
+  ORDER BY md5('e:' || CAST(i AS VARCHAR)), i LIMIT 4
+),
+bfs AS (
+  SELECT i AS seed, i AS node, 0 AS d FROM seeds
+  UNION
+  SELECT b.seed, u.t AS node, b.d + 1
+  FROM bfs b JOIN und u ON u.s = b.node WHERE b.d < 8
+),
+md AS (SELECT seed, node, min(d) AS d FROM bfs GROUP BY seed, node)
+SELECT seed, CAST(max(d) AS INTEGER) AS ecc_lb,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM md GROUP BY seed
+"""
+
+
+@register("graph_eccentricity_approx", _ECC_SQL)
+def graph_eccentricity_approx(spark, sf_dir):
+    """Landmark eccentricity lower bounds (max over each seed's
+    bounded-BFS distances; max over seeds lower-bounds the diameter —
+    the iFUB/BoundingDiameters seed step): reuses ONE multi-source
+    BFS (operators/graph.multi_source_bfs) so 4 landmarks cost a
+    single shared frontier loop, the same economics as
+    graph_closeness_approx. Eccentricity is the radius/diameter
+    primitive capacity planning asks of a KG (how many hops does any
+    query fan out, worst case); exact all-pairs eccentricity is
+    O(|V|·|E|) and never viable at 100 TB — landmark bounds are the
+    standard answer. Hop-bounded (8) so the job count is fixed."""
+    from gfftoneo4j_spark.operators.graph import multi_source_bfs
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    nodes = d.select((F.col("doc_id") % m).alias("i")).distinct()
+    seeds = (
+        nodes.select(
+            "i",
+            F.md5(F.concat(F.lit("e:"), F.col("i").cast("string"))).alias(
+                "h"
+            ),
+        )
+        .orderBy("h", "i")
+        .limit(4)
+        .select("i")
+    )
+    vis = multi_source_bfs(
+        _circulant_edges(spark, sf_dir), seeds, max_depth=8, src="s", dst="t"
+    )
+    return vis.groupBy("seed").agg(
+        F.max("dist").cast("integer").alias("ecc_lb"),
+        F.count("*").cast("bigint").alias("n_reached"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Boruvka minimum spanning forest (rows-only gate; pytest vs Kruskal)
+# --------------------------------------------------------------------------
+
+
+@register("boruvka_mst")
+def boruvka_mst_q(spark, sf_dir):
+    """Boruvka minimum spanning forest over the circulant graph with
+    md5 content-addressed DISTINCT edge weights (unique MSF =>
+    deterministic result at any parallelism). No oracle_sql twin: an
+    MSF is not expressible as one ANSI-SQL query (Boruvka's merge
+    step nests connected components per phase), so the driver records
+    the weaker rows-only check — correctness is pytest-pinned against
+    a hand Kruskal on random graphs plus spanning invariants on this
+    exact graph (tests/test_mst.py: n-1 edges, acyclic, connects all
+    nodes, total weight equals Kruskal's). See
+    operators/graph.boruvka_mst for the log2(n)-phase scale story."""
+    from gfftoneo4j_spark.operators.graph import boruvka_mst
+
+    raw = _circulant_edges(spark, sf_dir)
+    weighted = raw.select(
+        F.col("s").alias("u"),
+        F.col("t").alias("v"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("w:"),
+                        F.least("s", "t").cast("string"),
+                        F.lit(":"),
+                        F.greatest("s", "t").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    return boruvka_mst(weighted, phases=10)
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
