@@ -266,6 +266,12 @@ BENCH_QUERIES = [
     "theil_sen_slopes",
     "graph_eccentricity_approx",
     "boruvka_mst",
+    "mann_whitney_u",
+    "chi_squared_independence",
+    "delta_method_ratio",
+    "t_closeness_audit",
+    "dp_noisy_counts",
+    "bootstrap_ci",
 ]
 
 

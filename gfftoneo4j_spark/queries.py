@@ -11468,6 +11468,556 @@ def boruvka_mst_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric two-sample comparison)
+# --------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH v AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS nb
+  FROM v GROUP BY v
+),
+r AS (
+  SELECT na, nb,
+         coalesce(sum(na + nb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * cum + na + nb + 1)) AS BIGINT) AS ra2,
+         CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
+              AS BIGINT) AS ties3
+  FROM r
+)
+SELECT n_a, n_b,
+       CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+       CAST(floor((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                   - CAST(n_a AS DOUBLE) * n_b / 2.0)
+           / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                  * ((n_a + n_b + 1)
+                     - CAST(ties3 AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * (n_a + n_b - 1))))
+           * 1000000) AS BIGINT) AS z_fp
+FROM s
+"""
+
+
+@register("mann_whitney_u", _MWU_SQL)
+def mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: does 'click' value stochastically
+    dominate 'purchase' value? The nonparametric two-sample test every
+    experimentation stack needs once metrics are heavy-tailed and the
+    t-test's normality assumption dies. Exact integer tie-corrected
+    ranks: values go fixed-point ppm FIRST, per-value (na, nb) counts
+    are one combinable groupBy, and average ranks come from a
+    cumulative count over the DISTINCT-value table — computed
+    two-phase (the equi_depth_binning discipline): 1024 range buckets
+    whose totals are a collected scalar grid re-entering as a
+    broadcast prefix, so no unpartitioned window ever sees more than
+    the bucket grid; the within-bucket cumulative window is keyed by
+    bucket. 2*rank stays integral (no .5 floats), so U is exact at
+    any partitioning; only the final z-score touches doubles (one
+    scalar expression, identical IEEE both engines). At 100 TB the
+    shuffle is |distinct values| rows, not |rows|."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_a"),
+    )
+    g = v.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("is_a")).cast("bigint").alias("nb"),
+    )
+    # two-phase cumulative count: 1024 range buckets; bucket totals are
+    # a bounded scalar grid (collected once, re-entering as literals —
+    # the quantiles.py discipline), so the only windows are the
+    # bucket-partitioned ones
+    lo, hi = g.agg(F.min("v"), F.max("v")).collect()[0]
+    width = max(1, (hi - lo + 1) // 1024)
+    gb = g.select(
+        "v", "na", "nb", ((F.col("v") - F.lit(lo)) / F.lit(width))
+        .cast("bigint").alias("bkt")
+    )
+    totals = {
+        r["bkt"]: r["t"]
+        for r in gb.groupBy("bkt")
+        .agg(F.sum(F.col("na") + F.col("nb")).alias("t"))
+        .collect()
+    }
+    prefix = {}
+    acc = 0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    pref_expr = F.coalesce(
+        F.create_map(
+            *[x for b in prefix for x in (F.lit(b), F.lit(prefix[b]))]
+        )[F.col("bkt")],
+        F.lit(0),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = gb.select(
+        "na",
+        "nb",
+        (
+            pref_expr
+            + F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w_in), F.lit(0))
+        ).alias("cum"),
+    )
+    s = r.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * F.col("cum") + F.col("na") + F.col("nb") + 1)
+        )
+        .cast("bigint")
+        .alias("ra2"),
+        F.sum(
+            (F.col("na") + F.col("nb"))
+            * (F.col("na") + F.col("nb"))
+            * (F.col("na") + F.col("nb"))
+            - (F.col("na") + F.col("nb"))
+        )
+        .cast("bigint")
+        .alias("ties3"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u_a_x2"),
+        F.expr(
+            "CAST(floor((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0"
+            "            - CAST(n_a AS DOUBLE) * n_b / 2.0)"
+            "    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0"
+            "           * ((n_a + n_b + 1)"
+            "              - CAST(ties3 AS DOUBLE)"
+            "                / (CAST(n_a + n_b AS DOUBLE)"
+            "                   * (n_a + n_b - 1))))"
+            "    * 1000000) AS BIGINT)"
+        ).alias("z_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence test (event_type x day-of-week)
+# --------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH cell AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow
+  FROM events
+),
+o AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS observed
+  FROM cell GROUP BY event_type, dow
+),
+rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS r FROM o GROUP BY event_type),
+ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS c FROM o GROUP BY dow),
+g AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o)
+SELECT o.event_type, o.dow, o.observed,
+       CAST(floor(CAST(rt.r AS DOUBLE) * ct.c / g.n * 1000000) AS BIGINT)
+           AS expected_fp,
+       CAST(floor(
+           (o.observed - CAST(rt.r AS DOUBLE) * ct.c / g.n)
+           * (o.observed - CAST(rt.r AS DOUBLE) * ct.c / g.n)
+           / (CAST(rt.r AS DOUBLE) * ct.c / g.n) * 1000000) AS BIGINT)
+           AS contrib_fp
+FROM o JOIN rt USING (event_type) JOIN ct USING (dow), g
+"""
+
+
+@register("chi_squared_independence", _CHI2_SQL)
+def chi_squared_independence(spark, sf_dir):
+    """Chi-squared independence test cells: is event mix independent of
+    day-of-week (the seasonality check run before pooling days in an
+    experiment readout)? Observed counts are one combinable groupBy;
+    row/column marginals are re-aggregations of the CELL table (35
+    rows), never a second corpus scan; the grand total joins in as a
+    broadcast scalar. Expected counts and chi-square contributions go
+    fixed-point per CELL (bounded grid), so the final statistic is an
+    exact integer sum any consumer can fold. Day-of-week is epoch
+    arithmetic (floor(epoch/86400) % 7) — engine-portable, unlike
+    locale-dependent dayofweek()."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) % 7)
+        .cast("bigint")
+        .alias("dow"),
+    )
+    o = cell.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    rt = o.groupBy("event_type").agg(
+        F.sum("observed").cast("bigint").alias("r")
+    )
+    ct = o.groupBy("dow").agg(F.sum("observed").cast("bigint").alias("c"))
+    g = o.agg(F.sum("observed").cast("bigint").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.floor(e * 1000000).cast("bigint").alias("expected_fp"),
+            F.floor(
+                (F.col("observed") - e) * (F.col("observed") - e) / e
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("contrib_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Delta-method variance for ratio metrics (per experiment arm)
+# --------------------------------------------------------------------------
+
+_DELTA_RATIO_SQL = """
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(value) AS x, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         avg(x) AS mx, avg(y) AS my,
+         var_samp(x) AS vx, var_samp(y) AS vy,
+         covar_samp(x, y) AS cxy
+  FROM per_user GROUP BY arm
+)
+SELECT arm, n_users,
+       CAST(floor(mx / my * 1000000) AS BIGINT) AS ratio_fp,
+       CAST(floor(sqrt(
+           (mx / my) * (mx / my)
+           * (vx / (mx * mx) + vy / (my * my) - 2 * cxy / (mx * my))
+           / n_users) * 1000000) AS BIGINT) AS se_fp
+FROM a
+"""
+
+
+@register("delta_method_ratio", _DELTA_RATIO_SQL)
+def delta_method_ratio(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (value per event,
+    user-randomized): the correct CI for revenue-per-session style
+    metrics where naive row-level variance is wrong because the
+    denominator is random too. var(X/Y) ~= (mx/my)^2 (vx/mx^2 +
+    vy/my^2 - 2 cov/(mx my)) / n. Two-level combinable aggregation:
+    per-user (x, y) totals, then per-arm moments via var_samp /
+    covar_samp — both mergeable, so 1000 executors fold partials with
+    zero extra passes; no window, no collect. Arms are a deterministic
+    hash split (user_id % 2, the dataset_split discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("value").alias("x"),
+        F.count("*").cast("double").alias("y"),
+    ).select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    a = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    return a.select(
+        "arm",
+        "n_users",
+        F.floor(F.col("mx") / F.col("my") * 1000000)
+        .cast("bigint")
+        .alias("ratio_fp"),
+        F.expr(
+            "CAST(floor(sqrt("
+            "    (mx / my) * (mx / my)"
+            "    * (vx / (mx * mx) + vy / (my * my) - 2 * cxy / (mx * my))"
+            "    / n_users) * 1000000) AS BIGINT)"
+        ).alias("se_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (privacy trio: k-anonymity, l-diversity, t-closeness)
+# --------------------------------------------------------------------------
+
+_TCLOSE_SQL = """
+WITH sl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sl GROUP BY source),
+gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS gc FROM sl GROUP BY lang),
+g AS (SELECT CAST(sum(c) AS BIGINT) AS gn FROM sl),
+grid AS (
+  SELECT st.source, st.n, gl.lang, gl.gc, g.gn, coalesce(sl.c, 0) AS c
+  FROM st CROSS JOIN gl CROSS JOIN g
+  LEFT JOIN sl ON sl.source = st.source AND sl.lang = gl.lang
+),
+terms AS (
+  SELECT source, n,
+         CAST(floor(abs(CAST(c AS DOUBLE) / n
+                        - CAST(gc AS DOUBLE) / gn) * 1000000000)
+              AS BIGINT) AS term_ppb
+  FROM grid
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(sum(term_ppb) AS BIGINT) AS tvd_x2_ppb,
+       CAST(CASE WHEN sum(term_ppb) <= 500000000 THEN 1 ELSE 0 END
+            AS INTEGER) AS within_t
+FROM terms GROUP BY source, n
+"""
+
+
+@register("t_closeness_audit", _TCLOSE_SQL)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (completes the release-privacy trio next to
+    k_anonymity_audit and l_diversity_audit): for each quasi-identifier
+    group (source) the total-variation distance between its sensitive
+    attribute (lang) distribution and the corpus-wide distribution
+    must stay <= t (0.25 => 2t in x2-ppb = 5e8). Per-(source,lang)
+    counts are one combinable groupBy; marginals re-aggregate that
+    bounded table; the comparison grid is sources x langs (broadcast,
+    with absent cells as explicit zeros — skew toward a lang is
+    exactly what must be caught). Each |p - q| term goes fixed-point
+    ppb BEFORE the sum, so the distance is an order-free integer sum
+    at any partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    st = sl.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    gl = sl.groupBy("lang").agg(F.sum("c").cast("bigint").alias("gc"))
+    g = sl.agg(F.sum("c").cast("bigint").alias("gn"))
+    grid = (
+        st.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(sl), ["source", "lang"], "left")
+        .select(
+            "source",
+            "n",
+            "gc",
+            "gn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    terms = grid.select(
+        "source",
+        "n",
+        F.floor(
+            F.abs(
+                F.col("c").cast("double") / F.col("n")
+                - F.col("gc").cast("double") / F.col("gn")
+            )
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("term_ppb"),
+    )
+    return terms.groupBy("source", F.col("n").cast("bigint").alias("n_docs")).agg(
+        F.sum("term_ppb").cast("bigint").alias("tvd_x2_ppb"),
+        F.when(F.sum("term_ppb") <= 500000000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("integer")
+        .alias("within_t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private released counts (deterministic Laplace noise)
+# --------------------------------------------------------------------------
+
+_DP_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n,
+         (CAST(('0x' || md5('dp:' || event_type)[1:15]) AS BIGINT) + 1.0)
+             / 1152921504606846976.0 - 0.5 AS uu
+  FROM c
+)
+SELECT event_type,
+       CAST(n + floor(-10.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)))
+            AS BIGINT) AS noisy_count,
+       CAST(100000 AS BIGINT) AS epsilon_ppm
+FROM u
+"""
+
+
+@register("dp_noisy_counts", _DP_SQL)
+def dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release: per-group counts plus
+    Laplace(sensitivity/epsilon = 1/0.1 = 10) noise via inverse-CDF of
+    a content-addressed md5 unit draw (u - 0.5 -> -b sign(u) ln(1-2|u|)
+    — the standard Laplace sampler, made exact-hash gateable because
+    the randomness is addressed by the released key, the
+    register_min_distinct discipline). One combinable groupBy plus a
+    per-GROUP scalar expression: noise cost is O(released cells), zero
+    extra shuffle, so a 100 TB scan releases a DP histogram for free.
+    epsilon is reported alongside the release (privacy accounting
+    column)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    uu = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(1152921504606846976.0)
+        - F.lit(0.5)
+    )
+    return c.select(
+        "event_type",
+        (
+            F.col("n")
+            + F.floor(
+                F.lit(-10.0)
+                * F.signum(uu)
+                * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu))
+            )
+        )
+        .cast("bigint")
+        .alias("noisy_count"),
+        F.lit(100000).cast("bigint").alias("epsilon_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+_BOOTSTRAP_SQL = """
+WITH draws AS (
+  SELECT b.b, d.n_chars,
+         (CAST(('0x' || md5('bs:' || CAST(b.b AS VARCHAR) || ':'
+                           || CAST(d.doc_id AS VARCHAR))[1:15]) AS BIGINT)
+          + 1.0) / 1152921504606846976.0 AS u
+  FROM documents d CROSS JOIN (SELECT unnest(range(32)) AS b) b
+),
+w AS (
+  SELECT b, n_chars,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              ELSE 6 END AS w
+  FROM draws
+),
+means AS (
+  SELECT b, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS m
+  FROM w GROUP BY b HAVING sum(w) > 0
+),
+pt AS (SELECT avg(n_chars) AS pm FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+       CAST(floor(min(m) * 1000000) AS BIGINT) AS lo_fp,
+       CAST(floor(max(m) * 1000000) AS BIGINT) AS hi_fp,
+       CAST(floor(max(pt.pm) * 1000000) AS BIGINT) AS point_fp
+FROM means, pt
+"""
+
+
+@register("bootstrap_ci", _BOOTSTRAP_SQL)
+def bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for mean document length (Chamandy 2012,
+    the Google large-scale bootstrap): instead of resampling n rows
+    WITH replacement (impossible distributed), each row gets an
+    independent Poisson(1) replication weight per resample — here via
+    a content-addressed md5 unit draw against the Poisson CDF table,
+    so the resampling is bit-exact in any engine (approximate
+    algorithm, exact gate). B=32 resamples fan out 32x BEFORE a
+    map-side-combinable weighted sum per resample: the shuffle is 32
+    partial rows per task, the bound interval is order statistics
+    over the 32-row resample-mean grid. sum(w*x) is exact integer
+    arithmetic — the only doubles are 32 final divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    draws = d.crossJoin(
+        spark.range(32).select(F.col("id").alias("b"))
+    ).select(
+        "b",
+        "n_chars",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bs:"),
+                                F.col("b").cast("string"),
+                                F.lit(":"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+    )
+    w = draws.select(
+        "b",
+        "n_chars",
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .when(F.col("u") < 0.9994058151824183, 5)
+        .otherwise(6)
+        .alias("w"),
+    )
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("sw_x"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select((F.col("sw_x").cast("double") / F.col("sw")).alias("m"))
+    )
+    pt = d.agg(F.avg("n_chars").alias("pm"))
+    return means.crossJoin(F.broadcast(pt)).agg(
+        F.count("*").cast("bigint").alias("n_resamples"),
+        F.floor(F.min("m") * 1000000).cast("bigint").alias("lo_fp"),
+        F.floor(F.max("m") * 1000000).cast("bigint").alias("hi_fp"),
+        F.floor(F.max("pm") * 1000000).cast("bigint").alias("point_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
