@@ -272,6 +272,11 @@ BENCH_QUERIES = [
     "t_closeness_audit",
     "dp_noisy_counts",
     "bootstrap_ci",
+    "kneser_ney_scores",
+    "dunning_llr_collocations",
+    "textrank_keywords",
+    "msttr_diversity",
+    "char_trigram_kl",
 ]
 
 

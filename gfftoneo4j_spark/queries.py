@@ -12018,6 +12018,456 @@ def bootstrap_ci(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (tokenizer/LM suite round 3)
+# --------------------------------------------------------------------------
+
+_KN_SQL = """
+WITH toks AS (
+  SELECT doc_id, w, generate_subscripts(w, 1) AS p
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+uni AS MATERIALIZED (
+  SELECT w[p] AS tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+),
+bi AS MATERIALIZED (
+  SELECT w[p] AS w1, w[p + 1] AS w2, CAST(count(*) AS BIGINT) AS c2
+  FROM toks WHERE p + 1 <= len(w) GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1w1
+  FROM bi GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w2 FROM bi GROUP BY w2),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM bi),
+top AS MATERIALIZED (SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT 40),
+grid AS (SELECT a.tok AS w1, b.tok AS w2 FROM top a CROSS JOIN top b)
+SELECT g.w1, g.w2, coalesce(bi.c2, 0) AS c2,
+       CAST(floor((greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                       / ctx.c1
+                   + 0.75 * ctx.n1w1 / ctx.c1
+                     * coalesce(cont.n1w2, 0) / btot.n1tot)
+                  * 1000000) AS BIGINT) AS score_ppm
+FROM grid g
+JOIN ctx ON ctx.w1 = g.w1
+LEFT JOIN bi ON bi.w1 = g.w1 AND bi.w2 = g.w2
+LEFT JOIN cont ON cont.w2 = g.w2, btot
+"""
+
+
+@register("kneser_ney_scores", _KN_SQL)
+def kneser_ney_scores(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (Kneser-Heafield smoothing,
+    the KenLM default): P(w2|w1) = max(c12 - D, 0)/c(w1.) +
+    D * N1+(w1,.)/c(w1.) * N1+(.,w2)/N1+(..), absolute discount
+    D=0.75 (exact in binary). The continuation counts N1+ are what
+    distinguish KN from stupid_backoff_scores: a word seen in MANY
+    contexts backs off high even if rare. All four count tables are
+    combinable groupBys over the BIGRAM table (never a second corpus
+    pass); scoring runs on the broadcast top-40 x top-40 grid (full
+    vocab^2 on the 31-word synthetic corpus — both seen and unseen
+    branches exercise at every SF; k^2-bounded at production vocab).
+    One scalar double expression per grid cell, identical text both
+    engines, floor-ppm pinned."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    top = uni.orderBy(F.desc("c"), "tok").limit(40)
+    bi = (
+        d.select(F.split(F.trim("text"), " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1w1"),
+    )
+    cont = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1w2")
+    )
+    btot = bi.agg(F.count(F.lit(1)).cast("bigint").alias("n1tot"))
+    grid = (
+        F.broadcast(top.select(F.col("tok").alias("w1")))
+        .crossJoin(F.broadcast(top.select(F.col("tok").alias("w2"))))
+    )
+    joined = (
+        grid.join(ctx, "w1")
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(btot))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.coalesce(F.col("c2"), F.lit(0)).cast("bigint").alias("c2"),
+        # the leading literals are CAST AS DOUBLE explicitly: Spark
+        # parses bare 0.75 as DECIMAL, and DECIMAL/BIGINT division
+        # rounds differently from the IEEE double chain DuckDB runs
+        F.expr(
+            "CAST(floor((greatest(CAST(coalesce(c2, 0) AS DOUBLE)"
+            "                     - CAST(0.75 AS DOUBLE), 0.0)"
+            "                / c1"
+            "            + CAST(0.75 AS DOUBLE) * n1w1 / c1"
+            "              * coalesce(n1w2, 0) / n1tot)"
+            "           * 1000000) AS BIGINT)"
+        ).alias("score_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations (G^2 over bigrams)
+# --------------------------------------------------------------------------
+
+_LLR_SQL = """
+WITH toks AS (
+  SELECT doc_id, w, generate_subscripts(w, 1) AS p
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+bi AS MATERIALIZED (
+  SELECT w[p] AS w1, w[p + 1] AS w2, CAST(count(*) AS BIGINT) AS k11
+  FROM toks WHERE p + 1 <= len(w) GROUP BY 1, 2
+),
+r AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r1 FROM bi GROUP BY w1),
+c AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c1 FROM bi GROUP BY w2),
+n AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bi),
+cells AS (
+  SELECT bi.w1, bi.w2, bi.k11,
+         r.r1 - bi.k11 AS k12, c.c1 - bi.k11 AS k21,
+         n.n - r.r1 - c.c1 + bi.k11 AS k22,
+         r.r1, c.c1, n.n
+  FROM bi JOIN r USING (w1) JOIN c USING (w2), n
+)
+SELECT w1, w2, k11,
+       CAST(floor(2.0 * (
+           (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+         - r1 * ln(CAST(r1 AS DOUBLE))
+         - (CASE WHEN n - r1 > 0 THEN (n - r1) * ln(CAST(n - r1 AS DOUBLE)) ELSE 0.0 END)
+         - c1 * ln(CAST(c1 AS DOUBLE))
+         - (CASE WHEN n - c1 > 0 THEN (n - c1) * ln(CAST(n - c1 AS DOUBLE)) ELSE 0.0 END)
+         + n * ln(CAST(n AS DOUBLE))
+       ) * 1000000) AS BIGINT) AS g2_fp
+FROM cells
+"""
+
+
+@register("dunning_llr_collocations", _LLR_SQL)
+def dunning_llr_collocations(spark, sf_dir):
+    """Dunning (1993) log-likelihood-ratio collocation scores: G^2 of
+    the 2x2 bigram contingency table in the entropy form
+    2*(sum xlogx(cells) - sum xlogx(margins) + xlogx(N)) — the
+    collocation statistic that stays calibrated on RARE events where
+    chi-square explodes (Dunning's whole point). Bigram counts are one
+    combinable groupBy; row/column margins re-aggregate that table
+    (vocab-bounded, never a second corpus pass); N joins as a
+    broadcast scalar. Each G^2 is ONE scalar double expression per
+    observed bigram — cell counts stay exact integers to the last
+    step, so the statistic is deterministic at any partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = (
+        d.select(F.split(F.trim("text"), " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+    )
+    r = bi.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("r1"))
+    c = bi.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c1"))
+    n = bi.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        bi.join(F.broadcast(r), "w1")
+        .join(F.broadcast(c), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("r1") - F.col("k11")).alias("k12"),
+            (F.col("c1") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).alias(
+                "k22"
+            ),
+            "r1",
+            "c1",
+            "n",
+        )
+    )
+    return cells.select(
+        "w1",
+        "w2",
+        "k11",
+        F.expr(
+            "CAST(floor(2.0 * ("
+            "    (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)"
+            "  + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)"
+            "  + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)"
+            "  + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)"
+            "  - r1 * ln(CAST(r1 AS DOUBLE))"
+            "  - (CASE WHEN n - r1 > 0 THEN (n - r1) * ln(CAST(n - r1 AS DOUBLE)) ELSE 0.0 END)"
+            "  - c1 * ln(CAST(c1 AS DOUBLE))"
+            "  - (CASE WHEN n - c1 > 0 THEN (n - c1) * ln(CAST(n - c1 AS DOUBLE)) ELSE 0.0 END)"
+            "  + n * ln(CAST(n AS DOUBLE))"
+            ") * 1000000) AS BIGINT)"
+        ).alias("g2_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword scores (PageRank over the word co-occurrence graph)
+# --------------------------------------------------------------------------
+
+_TEXTRANK_SQL = (
+    """
+WITH toks AS (
+  SELECT doc_id, w, generate_subscripts(w, 1) AS p
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+adj AS (
+  SELECT w[p] AS a, w[p + 1] AS b
+  FROM toks WHERE p + 1 <= len(w) AND w[p] <> w[p + 1]
+),
+e AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT a AS u, b AS v FROM adj UNION ALL SELECT b, a FROM adj
+  ) GROUP BY u, v
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  )
+),
+outdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY u),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_WPR_ROUND_SQL.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT node, r AS rank FROM r3
+"""
+)
+
+
+@register("textrank_keywords", _TEXTRANK_SQL)
+def textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea-Tarau 2004): weighted
+    PageRank over the undirected word co-occurrence graph (adjacent
+    token pairs, weight = adjacency count, both directions). Reuses
+    pagerank_fixed_point's weighted integer recurrence — same
+    single-exchange per-round plan, same unrolled 3-round oracle as
+    graph_pagerank_weighted, applied to a vocab-bounded graph: at
+    100 TB the corpus scan that builds the co-occurrence counts is the
+    only big stage (one combinable groupBy); the iteration runs on
+    |vocab| nodes. Keyword score = stationary mass on the word."""
+    from gfftoneo4j_spark.operators.graph import pagerank_fixed_point
+
+    d = load_table(spark, sf_dir, "documents")
+    adj = (
+        d.select(F.split(F.trim("text"), " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS a, w[i] AS b))"
+                )
+            ).alias("b")
+        )
+        .select("b.a", "b.b")
+        .where(F.col("a") != F.col("b"))
+    )
+    we = (
+        adj.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(adj.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return pagerank_fixed_point(we, iters=3, weight="w")
+
+
+# --------------------------------------------------------------------------
+# MSTTR lexical diversity (mean segmental type-token ratio)
+# --------------------------------------------------------------------------
+
+_MSTTR_SQL = """
+WITH toks AS (
+  SELECT doc_id, w, generate_subscripts(w, 1) AS p
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+seg AS (
+  SELECT doc_id, (p - 1) // 10 AS seg,
+         CAST(count(DISTINCT w[p]) AS BIGINT) AS types
+  FROM toks WHERE (p - 1) // 10 < len(w) // 10
+  GROUP BY doc_id, (p - 1) // 10
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(types) * 1000000 // (10 * count(*)) AS BIGINT) AS msttr_fp
+FROM seg GROUP BY doc_id
+"""
+
+
+@register("msttr_diversity", _MSTTR_SQL)
+def msttr_diversity(spark, sf_dir):
+    """MSTTR lexical diversity (mean segmental type-token ratio,
+    Johnson 1944): raw TTR collapses as documents grow (types
+    saturate, tokens don't — the Heaps'-law effect heaps_law
+    measures), so the stable per-doc diversity score averages TTR
+    over fixed 10-token segments, dropping the ragged tail. The
+    quality-filter signal that catches keyword-stuffed and
+    template-repeated documents repetition_scores misses when repeats
+    are spread out. Per-(doc, segment) distinct is a bounded-group
+    combinable agg; the per-doc fold is integer arithmetic end to end
+    (sum(types)*1e6 DIV (10*segments)) — no doubles anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").alias("n"),
+            F.posexplode("w").alias("p0", "tok"),
+        )
+        .where(F.col("p0") / 10 < F.floor(F.col("n") / 10))
+        .select(
+            "doc_id",
+            F.floor(F.col("p0") / 10).alias("seg"),
+            "tok",
+        )
+    )
+    seg = toks.groupBy("doc_id", "seg").agg(
+        F.countDistinct("tok").cast("bigint").alias("types")
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.expr("CAST(sum(types) * 1000000 DIV (10 * count(*)) AS BIGINT)")
+        .alias("msttr_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Char-trigram KL divergence per source (corpus drift vs global)
+# --------------------------------------------------------------------------
+
+_TRIKL_SQL = """
+WITH tri AS (
+  SELECT source, substr(text, CAST(p AS INTEGER), 3) AS tri
+  FROM documents, unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS t(p)
+  WHERE length(text) >= 3
+),
+cs AS (
+  SELECT source, tri, CAST(count(*) AS BIGINT) AS c
+  FROM tri GROUP BY source, tri
+),
+cg AS (SELECT tri, CAST(sum(c) AS BIGINT) AS gc FROM cs GROUP BY tri),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY source),
+gt AS (
+  SELECT CAST(sum(gc) AS BIGINT) AS ng, CAST(count(*) AS BIGINT) AS v
+  FROM cg
+),
+grid AS (
+  SELECT ns.source, ns.n, cg.tri, cg.gc, gt.ng, gt.v,
+         coalesce(cs.c, 0) AS c
+  FROM ns CROSS JOIN cg CROSS JOIN gt
+  LEFT JOIN cs ON cs.source = ns.source AND cs.tri = cg.tri
+),
+terms AS (
+  SELECT source, v,
+         CAST(floor(
+             (CAST(c + 1 AS DOUBLE) / (n + v))
+             * ln((CAST(c + 1 AS DOUBLE) / (n + v))
+                  / (CAST(gc + 1 AS DOUBLE) / (ng + v)))
+             * 1000000000) AS BIGINT) AS term_ppb
+  FROM grid
+)
+SELECT source, CAST(max(v) AS BIGINT) AS n_tri_types,
+       CAST(sum(term_ppb) AS BIGINT) AS kl_ppb
+FROM terms GROUP BY source
+"""
+
+
+@register("char_trigram_kl", _TRIKL_SQL)
+def char_trigram_kl(spark, sf_dir):
+    """Per-source corpus drift: KL(P_source || P_global) over
+    add-1-smoothed char-trigram distributions — the language/encoding
+    drift detector that fires when one ingestion source starts
+    shipping a different script, mojibake, or boilerplate (char
+    trigrams catch what token-level ks_drift can't: sub-token
+    corruption). Trigram counts are one combinable groupBy after a
+    3-byte-window explode (guarded for len<3 docs — the heaps_law
+    lesson); the comparison grid is sources x global trigram support
+    with absent cells as explicit +1-smoothed zeros. Every KL term
+    goes fixed-point ppb BEFORE the sum, so the divergence is an
+    order-free integer fold; a source distributed exactly like the
+    corpus scores exactly 0."""
+    d = load_table(spark, sf_dir, "documents")
+    tri = (
+        d.where(F.length("text") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    cs = tri.groupBy("source", "tri").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cg = cs.groupBy("tri").agg(F.sum("c").cast("bigint").alias("gc"))
+    ns = cs.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    gt = cg.agg(
+        F.sum("gc").cast("bigint").alias("ng"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    grid = (
+        ns.crossJoin(cg)
+        .crossJoin(F.broadcast(gt))
+        .join(cs, ["source", "tri"], "left")
+        .select(
+            "source",
+            "n",
+            "gc",
+            "ng",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    terms = grid.select(
+        "source",
+        "v",
+        F.expr(
+            "CAST(floor("
+            "    (CAST(c + 1 AS DOUBLE) / (n + v))"
+            "    * ln((CAST(c + 1 AS DOUBLE) / (n + v))"
+            "         / (CAST(gc + 1 AS DOUBLE) / (ng + v)))"
+            "    * 1000000000) AS BIGINT)"
+        ).alias("term_ppb"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("v").cast("bigint").alias("n_tri_types"),
+        F.sum("term_ppb").cast("bigint").alias("kl_ppb"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
