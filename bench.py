@@ -277,6 +277,11 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "msttr_diversity",
     "char_trigram_kl",
+    "kg_bgp_entity_paths",
+    "graph_motif_census",
+    "acf_lags",
+    "hurst_exponent",
+    "matryoshka_eval",
 ]
 
 

@@ -12468,6 +12468,409 @@ def char_trigram_kl(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Basic-graph-pattern matching over the KG triple store (SPARQL-style)
+# --------------------------------------------------------------------------
+
+_BGP_SQL = f"""
+WITH triples AS ({_KG_TRIPLES_SQL}),
+rt AS (SELECT subj AS m, obj AS e FROM triples WHERE pred = 'refers_to'),
+ln AS (SELECT subj AS m1, obj AS m2 FROM triples WHERE pred = 'links')
+SELECT r1.e AS e1, r2.e AS e2, CAST(count(*) AS BIGINT) AS n_paths
+FROM ln
+JOIN rt r1 ON r1.m = ln.m1
+JOIN rt r2 ON r2.m = ln.m2
+WHERE r1.e <> r2.e
+GROUP BY r1.e, r2.e
+"""
+
+
+@register("kg_bgp_entity_paths", _BGP_SQL)
+def kg_bgp_entity_paths(spark, sf_dir):
+    """SPARQL-style basic graph pattern over the built KG — the ad-hoc
+    query surface a triple store exists for:
+    ?m1 refers_to ?e1 . ?m1 links ?m2 . ?m2 refers_to ?e2 .
+    FILTER(?e1 != ?e2), aggregated to entity-transition counts (which
+    canonical entity follows which in conversation flow). Each triple
+    pattern is a predicate-pushed scan of ONE triple relation (the
+    filter reaches the parquet scan in the snapshot-backed variant);
+    the join graph is a chain keyed on mention ids — co-partitioned
+    equi-joins, never a cross product — and the output grid is
+    bounded by |entity types|^2. The join ORDER follows selectivity
+    (links edges first, refers_to lookups second), the textbook BGP
+    plan Catalyst can reorder freely because it's all declarative."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    rt = t.where(F.col("pred") == "refers_to").select(
+        F.col("subj").alias("m"), F.col("obj").alias("e")
+    )
+    ln = t.where(F.col("pred") == "links").select(
+        F.col("subj").alias("m1"), F.col("obj").alias("m2")
+    )
+    return (
+        ln.join(rt.select(F.col("m").alias("m1"), F.col("e").alias("e1")), "m1")
+        .join(rt.select(F.col("m").alias("m2"), F.col("e").alias("e2")), "m2")
+        .where(F.col("e1") != F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Directed 3-node motif census (feed-forward loops vs cycles)
+# --------------------------------------------------------------------------
+
+_MOTIF_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT i AS s, (i + 1) % m AS t FROM base
+    UNION ALL SELECT i, (i + 2) % m FROM base
+    UNION ALL SELECT i, (i + 3) % m FROM base
+    UNION ALL SELECT i, (i + m - 3) % m FROM base
+  ) WHERE s <> t
+),
+p2 AS (
+  SELECT x.s AS a, x.t AS b, y.t AS c
+  FROM e x JOIN e y ON y.s = x.t WHERE x.s <> y.t
+),
+ffl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM p2 JOIN e ON e.s = p2.a AND e.t = p2.c
+),
+cyc AS (
+  SELECT CAST(count(*) // 3 AS BIGINT) AS n
+  FROM p2 JOIN e ON e.s = p2.c AND e.t = p2.a
+)
+SELECT 'feed_forward' AS motif, n FROM ffl
+UNION ALL
+SELECT 'cycle' AS motif, n FROM cyc
+"""
+
+
+@register("graph_motif_census", _MOTIF_SQL)
+def graph_motif_census(spark, sf_dir):
+    """Directed 3-node motif census (Milo 2002): feed-forward loops
+    (a->b->c with shortcut a->c — hierarchy/delegation signature) vs
+    3-cycles (a->b->c->a — feedback signature), the local-structure
+    fingerprint that separates network classes with identical degree
+    sequences. Counted by composing the edge relation: 2-paths from
+    ONE self-join (out-degree-bounded fan-out, here 4, never |V|^2),
+    then a closing-edge hash join per motif; rotations of a cycle are
+    collapsed by integer division (each 3-cycle yields exactly 3
+    closed 2-paths, each FFL exactly 1). On the additive circulant
+    (+1,+2,+3,-3) both motifs are nonzero (the multiplicative one is
+    triangle-poor). Hub caps from graph_triangles apply unchanged if
+    degrees skew."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    e = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(F.col("i").alias("s"), ((F.col("i") + 2) % m).alias("t"))
+        )
+        .unionAll(
+            base.select(F.col("i").alias("s"), ((F.col("i") + 3) % m).alias("t"))
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + m - 3) % m).alias("t")
+            )
+        )
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    p2 = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("y.s") == F.col("x.t"))
+        .where(F.col("x.s") != F.col("y.t"))
+        .select(
+            F.col("x.s").alias("a"),
+            F.col("x.t").alias("b"),
+            F.col("y.t").alias("c"),
+        )
+    )
+    ffl = (
+        p2.alias("p")
+        .join(
+            e.alias("z"),
+            (F.col("z.s") == F.col("p.a")) & (F.col("z.t") == F.col("p.c")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("feed_forward").alias("motif"), "n")
+    )
+    cyc = (
+        p2.alias("p")
+        .join(
+            e.alias("z"),
+            (F.col("z.s") == F.col("p.c")) & (F.col("z.t") == F.col("p.a")),
+        )
+        .agg(F.expr("CAST(count(*) DIV 3 AS BIGINT)").alias("n"))
+        .select(F.lit("cycle").alias("motif"), "n")
+    )
+    return ffl.unionAll(cyc)
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function at fixed lags (hourly per-type series)
+# --------------------------------------------------------------------------
+
+_ACF_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hr
+),
+lags AS (SELECT unnest([1, 2, 3]) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag,
+         CAST(a.n AS DOUBLE) AS x, CAST(b.n AS DOUBLE) AS y
+  FROM h a JOIN lags l ON true
+  JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(greatest(-1.0, least(1.0, corr(x, y))) * 1000000)
+            AS BIGINT) AS acf_fp
+FROM pairs GROUP BY event_type, lag
+"""
+
+
+@register("acf_lags", _ACF_SQL)
+def acf_lags(spark, sf_dir):
+    """Autocorrelation of the hourly event-count series at lags 1-3 —
+    the memory/seasonality fingerprint behind forecast-model choice
+    (near-zero ACF means seasonal_residuals' weekly model is all
+    there is; high lag-1 means EWMA-style smoothing pays). The hourly
+    rollup is one combinable groupBy (series length is time-bounded,
+    not corpus-bounded); each lag is a self-equi-join on the shifted
+    hour key — hash-partitioned on (type, hour), NO per-type global
+    sort/window — and the Pearson fold is the mergeable corr
+    aggregate, so the whole plan is two shuffles regardless of corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    a = h.crossJoin(F.broadcast(lags))
+    pairs = a.alias("a").join(
+        h.alias("b"),
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.hr") == F.col("a.hr") + F.col("a.lag")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.lag").alias("lag"),
+        F.col("a.n").cast("double").alias("x"),
+        F.col("b.n").cast("double").alias("y"),
+    )
+    return pairs.groupBy("event_type", F.col("lag").cast("integer").alias("lag")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        # clamp: merged-co-moment corr can overshoot +/-1 by an ulp, and
+        # floor() at the 1e-6 boundary would then disagree across engines
+        F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.corr("x", "y")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("acf_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis over time windows
+# --------------------------------------------------------------------------
+
+_HURST_SQL = """
+WITH scales AS (SELECT unnest([21600, 86400, 345600]) AS scale),
+ev AS (
+  SELECT e.event_type, s.scale,
+         CAST(floor(epoch(e.ts) / s.scale) AS BIGINT) AS win,
+         e.ts, e.event_id, e.value AS x
+  FROM events e JOIN scales s ON true
+),
+mu AS (
+  SELECT event_type, scale, win, avg(x) AS mean_x,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, scale, win
+),
+dev AS (
+  SELECT ev.event_type, ev.scale, ev.win, ev.x, mu.mean_x, mu.n,
+         sum(ev.x - mu.mean_x) OVER (
+             PARTITION BY ev.event_type, ev.scale, ev.win
+             ORDER BY ev.ts, ev.event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ev JOIN mu USING (event_type, scale, win)
+),
+rs AS (
+  SELECT event_type, scale, win,
+         (max(cum) - min(cum)) / stddev_samp(x) AS rs
+  FROM dev WHERE n >= 8
+  GROUP BY event_type, scale, win
+  HAVING stddev_samp(x) > 0
+),
+pts AS (
+  SELECT event_type, ln(CAST(scale AS DOUBLE)) AS lw, ln(avg(rs)) AS lr
+  FROM rs GROUP BY event_type, scale
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_scales,
+       CAST(floor(covar_pop(lw, lr) / var_pop(lw) * 1000000) AS BIGINT)
+           AS hurst_fp
+FROM pts GROUP BY event_type
+"""
+
+
+@register("hurst_exponent", _HURST_SQL)
+def hurst_exponent(spark, sf_dir):
+    """Hurst exponent per event type via rescaled-range analysis
+    (Mandelbrot-Wallis R/S): windows at 6h/24h/96h scales, R = range
+    of the mean-adjusted cumulative deviation inside the window, S =
+    the window stddev; H = slope of ln(avg R/S) vs ln(scale). H ~ 0.5
+    is memoryless, H > 0.5 long-range-dependent — the statistic that
+    says whether burstiness (already gated) persists across scales.
+    Windows are CALENDAR-keyed, so every sort is bounded by events
+    per time window, never per-type global; the cumulative sum runs
+    in deterministic (ts, event_id) order in both engines; the
+    regression over 3 scale points is a covar_pop/var_pop fold."""
+    ev0 = load_table(spark, sf_dir, "events")
+    scales = spark.createDataFrame([(21600,), (86400,), (345600,)], "scale long")
+    ev = ev0.crossJoin(F.broadcast(scales)).select(
+        "event_type",
+        "scale",
+        F.floor(F.unix_timestamp("ts") / F.col("scale"))
+        .cast("bigint")
+        .alias("win"),
+        "ts",
+        "event_id",
+        F.col("value").alias("x"),
+    )
+    mu = ev.groupBy("event_type", "scale", "win").agg(
+        F.avg("x").alias("mean_x"), F.count("*").cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type", "scale", "win")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = ev.join(mu, ["event_type", "scale", "win"]).select(
+        "event_type",
+        "scale",
+        "win",
+        "x",
+        "n",
+        F.sum(F.col("x") - F.col("mean_x")).over(w).alias("cum"),
+    )
+    rs = (
+        dev.where(F.col("n") >= 8)
+        .groupBy("event_type", "scale", "win")
+        .agg(
+            ((F.max("cum") - F.min("cum")) / F.stddev_samp("x")).alias("rs"),
+            F.stddev_samp("x").alias("sd"),
+        )
+        .where(F.col("sd") > 0)
+    )
+    pts = rs.groupBy("event_type", "scale").agg(
+        F.log(F.col("scale").cast("double")).alias("lw"),
+        F.log(F.avg("rs")).alias("lr"),
+    )
+    return pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_scales"),
+        F.floor(F.covar_pop("lw", "lr") / F.var_pop("lw") * 1000000)
+        .cast("bigint")
+        .alias("hurst_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation evaluation (recall@k of prefix-dim embeddings)
+# --------------------------------------------------------------------------
+
+_MRL_SQL = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q JOIN ex e ON q.i = e.i AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (PARTITION BY d.query_id
+               ORDER BY round(d.dp / (nq.nrm * ne.nrm), 3) DESC,
+                        d.neighbor_id) AS rank
+    FROM dots d
+    JOIN n nq ON nq.vec_id = d.query_id
+    JOIN n ne ON ne.vec_id = d.neighbor_id
+  ) WHERE rank <= 3
+),
+ex8 AS (SELECT vec_id, x, i FROM ex WHERE i <= 8),
+n8 AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex8 GROUP BY vec_id),
+q8 AS (SELECT * FROM ex8 WHERE vec_id < 5),
+dots8 AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q8 q JOIN ex8 e ON q.i = e.i AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+tr_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (PARTITION BY d.query_id
+               ORDER BY round(d.dp / (nq.nrm * ne.nrm), 3) DESC,
+                        d.neighbor_id) AS rank
+    FROM dots8 d
+    JOIN n8 nq ON nq.vec_id = d.query_id
+    JOIN n8 ne ON ne.vec_id = d.neighbor_id
+  ) WHERE rank <= 3
+)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_common,
+       CAST(count(t.neighbor_id) * 1000000 // 3 AS BIGINT) AS recall_fp
+FROM full_topk f
+LEFT JOIN tr_topk t ON t.query_id = f.query_id
+     AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@register("matryoshka_eval", _MRL_SQL)
+def matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation (Kusupati 2022): recall@3 of
+    cosine top-k computed on the FIRST 8 of 64 dims against the
+    full-dim truth — the measurement behind the standard 8x
+    index-shrink decision (truncate stored vectors, re-rank survivors
+    at full width). Both retrievals reuse the gated cosine_topk
+    operator (broadcast queries, JVM-side zip_with dot products);
+    recall is a per-query left join + count, integer to the end.
+    These are embeddings with no Matryoshka training, so recall
+    quantifies exactly what naive truncation costs."""
+    from gfftoneo4j_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    full = SIM.cosine_topk(emb, qids, k=3)
+    emb8 = emb.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    tr = SIM.cosine_topk(emb8, qids, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        full.select("query_id", "neighbor_id")
+        .join(tr, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_common"),
+            F.expr("CAST(count(hit) * 1000000 DIV 3 AS BIGINT)").alias(
+                "recall_fp"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (round 4).
 #
 # The correctness driver oracle-gates exactly the FIRST 50 entries of
