@@ -282,6 +282,21 @@ BENCH_QUERIES = [
     "acf_lags",
     "hurst_exponent",
     "matryoshka_eval",
+    "graph_anf_reachability",
+    "bm25_topk",
+    "bh_fdr_correction",
+    "xcorr_leadlag",
+    "hilbert_layout",
+    "james_stein_shrinkage",
+    "ams_f2_sketch",
+    "wl_refinement",
+    "label_spreading",
+    "info_gain_split",
+    "spearman_rho",
+    "wasserstein_drift",
+    "benford_audit",
+    "sketch_overlap_audience",
+    "apriori_triples",
 ]
 
 

@@ -1638,3 +1638,94 @@ def boruvka_mst(
     if mst is None:
         return und.where(F.lit(False))
     return mst
+
+
+def kmv_neighborhood_function(
+    edges: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    src: str = "s",
+    dst: str = "t",
+    hash_prefix: str = "a:",
+) -> DataFrame:
+    """Approximate neighborhood function N(h) for h = 1..rounds via
+    k-minimum-values sketch propagation — the ANF / HyperANF family
+    (Palmer 2002 ANF; Boldi 2011 HyperANF swaps KMV for HLL registers;
+    the loop shape is identical). Each node carries the k smallest
+    48-bit hashes of the nodes it has reached; one round of
+    "my sketch = k-min of (mine union my neighbours')" extends reach
+    by one hop, so after h rounds |{v : d(u,v) <= h}| is estimated by
+    the KMV rule: exact set size while the sketch is unsaturated
+    (n < k), else (k-1)/u_k with u_k the k-th smallest hash as a unit
+    draw.
+
+    Scale shape: per-node state is <= k 8-byte hashes, merged by ONE
+    edge-keyed equi-join + per-node k-min — the per-node window input
+    is bounded by (deg+1)*k rows, never the reachable set itself,
+    which is the whole point: exact reachability state is Omega(|V|^2)
+    on a dense web graph, the sketch is O(k*|V|) forever. This is THE
+    published answer for effective-diameter / reachability profiling
+    at web scale. Hashes are content-addressed md5 (deterministic at
+    any partitioning => exact-hash gateable); estimates are floored
+    into integer milli-units so cross-engine sums stay exact.
+
+    Returns one row per hop: (hop, n_nodes, sum_reach_milli) where
+    sum_reach_milli/1000 estimates sum_u |ball(u, hop)|.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    state = nodes.select(
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(hash_prefix), F.col("node").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).localCheckpoint(eager=True)
+    two48 = float(1 << 48)
+    w = Window.partitionBy("node").orderBy("h")
+    out = None
+    for hop in range(1, rounds + 1):
+        prop = und.join(
+            state.withColumnRenamed("node", "t"), "t"
+        ).select(F.col("s").alias("node"), "h")
+        prev = state
+        state = (
+            state.unionAll(prop)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist(blocking=False)
+        est = state.groupBy("node").agg(
+            F.count("*").alias("n"), F.max("h").alias("mx")
+        )
+        hop_row = est.select(
+            F.lit(hop).cast("integer").alias("hop"),
+            F.when(F.col("n") < k, F.col("n") * 1000)
+            .otherwise(
+                F.floor((k - 1) * 1000.0 * two48 / (F.col("mx") + 1))
+            )
+            .cast("bigint")
+            .alias("est_milli"),
+        ).groupBy("hop").agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("est_milli").cast("bigint").alias("sum_reach_milli"),
+        )
+        out = hop_row if out is None else out.unionAll(hop_row)
+    return out

@@ -12889,6 +12889,1794 @@ def matryoshka_eval(spark, sf_dir):
 
 #: union of CORRECTNESS_r01/r02/r03/r04 keys — every query that already
 #: has a driver-issued green row (101 cumulative after round 4).
+# --------------------------------------------------------------------------
+# ANF / KMV neighborhood function (web-scale reachability profile)
+# --------------------------------------------------------------------------
+
+def _anf_round_sql(r: int) -> str:
+    prev = f"r{r - 1}"
+    return f"""
+m{r} AS MATERIALIZED (
+  SELECT DISTINCT node, h FROM (
+    SELECT u.s AS node, p.h FROM und u JOIN {prev} p ON p.node = u.t
+    UNION ALL SELECT node, h FROM {prev}
+  )
+),
+r{r} AS MATERIALIZED (
+  SELECT node, h FROM (
+    SELECT node, h, row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+    FROM m{r}
+  ) WHERE rn <= 8
+),
+e{r} AS (
+  SELECT {r} AS hop, node, CAST(count(*) AS BIGINT) AS n, max(h) AS mx
+  FROM r{r} GROUP BY node
+)"""
+
+
+_ANF_SQL = (
+    """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION SELECT t, s FROM raw WHERE s <> t
+),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node,
+         CAST(('0x' || md5('a:' || CAST(s AS VARCHAR))[1:12]) AS BIGINT) AS h
+  FROM und
+),"""
+    + ",".join(_anf_round_sql(r) for r in (1, 2, 3))
+    + """,
+u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+)
+SELECT CAST(hop AS INTEGER) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN n < 8 THEN n * 1000
+                ELSE CAST(floor(1.970324836974592e18 / (mx + 1))
+                          AS BIGINT) END) AS BIGINT) AS sum_reach_milli
+FROM u GROUP BY hop
+"""
+)
+
+
+@register("graph_anf_reachability", _ANF_SQL)
+def graph_anf_reachability(spark, sf_dir):
+    """Approximate neighborhood function N(h), h = 1..3, over the
+    circulant graph via k-minimum-values sketch propagation (ANF,
+    Palmer 2002; HyperANF, Boldi 2011 — same loop, HLL registers
+    instead of KMV). Per node the state is the 8 smallest md5 hashes
+    of reached nodes; a round is ONE edge-keyed join + per-node k-min
+    (window input bounded by (deg+1)*k, never the reachable set), so
+    reach profiling that is Omega(|V|^2) exact stays O(k*|V|) forever
+    — the effective-diameter estimator actually used on web graphs.
+    Content-addressed hashes make the sketch bit-exact at any
+    partitioning; estimates are floored to integer milli-units so the
+    cross-engine sums compare exactly. Estimate accuracy itself is
+    pytest-bounded on a known-topology graph."""
+    from gfftoneo4j_spark.operators.graph import kmv_neighborhood_function
+
+    return kmv_neighborhood_function(
+        _circulant_edges(spark, sf_dir), k=8, rounds=3
+    )
+
+
+# --------------------------------------------------------------------------
+# Okapi BM25 document ranking for a df-derived query
+# --------------------------------------------------------------------------
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+),
+q AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 5),
+tf AS (
+  SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok t JOIN q ON q.token = t.token GROUP BY t.doc_id, t.token
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n_docs / s.sum_dl))
+              * 1000000) AS BIGINT) AS term_micro
+  FROM tf
+  JOIN q ON q.token = tf.token
+  JOIN dl d ON d.doc_id = tf.doc_id
+  JOIN stats s ON true
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+  FROM scored GROUP BY doc_id
+),
+top AS (SELECT * FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 20)
+SELECT doc_id, n_terms, bm25_micro,
+       CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INTEGER)
+           AS rank
+FROM top
+"""
+
+
+@register("bm25_topk", _BM25_SQL)
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranking (k1 = 1.2, b = 0.75) of every document
+    against the 5 highest-document-frequency tokens — the production
+    relevance function TF-IDF (already gated as tfidf_topk)
+    approximates: per-term saturation tf*(k1+1)/(tf+k1*norm) and
+    document-length normalization are what make it robust at corpus
+    scale. Plan: df and dl are combinable aggs; the 5-term query and
+    the two corpus scalars are BROADCAST sides; per-term scores are
+    floored to integer micro-units so the per-doc sum is exact in
+    both engines; the global top-20 is orderBy+limit
+    (TakeOrderedAndProject — never a full sort), with rank assigned
+    by a window over the 20 survivors only."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    q = df.orderBy(F.col("df").desc(), "token").limit(5)
+    tf = (
+        tok.join(F.broadcast(q.select("token")), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("sum_dl")
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term_micro").cast("bigint").alias("bm25_micro"),
+    )
+    top = agg.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("integer")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control over per-type mean-shift tests
+# --------------------------------------------------------------------------
+
+_BH_SQL = """
+WITH g AS (SELECT sum(value) / count(*) AS gmean FROM events),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         avg(value) AS mean_v, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n,
+         abs((st.mean_v - g.gmean) / (st.sd / sqrt(n))) AS az
+  FROM st, g WHERE st.sd > 0 AND st.n >= 2
+),
+p AS (
+  SELECT event_type, n,
+         CAST(floor(2000000.0
+              / (1.0 + exp(1.5976 * az + 0.070566 * az * az * az)))
+              AS BIGINT) AS p_micro
+  FROM z
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+ranked AS (
+  SELECT event_type, n, p_micro, m,
+         CAST(row_number() OVER (ORDER BY p_micro, event_type) AS INTEGER)
+             AS rnk
+  FROM p, mm
+)
+SELECT event_type, n, p_micro, rnk,
+       CAST(min(p_micro * m // rnk) OVER (
+            ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS adj_micro,
+       CAST(CASE WHEN min(p_micro * m // rnk) OVER (
+            ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            <= 50000 THEN 1 ELSE 0 END AS INTEGER) AS reject
+FROM ranked
+"""
+
+
+@register("bh_fdr_correction", _BH_SQL)
+def bh_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (q = 0.05) over one mean-shift
+    z-test per event type — the multiple-comparisons guard every
+    metrics platform needs once it tests 100 segments at once (5% of
+    raw p < 0.05 calls are false by construction). p-values use the
+    logistic approximation to the normal CDF (Bowling 2009) so both
+    engines share one closed formula; the step-up adjusted p is the
+    FROM-THE-TAIL running min of p*(m/rank), a window over the
+    segment grid (|event types| rows, never corpus rows). All corpus
+    work is one combinable groupBy; the windows run on the bounded
+    grid, the same discipline as srm_check/chi_squared."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg((F.sum("value") / F.count("*")).alias("gmean"))
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("value").alias("mean_v"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = (
+        st.crossJoin(F.broadcast(g))
+        .where((F.col("sd") > 0) & (F.col("n") >= 2))
+        .select(
+            "event_type",
+            "n",
+            F.abs(
+                (F.col("mean_v") - F.col("gmean"))
+                / (F.col("sd") / F.sqrt("n"))
+            ).alias("az"),
+        )
+    )
+    p = z.select(
+        "event_type",
+        "n",
+        F.floor(
+            2000000.0
+            / (
+                1.0
+                + F.exp(
+                    1.5976 * F.col("az")
+                    + 0.070566 * F.col("az") * F.col("az") * F.col("az")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    mm = p.agg(F.count("*").cast("bigint").alias("m"))
+    ranked = p.crossJoin(F.broadcast(mm)).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy("p_micro", "event_type"))
+        .cast("integer"),
+    )
+    wtail = Window.orderBy("rnk").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    qcol = F.expr("p_micro * m DIV rnk")
+    return ranked.select(
+        "event_type",
+        "n",
+        "p_micro",
+        "rnk",
+        F.min(qcol).over(wtail).cast("bigint").alias("adj_micro"),
+        F.when(F.min(qcol).over(wtail) <= 50000, 1)
+        .otherwise(0)
+        .cast("integer")
+        .alias("reject"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation lead-lag between event-type series
+# --------------------------------------------------------------------------
+
+_XCORR_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hr
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+grid AS (SELECT ta, tb, lag FROM pairs, lags),
+j AS (
+  SELECT g.ta, g.tb, g.lag, CAST(x.n AS DOUBLE) AS x, CAST(y.n AS DOUBLE) AS y
+  FROM grid g
+  JOIN h x ON x.event_type = g.ta
+  JOIN h y ON y.event_type = g.tb AND y.hr = x.hr + g.lag
+),
+c AS (
+  SELECT ta, tb, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(floor(greatest(-1.0, least(1.0, corr(x, y))) * 1000000)
+              AS BIGINT) AS xcorr_fp
+  FROM j GROUP BY ta, tb, lag
+)
+SELECT ta, tb, CAST(lag AS INTEGER) AS lag, n_pairs, xcorr_fp,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY ta, tb
+            ORDER BY xcorr_fp DESC, lag) = 1 THEN 1 ELSE 0 END AS INTEGER)
+           AS is_best
+FROM c
+"""
+
+
+@register("xcorr_leadlag", _XCORR_SQL)
+def xcorr_leadlag(spark, sf_dir):
+    """Lead-lag detection between event-type pairs: Pearson
+    cross-correlation of the hourly count series at lags -2..+2 and
+    an is_best flag at each pair's argmax (positive best lag means ta
+    leads tb) — the causality-direction screen run before any
+    intervention analysis. Same two-shuffle shape as acf_lags: one
+    combinable hourly rollup, one shifted self-equi-join per (pair,
+    lag) against a BROADCAST 50-row grid, mergeable corr folds; the
+    argmax window runs over the bounded (pair, lag) grid. corr is
+    clamped into [-1, 1] before the 1e-6 floor (ulp overshoot at
+    exact +/-1 would flip the floor across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    lags = spark.range(-2, 3).select(F.col("id").alias("lag"))
+    grid = pairs.crossJoin(lags)
+    j = (
+        h.alias("x")
+        .join(F.broadcast(grid), F.col("x.event_type") == F.col("ta"))
+        .join(
+            h.alias("y"),
+            (F.col("y.event_type") == F.col("tb"))
+            & (F.col("y.hr") == F.col("x.hr") + F.col("lag")),
+        )
+        .select(
+            "ta",
+            "tb",
+            "lag",
+            F.col("x.n").cast("double").alias("x"),
+            F.col("y.n").cast("double").alias("y"),
+        )
+    )
+    c = j.groupBy("ta", "tb", "lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.corr("x", "y")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("xcorr_fp"),
+    )
+    wbest = Window.partitionBy("ta", "tb").orderBy(
+        F.col("xcorr_fp").desc(), "lag"
+    )
+    return c.select(
+        "ta",
+        "tb",
+        F.col("lag").cast("integer").alias("lag"),
+        "n_pairs",
+        "xcorr_fp",
+        F.when(F.row_number().over(wbest) == 1, 1)
+        .otherwise(0)
+        .cast("integer")
+        .alias("is_best"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout vs Z-order: multi-dim clustering quality
+# --------------------------------------------------------------------------
+
+def _hilbert_step_sql(s: int) -> str:
+    """One unrolled xy2d step (Wikipedia's rot-and-accumulate loop) as
+    a chained CTE; {0,3}-xor-{0,1} is replaced by the branch-free
+    CASE rx=0 -> ry, rx=1 -> 3-ry so no engine-specific xor is
+    needed."""
+    return f"""
+h{s} AS (
+  SELECT CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN {s - 1} - y ELSE y END AS x,
+         CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN {s - 1} - x ELSE x END AS y,
+         d + {s * s} * (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END) AS d,
+         x0, y0
+  FROM (
+    SELECT x, y, d, x0, y0,
+           CASE WHEN x & {s} > 0 THEN 1 ELSE 0 END AS rx,
+           CASE WHEN y & {s} > 0 THEN 1 ELSE 0 END AS ry
+    FROM h{s * 2 if s < 128 else 256}
+  )
+)"""
+
+
+_HILBERT_SQL = (
+    """
+WITH pts AS (
+  SELECT DISTINCT CAST(user_id % 256 AS INTEGER) AS x,
+         CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256 AS INTEGER) AS y
+  FROM events
+),
+h256 AS (SELECT x, y, 0 AS d, x AS x0, y AS y0 FROM pts),"""
+    + ",".join(_hilbert_step_sql(s) for s in (128, 64, 32, 16, 8, 4, 2, 1))
+    + """,
+hb AS (
+  SELECT d // 100 AS block, x0, y0 FROM h1
+),
+hm AS (
+  SELECT CAST(count(DISTINCT block) AS BIGINT) AS n_blocks,
+         CAST(sum(area) * 1000 // count(*) AS BIGINT) AS avg_bbox_area_milli
+  FROM (
+    SELECT block,
+           CAST((max(x0) - min(x0) + 1) * (max(y0) - min(y0) + 1)
+                AS BIGINT) AS area
+    FROM hb GROUP BY block
+  )
+),
+zb AS (
+  SELECT (
+      (x // 1 % 2) * 2 + (y // 1 % 2) * 1
+    + (x // 2 % 2) * 8 + (y // 2 % 2) * 4
+    + (x // 4 % 2) * 32 + (y // 4 % 2) * 16
+    + (x // 8 % 2) * 128 + (y // 8 % 2) * 64
+    + (x // 16 % 2) * 512 + (y // 16 % 2) * 256
+    + (x // 32 % 2) * 2048 + (y // 32 % 2) * 1024
+    + (x // 64 % 2) * 8192 + (y // 64 % 2) * 4096
+    + (x // 128 % 2) * 32768 + (y // 128 % 2) * 16384
+  ) // 100 AS block, x AS x0, y AS y0
+  FROM pts
+),
+zm AS (
+  SELECT CAST(count(DISTINCT block) AS BIGINT) AS n_blocks,
+         CAST(sum(area) * 1000 // count(*) AS BIGINT) AS avg_bbox_area_milli
+  FROM (
+    SELECT block,
+           CAST((max(x0) - min(x0) + 1) * (max(y0) - min(y0) + 1)
+                AS BIGINT) AS area
+    FROM zb GROUP BY block
+  )
+)
+SELECT 'hilbert' AS method, n_blocks, avg_bbox_area_milli FROM hm
+UNION ALL
+SELECT 'zorder' AS method, n_blocks, avg_bbox_area_milli FROM zm
+"""
+)
+
+
+@register("hilbert_layout", _HILBERT_SQL)
+def hilbert_layout(spark, sf_dir):
+    """Hilbert-curve layout index vs Z-order, judged by the metric
+    that decides data-skipping quality at 100 TB: the average
+    bounding-box area of the (x, y) cells landing in each 64-cell
+    curve block (min/max column stats per file ARE a bounding box —
+    smaller boxes mean tighter parquet zone maps and fewer files read
+    per 2-D predicate). Hilbert wins because it has no Z-order
+    "seams" (jumps between quadrant boundaries); this query measures
+    that win instead of asserting it. The 8-level xy2d transform is
+    unrolled branch-free integer arithmetic (the {0,3}-xor-{0,1} is a
+    2-branch CASE), fully inside whole-stage codegen — per-row O(1),
+    no shuffle until the final bounded per-block agg."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 256).cast("integer").alias("x"),
+        (F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") % 256)
+        .cast("integer")
+        .alias("y"),
+    ).distinct()
+    # state threading via a runtime fold, NOT a statically-unrolled
+    # column expression: each level's (x', y') references (x, y) two
+    # to three times, so inlining 8 levels builds a ~3^8-leaf
+    # expression tree (measured: a 58 MiB task binary and a 3-minute
+    # codegen stall). aggregate() evaluates one small lambda per
+    # element instead — linear plan size, same per-row O(1) work.
+    def _step(acc, s):
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        rx = F.when(ax.bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(ay.bitwiseAND(s) > 0, 1).otherwise(0)
+        nd = ad + s * s * F.when(rx == 0, ry).otherwise(3 - ry)
+        nx = F.when(ry == 1, ax).when(rx == 1, s - 1 - ay).otherwise(ay)
+        ny = F.when(ry == 1, ay).when(rx == 1, s - 1 - ax).otherwise(ax)
+        return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
+
+    d = F.aggregate(
+        F.expr("array(128, 64, 32, 16, 8, 4, 2, 1)"),
+        F.struct(
+            F.col("x").alias("x"),
+            F.col("y").alias("y"),
+            F.lit(0).alias("d"),
+        ),
+        _step,
+    )["d"]
+    zd = sum(
+        (F.col("x") / (1 << i)).cast("integer") % 2 * (1 << (2 * i + 1))
+        + (F.col("y") / (1 << i)).cast("integer") % 2 * (1 << (2 * i))
+        for i in range(8)
+    )
+
+    def _metric(blocked, name):
+        per_block = blocked.groupBy("block").agg(
+            (
+                (F.max("x0") - F.min("x0") + 1)
+                * (F.max("y0") - F.min("y0") + 1)
+            )
+            .cast("bigint")
+            .alias("area")
+        )
+        return per_block.agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.expr("CAST(sum(area) * 1000 DIV count(*) AS BIGINT)").alias(
+                "avg_bbox_area_milli"
+            ),
+        ).select("method", "n_blocks", "avg_bbox_area_milli")
+
+    hb = pts.select(
+        F.floor(d / 100).cast("integer").alias("block"),
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+    )
+    zb = pts.select(
+        F.floor(zd / 100).cast("integer").alias("block"),
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+    )
+    return _metric(hb, "hilbert").unionAll(_metric(zb, "zorder"))
+
+
+# --------------------------------------------------------------------------
+# James-Stein / empirical-Bayes shrinkage of per-user means
+# --------------------------------------------------------------------------
+
+_JS_SQL = """
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n, avg(value) AS mean_v
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, sum(mean_v) / count(*) AS gmean
+  FROM pu
+),
+vv AS (SELECT var_pop(value) AS v FROM events),
+s AS (
+  SELECT sum((pu.mean_v - g.gmean) * (pu.mean_v - g.gmean)) AS ss
+  FROM pu, g
+)
+SELECT pu.user_id, pu.n, round(pu.mean_v, 6) AS mean_v,
+       CAST(floor(greatest(0.0,
+            1.0 - (g.k - 3) * (vv.v / pu.n) / s.ss) * 1000000)
+            AS BIGINT) AS shrink_micro,
+       round(g.gmean + greatest(0.0,
+            1.0 - (g.k - 3) * (vv.v / pu.n) / s.ss)
+            * (pu.mean_v - g.gmean), 6) AS shrunk_v
+FROM pu, g, vv, s
+"""
+
+
+@register("james_stein_shrinkage", _JS_SQL)
+def james_stein_shrinkage(spark, sf_dir):
+    """James-Stein / empirical-Bayes shrinkage of per-user mean value
+    toward the grand mean — the estimator that dominates raw per-user
+    means whenever there are >= 4 users (Efron-Morris 1975 plug-in
+    with per-user sampling variance var_pop(value)/n_i): thin users
+    shrink hard, heavy users barely move. This is how a feature store
+    should report per-entity aggregates for sparse entities. Plan:
+    per-user means are ONE combinable groupBy over the corpus; the
+    three cross-user scalars (k, grand mean, sum of squared
+    deviations) ride in as BROADCAST single-row frames, so no window
+    and no second corpus pass — the user-means table is re-read, not
+    the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("value").alias("mean_v"),
+    )
+    g = pu.agg(
+        F.count("*").cast("bigint").alias("k"),
+        (F.sum("mean_v") / F.count("*")).alias("gmean"),
+    )
+    vv = ev.agg(F.var_pop("value").alias("v"))
+    s = pu.crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            (F.col("mean_v") - F.col("gmean"))
+            * (F.col("mean_v") - F.col("gmean"))
+        ).alias("ss")
+    )
+    c = F.greatest(
+        F.lit(0.0),
+        1.0 - (F.col("k") - 3) * (F.col("v") / F.col("n")) / F.col("ss"),
+    )
+    return (
+        pu.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "n",
+            F.round("mean_v", 6).alias("mean_v"),
+            F.floor(c * 1000000).cast("bigint").alias("shrink_micro"),
+            F.round(
+                F.col("gmean") + c * (F.col("mean_v") - F.col("gmean")), 6
+            ).alias("shrunk_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch (self-join size / skew estimator)
+# --------------------------------------------------------------------------
+
+_AMS_SQL = """
+WITH cnts AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, user_id
+),
+truth AS (
+  SELECT event_type, CAST(sum(c * c) AS BIGINT) AS true_f2
+  FROM cnts GROUP BY event_type
+),
+sk AS (
+  SELECT event_type, t.j,
+         CAST(sum(CASE WHEN md5(CAST(t.j AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR))[1:1]
+                       BETWEEN '0' AND '7' THEN c ELSE -c END)
+              AS BIGINT) AS counter
+  FROM cnts, range(16) t(j)
+  GROUP BY event_type, t.j
+),
+est AS (
+  SELECT event_type, counter * counter AS e,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY counter * counter, j) AS rn
+  FROM sk
+)
+SELECT t.event_type, t.true_f2, CAST(e.e AS BIGINT) AS est_f2,
+       CAST(floor(abs(CAST(e.e AS DOUBLE) - t.true_f2) / t.true_f2
+            * 1000000) AS BIGINT) AS err_fp
+FROM truth t JOIN est e ON e.event_type = t.event_type AND e.rn = 8
+"""
+
+
+@register("ams_f2_sketch", _AMS_SQL)
+def ams_f2_sketch(spark, sf_dir):
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
+    per event type: F2 = sum_u count(u)^2 IS the self-join output
+    size, the number a query planner needs to veto a skewed join
+    before running it. 16 sign-counters (sign = first md5 hex digit
+    of (counter_id, user) in 0..7), each an unbiased estimator of F2
+    when squared; the lower median of the 16 tames the variance. The
+    sketch is ONE combinable groupBy over (type, 16 broadcast counter
+    ids) — 16 integers of state per group forever, vs the exact
+    sum-of-squares needing per-user counts first (computed here too,
+    as the gate's truth column, which a 100 TB run would skip).
+    Content-addressed signs make the estimate exact-gateable;
+    estimator quality is the err_fp column itself."""
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    truth = cnts.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("true_f2")
+    )
+    js = spark.range(16).select(F.col("id").alias("j"))
+    sk = (
+        cnts.crossJoin(F.broadcast(js))
+        .groupBy("event_type", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ).between("0", "7"),
+                    F.col("c"),
+                ).otherwise(-F.col("c"))
+            )
+            .cast("bigint")
+            .alias("counter")
+        )
+    )
+    est = sk.select(
+        "event_type",
+        (F.col("counter") * F.col("counter")).alias("e"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("counter") * F.col("counter"), "j"
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 8)
+    return truth.join(est, "event_type").select(
+        "event_type",
+        "true_f2",
+        F.col("e").cast("bigint").alias("est_f2"),
+        F.floor(
+            F.abs(F.col("e").cast("double") - F.col("true_f2"))
+            / F.col("true_f2")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("err_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weisfeiler-Leman (1-WL) color refinement — graph structure fingerprint
+# --------------------------------------------------------------------------
+
+def _wl_round_sql(r: int) -> str:
+    prev = f"w{r - 1}" if r > 1 else "deg"
+    return f"""
+w{r} AS MATERIALIZED (
+  SELECT u.s AS node,
+         md5(own.c || '|' || string_agg(nb.c, ',' ORDER BY nb.c)) AS c
+  FROM und u
+  JOIN {prev} nb ON nb.node = u.t
+  JOIN {prev} own ON own.node = u.s
+  GROUP BY u.s, own.c
+),
+st{r} AS (
+  SELECT {r} AS round, CAST(count(*) AS BIGINT) AS n_colors,
+         CAST(max(cls) AS BIGINT) AS max_class
+  FROM (SELECT c, count(*) AS cls FROM w{r} GROUP BY c)
+)"""
+
+
+_WL_SQL = (
+    """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION SELECT t, s FROM raw WHERE s <> t
+),
+deg AS MATERIALIZED (
+  SELECT s AS node, CAST(count(*) AS VARCHAR) AS c FROM und GROUP BY s
+),"""
+    + ",".join(_wl_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT CAST(round AS INTEGER) AS round, n_colors, max_class FROM st1
+UNION ALL SELECT CAST(round AS INTEGER), n_colors, max_class FROM st2
+UNION ALL SELECT CAST(round AS INTEGER), n_colors, max_class FROM st3
+"""
+)
+
+
+@register("wl_refinement", _WL_SQL)
+def wl_refinement(spark, sf_dir):
+    """1-Weisfeiler-Leman color refinement over the circulant graph:
+    color(v) <- md5(color(v) | sorted multiset of neighbor colors),
+    three rounds, reporting how many distinct structural roles exist
+    and the largest class. WL is the canonical graph fingerprint —
+    the test GNN expressiveness is measured against, and the
+    practical dedup key for graph-shaped records (two KGs with
+    different node ids but the same WL histogram are structurally
+    identical to depth h). Plan: a round is ONE edge-keyed join +
+    per-node sort_array(collect_list) whose input is bounded by
+    degree, then an md5 — all combinable/codegen, state one string
+    per node; the vertex-transitive circulant collapses to few
+    colors, a labeled real graph would not."""
+    colors = None
+    und = (
+        _circulant_edges(spark, sf_dir)
+        .select("s", "t")
+        .where(F.col("s") != F.col("t"))
+        .unionAll(
+            _circulant_edges(spark, sf_dir)
+            .select(F.col("t").alias("s"), F.col("s").alias("t"))
+            .where(F.col("s") != F.col("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    colors = und.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("string").alias("c")
+    )
+    out = None
+    for r in (1, 2, 3):
+        nb = und.join(
+            colors.withColumnRenamed("node", "t").withColumnRenamed(
+                "c", "nc"
+            ),
+            "t",
+        ).select(F.col("s").alias("node"), "nc")
+        agg = nb.groupBy("node").agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("nc"))).alias("ns")
+        )
+        prev = colors
+        colors = (
+            agg.join(colors, "node")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(F.col("c"), F.lit("|"), F.col("ns"))
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist(blocking=False)
+        stat = (
+            colors.groupBy("c")
+            .agg(F.count("*").alias("cls"))
+            .agg(
+                F.lit(r).cast("integer").alias("round"),
+                F.count("*").cast("bigint").alias("n_colors"),
+                F.max("cls").cast("bigint").alias("max_class"),
+            )
+            .select("round", "n_colors", "max_class")
+        )
+        out = stat if out is None else out.unionAll(stat)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Label spreading with seed clamping (semi-supervised node labels)
+# --------------------------------------------------------------------------
+
+def _ls_round_sql(r: int) -> str:
+    prev = f"s{r - 1}"
+    return f"""
+c{r} AS (
+  SELECT u.s AS node, p.cls, CAST(sum(p.sc // d.deg) AS BIGINT) AS sc
+  FROM und u
+  JOIN {prev} p ON p.node = u.t
+  JOIN deg d ON d.node = u.t
+  GROUP BY u.s, p.cls
+),
+s{r} AS MATERIALIZED (
+  SELECT c.node, c.cls, c.sc FROM c{r} c
+  WHERE c.node NOT IN (SELECT node FROM seeds)
+  UNION ALL
+  SELECT node, cls, 1000000 AS sc FROM seeds
+)"""
+
+
+_LS_SQL = (
+    """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION SELECT t, s FROM raw WHERE s <> t
+),
+deg AS MATERIALIZED (
+  SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY s
+),
+seeds AS MATERIALIZED (
+  SELECT i AS node, CAST((i // 10) % 3 AS BIGINT) AS cls
+  FROM (SELECT DISTINCT i FROM base) WHERE i % 10 = 0
+),
+s0 AS (SELECT node, cls, CAST(1000000 AS BIGINT) AS sc FROM seeds),"""
+    + ",".join(_ls_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT node, cls AS label, sc AS score FROM (
+  SELECT node, cls, sc,
+         row_number() OVER (PARTITION BY node ORDER BY sc DESC, cls) AS rn
+  FROM s3
+) WHERE rn = 1
+"""
+)
+
+
+@register("label_spreading", _LS_SQL)
+def label_spreading(spark, sf_dir):
+    """Label spreading with seed clamping (Zhu-Ghahramani 2002 label
+    propagation, the soft/semi-supervised variant of the gated hard
+    LPA): every 10th node is a seed carrying one of 3 classes at
+    fixed mass 1e6; each round every node receives sum over
+    neighbors of score/degree (integer division — exact at any
+    partitioning), and seeds are clamped back to their pure label.
+    After 3 rounds each node reports its argmax class — entity-type
+    inference for the unlabeled 90% of a KG. Plan shape is the
+    PageRank discipline: per round ONE edge-keyed equi-join + one
+    combinable sum + one anti-join for the clamp; state is (node,
+    class, int) rows, only nonzero classes ever materialize."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    nodes = d.select((F.col("doc_id") % m).alias("i")).distinct()
+    raw = _circulant_edges(spark, sf_dir)
+    und = (
+        raw.where(F.col("s") != F.col("t"))
+        .unionAll(
+            raw.select(F.col("t").alias("s"), F.col("s").alias("t")).where(
+                F.col("s") != F.col("t")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("t").alias("t")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    # deg keyed by t-side for the propagation join below; degree of a
+    # node is the same on either side of the symmetric closure
+    seeds = nodes.where(F.col("i") % 10 == 0).select(
+        F.col("i").alias("node"),
+        ((F.col("i") / 10).cast("bigint") % 3).cast("bigint").alias("cls"),
+    ).localCheckpoint(eager=True)
+    state = seeds.select(
+        "node", "cls", F.lit(1000000).cast("bigint").alias("sc")
+    )
+    for _ in range(3):
+        contrib = (
+            und.join(state.withColumnRenamed("node", "t"), "t")
+            .join(deg, "t")
+            .groupBy(F.col("s").alias("node"), F.col("cls"))
+            .agg(
+                F.sum(F.expr("sc DIV deg")).cast("bigint").alias("sc")
+            )
+        )
+        state = (
+            contrib.join(seeds.select("node"), "node", "left_anti")
+            .unionAll(
+                seeds.select(
+                    "node",
+                    "cls",
+                    F.lit(1000000).cast("bigint").alias("sc"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("node").orderBy(F.col("sc").desc(), "cls")
+    return (
+        state.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "node", F.col("cls").alias("label"), F.col("sc").alias("score")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Information-gain split search (decision-stump / binning MDL primitive)
+# --------------------------------------------------------------------------
+
+_IG_SQL = """
+WITH lab AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM lab),
+b AS (
+  SELECT CASE WHEN mm.hi > mm.lo
+              THEN least(15, CAST(floor((v - mm.lo) * 16 / (mm.hi - mm.lo))
+                                  AS BIGINT))
+              ELSE 0 END AS bin, y
+  FROM lab, mm
+),
+grid AS (
+  SELECT bin, CAST(sum(y) AS BIGINT) AS n1,
+         CAST(count(*) - sum(y) AS BIGINT) AS n0
+  FROM b GROUP BY bin
+),
+split AS (
+  SELECT t.j,
+         CAST(sum(CASE WHEN bin < t.j THEN n1 ELSE 0 END) AS BIGINT) AS l1,
+         CAST(sum(CASE WHEN bin < t.j THEN n0 ELSE 0 END) AS BIGINT) AS l0,
+         CAST(sum(CASE WHEN bin >= t.j THEN n1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN bin >= t.j THEN n0 ELSE 0 END) AS BIGINT) AS r0
+  FROM grid, range(1, 16) t(j) GROUP BY t.j
+),
+ig AS (
+  SELECT j, l1, l0, r1, r0, l1 + l0 + r1 + r0 AS n,
+         (CASE WHEN l1 + r1 = 0 OR l0 + r0 = 0 THEN 0.0 ELSE
+           -(CAST(l1 + r1 AS DOUBLE) / (l1 + l0 + r1 + r0))
+             * ln(CAST(l1 + r1 AS DOUBLE) / (l1 + l0 + r1 + r0))
+           - (CAST(l0 + r0 AS DOUBLE) / (l1 + l0 + r1 + r0))
+             * ln(CAST(l0 + r0 AS DOUBLE) / (l1 + l0 + r1 + r0)) END)
+         - (CASE WHEN l1 = 0 OR l0 = 0 THEN 0.0 ELSE
+             (CAST(l1 + l0 AS DOUBLE) / (l1 + l0 + r1 + r0)) *
+             (-(CAST(l1 AS DOUBLE) / (l1 + l0)) * ln(CAST(l1 AS DOUBLE) / (l1 + l0))
+              - (CAST(l0 AS DOUBLE) / (l1 + l0)) * ln(CAST(l0 AS DOUBLE) / (l1 + l0)))
+            END)
+         - (CASE WHEN r1 = 0 OR r0 = 0 THEN 0.0 ELSE
+             (CAST(r1 + r0 AS DOUBLE) / (l1 + l0 + r1 + r0)) *
+             (-(CAST(r1 AS DOUBLE) / (r1 + r0)) * ln(CAST(r1 AS DOUBLE) / (r1 + r0))
+              - (CAST(r0 AS DOUBLE) / (r1 + r0)) * ln(CAST(r0 AS DOUBLE) / (r1 + r0)))
+            END) AS gain
+  FROM split
+)
+SELECT CAST(ig.j AS INTEGER) AS j,
+       round(mm.lo + ig.j * (mm.hi - mm.lo) / 16, 6) AS threshold_v,
+       CAST(l1 + l0 AS BIGINT) AS n_left, CAST(r1 + r0 AS BIGINT) AS n_right,
+       CAST(floor(gain * 1000000) AS BIGINT) AS ig_micro,
+       CAST(CASE WHEN row_number() OVER (
+            ORDER BY floor(gain * 1000000) DESC, ig.j) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM ig, mm
+"""
+
+
+@register("info_gain_split", _IG_SQL)
+def info_gain_split(spark, sf_dir):
+    """Decision-stump search: the information gain of splitting
+    `value` at each of 15 equi-width thresholds against the
+    is-purchase label — the primitive inside every tree learner,
+    MDL discretizer and feature-importance report. The 100 TB shape
+    is the point: ONE combinable (bin, label) count pass over the
+    corpus collapses everything to a <= 32-row grid; every threshold
+    is then evaluated from that grid (broadcast 15-row threshold
+    range), so candidate count never multiplies corpus rows. Gain is
+    computed from exact integer counts — the doubles are pure
+    functions of those integers, identical IEEE in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    mm = lab.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = lab.crossJoin(F.broadcast(mm)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(15),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    * 16
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+        "y",
+    )
+    grid = b.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n0"),
+    )
+    th = spark.range(1, 16).select(F.col("id").alias("j"))
+    split = (
+        grid.crossJoin(F.broadcast(th))
+        .groupBy("j")
+        .agg(
+            F.sum(F.when(F.col("bin") < F.col("j"), F.col("n1")).otherwise(0))
+            .cast("bigint")
+            .alias("l1"),
+            F.sum(F.when(F.col("bin") < F.col("j"), F.col("n0")).otherwise(0))
+            .cast("bigint")
+            .alias("l0"),
+            F.sum(
+                F.when(F.col("bin") >= F.col("j"), F.col("n1")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(
+                F.when(F.col("bin") >= F.col("j"), F.col("n0")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r0"),
+        )
+    )
+
+    def _h(a, b):
+        tot = a + b
+        pa = a.cast("double") / tot
+        pb = b.cast("double") / tot
+        return F.when((a == 0) | (b == 0), F.lit(0.0)).otherwise(
+            -pa * F.log(pa) - pb * F.log(pb)
+        )
+
+    n = F.col("l1") + F.col("l0") + F.col("r1") + F.col("r0")
+    nl = F.col("l1") + F.col("l0")
+    nr = F.col("r1") + F.col("r0")
+    gain = (
+        _h(F.col("l1") + F.col("r1"), F.col("l0") + F.col("r0"))
+        - (nl.cast("double") / n) * _h(F.col("l1"), F.col("l0"))
+        - (nr.cast("double") / n) * _h(F.col("r1"), F.col("r0"))
+    )
+    ig = split.select(
+        "j",
+        "l1",
+        "l0",
+        "r1",
+        "r0",
+        F.floor(gain * 1000000).cast("bigint").alias("ig_micro"),
+    )
+    w = Window.orderBy(F.col("ig_micro").desc(), "j")
+    return (
+        ig.crossJoin(F.broadcast(mm))
+        .select(
+            F.col("j").cast("integer").alias("j"),
+            F.round(
+                F.col("lo") + F.col("j") * (F.col("hi") - F.col("lo")) / 16,
+                6,
+            ).alias("threshold_v"),
+            (F.col("l1") + F.col("l0")).cast("bigint").alias("n_left"),
+            (F.col("r1") + F.col("r0")).cast("bigint").alias("n_right"),
+            "ig_micro",
+            F.when(F.row_number().over(w) == 1, 1)
+            .otherwise(0)
+            .cast("integer")
+            .alias("is_best"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, rank-free two-phase)
+# --------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              t -> t <> '')) AS BIGINT) AS y
+  FROM documents
+),
+hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY x),
+rx AS (
+  SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS rank2
+  FROM hx
+),
+hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY y),
+ry AS (
+  SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS rank2
+  FROM hy
+),
+j AS (
+  SELECT CAST(rx.rank2 AS DOUBLE) AS rxv, CAST(ry.rank2 AS DOUBLE) AS ryv
+  FROM d JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(greatest(-1.0, least(1.0, corr(rxv, ryv))) * 1000000)
+            AS BIGINT) AS rho_fp
+FROM j
+"""
+
+
+def _rank2_map(df, col):
+    """(value, rank2) for every distinct value of `col`, where rank2 =
+    2 * tie-averaged rank (kept integral so no .5 floats exist).
+    Two-phase cumulative (the mann_whitney_u / equi_depth_binning
+    discipline): 1024 range-bucket totals are collected once as a
+    scalar grid and re-enter as a broadcast literal map, so the only
+    window is bucket-partitioned — no unpartitioned pass over the
+    distinct-value table, whose size at 100 TB is value-domain-, not
+    corpus-, bounded but can still be large."""
+    g = df.groupBy(F.col(col).alias("v")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    lo, hi = g.agg(F.min("v"), F.max("v")).collect()[0]
+    width = max(1, (int(hi) - int(lo) + 1) // 1024)
+    gb = g.select(
+        "v",
+        "cnt",
+        ((F.col("v") - F.lit(int(lo))) / F.lit(width))
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    totals = {
+        r["bkt"]: r["t"]
+        for r in gb.groupBy("bkt").agg(F.sum("cnt").alias("t")).collect()
+    }
+    prefix = {}
+    acc = 0
+    for bkt in sorted(totals):
+        prefix[bkt] = acc
+        acc += totals[bkt]
+    pref_expr = F.coalesce(
+        F.create_map(
+            *[x for bkt in prefix for x in (F.lit(bkt), F.lit(prefix[bkt]))]
+        )[F.col("bkt")],
+        F.lit(0),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return gb.select(
+        "v",
+        (
+            2 * (pref_expr + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)))
+            + F.col("cnt")
+            + 1
+        ).alias("rank2"),
+    )
+
+
+@register("spearman_rho", _SPEARMAN_SQL)
+def spearman_rho(spark, sf_dir):
+    """Tie-corrected Spearman rank correlation between document
+    length in chars and in tokens — the monotone-association
+    statistic to reach for when Pearson is wrecked by outliers
+    (every data-quality dashboard wants it between e.g. doc length
+    and quality score). Ranks are NEVER materialized by a global
+    sort: tie-averaged ranks come off the distinct-value histogram
+    via the two-phase bucketed cumulative (see _rank2_map), rows get
+    their ranks back through two value-keyed equi-joins, and rho is
+    one mergeable corr fold over integral 2x-ranks (no .5 floats to
+    disagree on). corr clamped to [-1,1] before the 1e-6 floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), " "), lambda t: t != ""
+            )
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    rx = _rank2_map(d, "x").withColumnRenamed("rank2", "rx2")
+    ry = _rank2_map(d, "y").withColumnRenamed("rank2", "ry2")
+    j = (
+        d.join(rx.withColumnRenamed("v", "x"), "x")
+        .join(ry.withColumnRenamed("v", "y"), "y")
+        .select(
+            F.col("rx2").cast("double").alias("rxv"),
+            F.col("ry2").cast("double").alias("ryv"),
+        )
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.floor(
+            F.greatest(
+                F.lit(-1.0), F.least(F.lit(1.0), F.corr("rxv", "ryv"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("rho_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) distance between value distributions
+# --------------------------------------------------------------------------
+
+_W1_SQL = """
+WITH v AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT vm, CAST(sum(ia) AS BIGINT) AS na,
+         CAST(count(*) - sum(ia) AS BIGINT) AS nb
+  FROM v GROUP BY vm
+),
+t AS (
+  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM g
+),
+c AS (
+  SELECT vm,
+         sum(na) OVER (ORDER BY vm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(nb) OVER (ORDER BY vm
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         coalesce(lead(vm) OVER (ORDER BY vm), vm) AS nxt
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(abs(ca * t.tb - cb * t.ta) * (nxt - vm)) AS BIGINT) AS s1
+  FROM c, t
+)
+SELECT t.ta AS n_a, t.tb AS n_b,
+       CAST(floor(CAST(s.s1 AS DOUBLE) / (CAST(t.ta AS DOUBLE) * t.tb)
+            * 1000.0) AS BIGINT) AS w1_micro
+FROM s, t
+"""
+
+
+@register("wasserstein_drift", _W1_SQL)
+def wasserstein_drift(spark, sf_dir):
+    """Wasserstein-1 (earth mover's) distance between the click and
+    purchase value distributions — the drift statistic that, unlike
+    the gated KS test, is MAGNITUDE-aware (how far mass moved, not
+    just whether): W1 = integral |CDF_a - CDF_b| dv, computed exactly
+    on the distinct-value histogram as an INTEGER sum
+    sum(|ca*NB - cb*NA| * gap) so no floating accumulation exists
+    until the single final division (bound: (hi-lo)*NA*NB, safe in
+    64 bits up to ~1e9 x 1e9-row samples; past that the scale path
+    divides into double CDFs early and accepts ulp noise). The
+    cumulative runs two-phase like mann_whitney_u: 1024 range-bucket
+    totals and each bucket's min value collect once as a scalar grid
+    (prefix counts + cross-bucket gap), so the only windows are
+    bucket-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ia"),
+    )
+    g = v.groupBy("vm").agg(
+        F.sum("ia").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("ia")).cast("bigint").alias("nb"),
+    )
+    lo, hi, ta, tb = g.agg(
+        F.min("vm"), F.max("vm"), F.sum("na"), F.sum("nb")
+    ).collect()[0]
+    width = max(1, (int(hi) - int(lo) + 1) // 1024)
+    gb = g.select(
+        "vm",
+        "na",
+        "nb",
+        ((F.col("vm") - F.lit(int(lo))) / F.lit(width))
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    stats = {
+        r["bkt"]: (r["sa"], r["sb"], r["mn"])
+        for r in gb.groupBy("bkt")
+        .agg(
+            F.sum("na").alias("sa"),
+            F.sum("nb").alias("sb"),
+            F.min("vm").alias("mn"),
+        )
+        .collect()
+    }
+    order = sorted(stats)
+    pref_a, pref_b, nxt_min = {}, {}, {}
+    acc_a = acc_b = 0
+    for i, bkt in enumerate(order):
+        pref_a[bkt], pref_b[bkt] = acc_a, acc_b
+        acc_a += stats[bkt][0]
+        acc_b += stats[bkt][1]
+        nxt_min[bkt] = (
+            stats[order[i + 1]][2] if i + 1 < len(order) else None
+        )
+
+    def _mapcol(d, default=None):
+        pairs = [
+            x
+            for k, val in d.items()
+            if val is not None
+            for x in (F.lit(k), F.lit(val))
+        ]
+        m = F.create_map(*pairs)[F.col("bkt")] if pairs else F.lit(None)
+        return m
+
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lead_in = F.lead("vm").over(Window.partitionBy("bkt").orderBy("vm"))
+    c = gb.select(
+        "vm",
+        (
+            F.coalesce(_mapcol(pref_a), F.lit(0)) + F.sum("na").over(w_in)
+        ).alias("ca"),
+        (
+            F.coalesce(_mapcol(pref_b), F.lit(0)) + F.sum("nb").over(w_in)
+        ).alias("cb"),
+        F.coalesce(lead_in, _mapcol(nxt_min), F.col("vm")).alias("nxt"),
+    )
+    s1 = c.agg(
+        F.sum(
+            F.abs(F.col("ca") * F.lit(int(tb)) - F.col("cb") * F.lit(int(ta)))
+            * (F.col("nxt") - F.col("vm"))
+        )
+        .cast("bigint")
+        .alias("s1")
+    )
+    return s1.select(
+        F.lit(int(ta)).cast("bigint").alias("n_a"),
+        F.lit(int(tb)).cast("bigint").alias("n_b"),
+        F.floor(
+            F.col("s1").cast("double")
+            / (F.lit(float(int(ta))) * F.lit(int(tb)))
+            * 1000.0
+        )
+        .cast("bigint")
+        .alias("w1_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / fabrication screen)
+# --------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH pos AS (
+  SELECT event_type, value AS v FROM events WHERE value > 0
+),
+d AS (
+  SELECT event_type,
+         CAST(floor(v / pow(10.0, floor(log10(v)))) AS BIGINT) AS digit
+  FROM pos
+),
+o AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS obs
+  FROM d GROUP BY event_type, digit
+),
+n AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n FROM o GROUP BY event_type),
+terms AS (
+  SELECT o.event_type, n.n,
+         CAST(floor((CAST(o.obs AS DOUBLE) / n.n - log10(1.0 + 1.0 / o.digit))
+              * (CAST(o.obs AS DOUBLE) / n.n - log10(1.0 + 1.0 / o.digit))
+              / log10(1.0 + 1.0 / o.digit) * 1000000000) AS BIGINT)
+             AS chi_nano,
+         CAST(floor(abs(CAST(o.obs AS DOUBLE) / n.n
+                        - log10(1.0 + 1.0 / o.digit)) * 1000000) AS BIGINT)
+             AS dev_micro
+  FROM o JOIN n USING (event_type)
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(chi_nano) AS BIGINT) AS benford_chi_nano,
+       CAST(max(dev_micro) AS BIGINT) AS max_dev_micro
+FROM terms GROUP BY event_type
+"""
+
+
+@register("benford_audit", _BENFORD_SQL)
+def benford_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit per event type:
+    observed digit frequencies vs log10(1 + 1/d), summarized as a
+    chi-square-style distance and the max per-digit deviation — the
+    classic fabricated/truncated-data screen for any numeric column
+    (organic multi-scale magnitudes follow Benford; capped, binned or
+    invented ones don't). One combinable (type, digit) count collapses
+    the corpus to a <= 9-row grid per type; the distance terms are
+    floored to integer nano-units BEFORE summing so no cross-engine
+    float accumulation exists; digit extraction is pure per-row
+    codegen arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.where(F.col("value") > 0).select(
+        "event_type", F.col("value").alias("v")
+    )
+    d = pos.select(
+        "event_type",
+        F.floor(
+            F.col("v") / F.pow(F.lit(10.0), F.floor(F.log10("v")))
+        )
+        .cast("bigint")
+        .alias("digit"),
+    )
+    o = d.groupBy("event_type", "digit").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    n = o.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("n")
+    )
+    e = F.log10(1.0 + 1.0 / F.col("digit"))
+    p = F.col("obs").cast("double") / F.col("n")
+    terms = o.join(n, "event_type").select(
+        "event_type",
+        "n",
+        F.floor((p - e) * (p - e) / e * 1000000000)
+        .cast("bigint")
+        .alias("chi_nano"),
+        F.floor(F.abs(p - e) * 1000000).cast("bigint").alias("dev_micro"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("chi_nano").cast("bigint").alias("benford_chi_nano"),
+        F.max("dev_micro").cast("bigint").alias("max_dev_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap via mergeable register-min sketches
+# --------------------------------------------------------------------------
+
+_OVERLAP_FOLD = """CASE WHEN (65536.0 / (sum(umin) + (256 - count(*)))
+                        - 256.0) < 640.0 AND (256 - count(*)) > 0
+                   THEN 256.0 * ln(256.0 / (256 - count(*)))
+                   ELSE 65536.0 / (sum(umin) + (256 - count(*))) - 256.0
+              END"""
+
+_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || md5(CAST(user_id AS VARCHAR))[1:2]) AS INTEGER)
+             % 256 AS j,
+         (CAST(('0x' || md5(CAST(user_id AS VARCHAR))[3:17]) AS BIGINT)
+             + 1.0) / 1152921504606846976.0 AS u
+  FROM events
+),
+pr AS MATERIALIZED (
+  SELECT event_type, j, min(u) AS umin FROM h GROUP BY event_type, j
+),
+singles AS (
+  SELECT event_type, round({_OVERLAP_FOLD}, 3) AS est
+  FROM pr GROUP BY event_type
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairsx AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+mp AS (
+  SELECT p.ta, p.tb, r.j, min(r.umin) AS umin
+  FROM pairsx p JOIN pr r ON r.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, r.j
+),
+uni AS (
+  SELECT ta, tb, round({_OVERLAP_FOLD}, 3) AS est_union
+  FROM mp GROUP BY ta, tb
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+truth AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS true_common
+  FROM du a JOIN du b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT u.ta, u.tb, sa.est AS est_a, sb.est AS est_b, u.est_union,
+       round(sa.est + sb.est - u.est_union, 3) AS est_common,
+       coalesce(t.true_common, 0) AS true_common
+FROM uni u
+JOIN singles sa ON sa.event_type = u.ta
+JOIN singles sb ON sb.event_type = u.tb
+LEFT JOIN truth t ON t.ta = u.ta AND t.tb = u.tb
+"""
+
+
+@register("sketch_overlap_audience", _OVERLAP_SQL)
+def sketch_overlap_audience(spark, sf_dir):
+    """Audience-overlap estimation between every event-type pair via
+    MERGED register-min sketches: |A n B| ~= est(A) + est(B) -
+    est(A u B), where the union sketch is the ELEMENTWISE MIN of the
+    two register vectors — zero extra passes over the corpus, which
+    is the whole point at 100 TB: sketch each segment once (one
+    combinable groupBy, 256 doubles of state), then answer ALL
+    O(k^2) pairwise overlap questions from the m-register vectors
+    alone. The exact truth rides along as the gate's evidence column
+    (a 100 TB run would skip it — it's the quadratic self-join the
+    sketch exists to avoid). Content-addressed md5 draws make the
+    estimate identical in both engines; estimator error is
+    pytest-bounded. Calibrated regime: unions below ~2.5m distinct
+    values (the linear-counting window) — the raw MinCount inverse is
+    Jensen-biased low past ~m (see operators/sketches.fold_registers),
+    so size m to the largest segment, not the corpus."""
+    from gfftoneo4j_spark.operators.sketches import (
+        fold_registers,
+        register_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pr = register_partials(ev, ["event_type"], "user_id").localCheckpoint(
+        eager=True
+    )
+    singles = fold_registers(pr, ["event_type"]).select(
+        "event_type", F.col("distinct_est").alias("est")
+    )
+    types = ev.select("event_type").distinct()
+    pairsx = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    mp = (
+        F.broadcast(pairsx)
+        .join(
+            pr,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "j")
+        .agg(F.min("umin").alias("umin"))
+    )
+    uni = fold_registers(mp, ["ta", "tb"]).select(
+        "ta", "tb", F.col("distinct_est").alias("est_union")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    truth = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("true_common"))
+    )
+    return (
+        uni.join(
+            singles.select(
+                F.col("event_type").alias("ta"), F.col("est").alias("est_a")
+            ),
+            "ta",
+        )
+        .join(
+            singles.select(
+                F.col("event_type").alias("tb"), F.col("est").alias("est_b")
+            ),
+            "tb",
+        )
+        .join(truth, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 3
+            ).alias("est_common"),
+            F.coalesce(F.col("true_common"), F.lit(0))
+            .cast("bigint")
+            .alias("true_common"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Apriori level-3: frequent triples with candidate pruning
+# --------------------------------------------------------------------------
+
+_APRIORI3_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+ranked AS (
+  SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp
+),
+capped AS MATERIALIZED (SELECT o, p FROM ranked WHERE rn <= 5),
+bp AS MATERIALIZED (
+  -- two chained 2-way joins, each carrying its own o equi-key: a
+  -- single 3-way FROM lets the optimizer pair the two capped copies
+  -- on the p-inequality alone (a |capped|^2/2 piecewise merge join)
+  -- before touching o
+  SELECT a.o, a.p AS p1, b.p AS p2
+  FROM capped a JOIN capped b ON b.o = a.o AND b.p > a.p
+),
+tri AS (
+  SELECT bp.p1, bp.p2, c.p AS p3, CAST(count(*) AS BIGINT) AS w
+  FROM bp JOIN capped c ON c.o = bp.o AND c.p > bp.p2
+  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+)
+SELECT p1, p2, p3, w FROM tri
+"""
+
+
+@register("apriori_triples", _APRIORI3_SQL)
+def apriori_triples(spark, sf_dir):
+    """Frequent 3-itemsets (support >= 2) over the same capped basket
+    universe as association_rules — the Apriori level after the gated
+    2-itemset round. The Spark plan demonstrates the thing Apriori is
+    FOR: downward closure. Candidate triples are generated from the
+    frequent-PAIR table alone (self-join on the shared first item +
+    one semi-join checking the third sub-pair), then the basket pass
+    counts ONLY candidate triples via a broadcast semi-join BEFORE
+    the groupBy — at real scale the candidate set is orders of
+    magnitude smaller than the raw C(cap,3)-per-basket triple stream
+    it filters. Result is provably identical to unpruned counting
+    (every frequent triple's sub-pairs are frequent), which is what
+    the oracle computes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    w = Window.partitionBy("o").orderBy("p")
+    capped = (
+        lp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("b.o") == F.col("a.o")) & (F.col("b.p") > F.col("a.p")),
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    cand = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), F.col("y.p1") == F.col("x.p1"))
+        .where(F.col("y.p2") > F.col("x.p2"))
+        .select(
+            F.col("x.p1").alias("p1"),
+            F.col("x.p2").alias("p2"),
+            F.col("y.p2").alias("p3"),
+        )
+        .join(
+            pairs.select(
+                F.col("p1").alias("p2"), F.col("p2").alias("p3")
+            ),
+            ["p2", "p3"],
+            "left_semi",
+        )
+        .select("p1", "p2", "p3")
+    )
+    tri_stream = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("b.o") == F.col("a.o")) & (F.col("b.p") > F.col("a.p")),
+        )
+        .join(
+            capped.alias("c"),
+            (F.col("c.o") == F.col("a.o")) & (F.col("c.p") > F.col("b.p")),
+        )
+        .select(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("c.p").alias("p3"),
+        )
+    )
+    return (
+        tri_stream.join(F.broadcast(cand), ["p1", "p2", "p3"], "left_semi")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .where(F.col("w") >= 2)
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
