@@ -297,6 +297,12 @@ BENCH_QUERIES = [
     "benford_audit",
     "sketch_overlap_audience",
     "apriori_triples",
+    "mutual_information",
+    "target_encoding_loo",
+    "psi_stability",
+    "good_turing_smoothing",
+    "yule_k",
+    "readability_scores",
 ]
 
 

@@ -14677,6 +14677,450 @@ def apriori_triples(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Mutual information between event type and day-of-month phase
+# --------------------------------------------------------------------------
+
+_MI_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(day(ts) % 7 AS INTEGER) AS ybin,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
+       FROM cells GROUP BY 1),
+my AS (SELECT ybin, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+SELECT c.event_type, c.ybin, c.n_xy,
+       CAST(floor(1000000.0 * ln(
+            (CAST(c.n_xy AS DOUBLE) * n) / (CAST(n_x AS DOUBLE) * n_y)))
+            AS BIGINT) AS pmi_micro,
+       CAST(floor(1000000.0 * (CAST(c.n_xy AS DOUBLE) / n) * ln(
+            (CAST(c.n_xy AS DOUBLE) * n) / (CAST(n_x AS DOUBLE) * n_y)))
+            AS BIGINT) AS mi_part_micro
+FROM cells c JOIN mx USING (event_type) JOIN my USING (ybin), tot
+"""
+
+
+@register("mutual_information", _MI_SQL)
+def mutual_information(spark, sf_dir):
+    """Mutual information I(X;Y) between event type and a calendar
+    phase (day-of-month mod 7) — the feature-selection primitive for
+    categorical pairs (chi-squared's information-theoretic sibling;
+    the repo already gates chi_squared_independence). Corpus work is
+    ONE combinable groupBy to the |types|x7 contingency table; the
+    marginals and total are tiny broadcast frames joined back onto the
+    grid, so at 100 TB the whole statistic rides one map-side-combined
+    exchange. Per-cell pointwise MI and the cell's contribution to
+    I(X;Y) are emitted micro-scaled (floor of 1e6x, the registry's
+    fixed-point gate discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (F.dayofmonth("ts") % 7).cast("integer").alias("ybin"),
+        )
+        .groupBy("event_type", "ybin")
+        .agg(F.count("*").cast("bigint").alias("n_xy"))
+    )
+    mx = cells.groupBy("event_type").agg(
+        F.sum("n_xy").cast("bigint").alias("n_x")
+    )
+    my = cells.groupBy("ybin").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    ratio = (F.col("n_xy").cast("double") * F.col("n")) / (
+        F.col("n_x").cast("double") * F.col("n_y")
+    )
+    return (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "ybin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "ybin",
+            "n_xy",
+            F.floor(1000000.0 * F.log(ratio)).cast("bigint").alias(
+                "pmi_micro"
+            ),
+            F.floor(
+                1000000.0
+                * (F.col("n_xy").cast("double") / F.col("n"))
+                * F.log(ratio)
+            )
+            .cast("bigint")
+            .alias("mi_part_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (ML feature engineering)
+# --------------------------------------------------------------------------
+
+_TE_LOO_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+  FROM events GROUP BY 1
+),
+enc AS (
+  SELECT e.event_type, (g.sv - e.value) / (g.n - 1) AS loo
+  FROM events e JOIN g ON g.event_type = e.event_type WHERE g.n >= 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(1000000.0 * avg(loo)) AS BIGINT) AS avg_loo_micro,
+       CAST(floor(1000000.0 * stddev_samp(loo)) AS BIGINT) AS sd_loo_micro
+FROM enc GROUP BY event_type
+"""
+
+
+@register("target_encoding_loo", _TE_LOO_SQL)
+def target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the standard leak-free way to
+    turn a categorical into a numeric feature: each row's encoding is
+    the mean target of its category EXCLUDING the row itself,
+    (sum_g - value) / (n_g - 1). One combinable groupBy builds the
+    per-category (n, sum) stats; the stats frame is |categories| rows,
+    broadcast back onto the fact rows, so the encode is a map-only
+    stage at any corpus size (no second shuffle). The gate aggregates
+    the encoded column per category (mean/sd, micro-scaled) so the
+    result stays bounded while still pinning every row's encoding
+    through the sum."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("value").alias("sv"),
+    )
+    enc = (
+        ev.join(F.broadcast(g), "event_type")
+        .where(F.col("n_g") >= 2)
+        .select(
+            "event_type",
+            ((F.col("sv") - F.col("value")) / (F.col("n_g") - 1)).alias(
+                "loo"
+            ),
+        )
+    )
+    return enc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.floor(1000000.0 * F.avg("loo")).cast("bigint").alias(
+            "avg_loo_micro"
+        ),
+        F.floor(1000000.0 * F.stddev_samp("loo")).cast("bigint").alias(
+            "sd_loo_micro"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Population stability index between odd/even-day cohorts
+# --------------------------------------------------------------------------
+
+_PSI_SQL = """
+WITH t AS (
+  SELECT CAST(day(ts) % 2 AS INTEGER) AS grp, value FROM events
+),
+mx AS (SELECT max(value) AS vmax FROM t),
+b AS (
+  SELECT grp,
+         LEAST(CAST(floor(value * 10.0 / (vmax * 1.0000001)) AS INTEGER), 9)
+             AS bin
+  FROM t, mx
+),
+c AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM b GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+               CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+SELECT bin, n_a, n_b,
+       CAST(floor(1000000.0 * (
+            ((n_a + 1.0) / (ta + 10.0)) - ((n_b + 1.0) / (tb + 10.0))
+            ) * ln(((n_a + 1.0) / (ta + 10.0))
+                   / ((n_b + 1.0) / (tb + 10.0))))
+            AS BIGINT) AS psi_part_micro
+FROM c, tot
+"""
+
+
+@register("psi_stability", _PSI_SQL)
+def psi_stability(spark, sf_dir):
+    """Population Stability Index between the odd-day and even-day
+    value cohorts — the credit-scoring / model-monitoring standard
+    that the drift family (KS, Wasserstein-1, char-trigram KL) was
+    missing: a BINNED symmetric-KL with additive smoothing, the number
+    every model-risk dashboard reports. Ten equal-width bins over
+    [0, max] (the max is a single-row broadcast scalar, the
+    CC-checksum discipline); per-bin counts are one combinable
+    pivot-style groupBy, so the whole statistic is one exchange over
+    10 grid rows regardless of corpus size. Laplace (+1 / +10)
+    smoothing keeps ln finite on empty bins; contributions are
+    micro-floored."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        (F.dayofmonth("ts") % 2).cast("integer").alias("grp"), "value"
+    )
+    mx = t.agg(F.max("value").alias("vmax"))
+    b = t.crossJoin(F.broadcast(mx)).select(
+        "grp",
+        F.least(
+            F.floor(
+                F.col("value") * 10.0 / (F.col("vmax") * 1.0000001)
+            ).cast("integer"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    pa = (F.col("n_a") + 1.0) / (F.col("ta") + 10.0)
+    pb = (F.col("n_b") + 1.0) / (F.col("tb") + 10.0)
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.floor(1000000.0 * (pa - pb) * F.log(pa / pb))
+        .cast("bigint")
+        .alias("psi_part_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Simple Good-Turing smoothing over within-doc bigram repeat counts
+# --------------------------------------------------------------------------
+
+_GT_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+big AS (
+  SELECT doc_id, w[p] || ' ' || w[p + 1] AS bg
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+        FROM toks)
+),
+tc AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS r FROM big GROUP BY 1, 2
+),
+nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY r),
+led AS (
+  SELECT r, n_r,
+         lead(n_r) OVER (ORDER BY r) AS next_nr,
+         lead(r) OVER (ORDER BY r) AS next_r
+  FROM nr
+)
+SELECT r, n_r,
+       CAST(floor(1000000.0 * (r + 1) * next_nr / n_r) AS BIGINT)
+           AS r_star_micro
+FROM led WHERE next_r = r + 1
+"""
+
+
+@register("good_turing_smoothing", _GT_SQL)
+def good_turing_smoothing(spark, sf_dir):
+    """Simple Good-Turing smoothing (Gale & Sampson 1995) over the
+    within-document bigram repeat distribution: count-of-counts N_r
+    and the GT-adjusted count r* = (r+1) N_{r+1} / N_r, the classical
+    LM-smoothing companion to the gated Kneser-Ney and stupid-backoff
+    scorers. Within-doc repeat counts stay small (1..~6) so the
+    count-of-counts grid is genuinely sparse — the regime GT was built
+    for. Corpus work is two combinable groupBys (per-(doc,bigram)
+    count, then count-of-counts); the lead() window runs over the N_r
+    grid, whose size is bounded by the max within-doc repeat count
+    (single digits), never corpus rows. Rows where r+1 is unobserved
+    are omitted (r* undefined in simple GT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), " ")
+    big = (
+        docs.where(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(text), ' ')) - 1),"
+                    " p -> concat_ws(' ',"
+                    " element_at(split(trim(text), ' '), p),"
+                    " element_at(split(trim(text), ' '), p + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    tc = big.groupBy("doc_id", "bg").agg(
+        F.count("*").cast("bigint").alias("r")
+    )
+    nr = tc.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    wnd = Window.orderBy("r")
+    led = nr.select(
+        "r",
+        "n_r",
+        F.lead("n_r").over(wnd).alias("next_nr"),
+        F.lead("r").over(wnd).alias("next_r"),
+    )
+    return led.where(F.col("next_r") == F.col("r") + 1).select(
+        "r",
+        "n_r",
+        F.floor(1000000.0 * (F.col("r") + 1) * F.col("next_nr") / F.col("n_r"))
+        .cast("bigint")
+        .alias("r_star_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Yule's characteristic K (lexical concentration) per language
+# --------------------------------------------------------------------------
+
+_YULE_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY 1, 2),
+st AS (
+  SELECT lang, CAST(sum(r) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(r * r) AS BIGINT) AS sum_r2
+  FROM tc GROUP BY lang
+)
+SELECT lang, n_tokens, vocab,
+       CAST(floor(10000000000.0 * (sum_r2 - n_tokens)
+            / (CAST(n_tokens AS DOUBLE) * n_tokens)) AS BIGINT) AS k_micro
+FROM st WHERE n_tokens > 0
+"""
+
+
+@register("yule_k", _YULE_SQL)
+def yule_k(spark, sf_dir):
+    """Yule's characteristic K per language — the repeat-rate lexical
+    concentration statistic, 10^4 * (sum_r r^2 N_r - N) / N^2,
+    complementing the gated MSTTR (which measures type diversity) with
+    a length-invariant repeat measure. Two combinable groupBys (term
+    counts, then per-lang moments); every aggregate is an exact BIGINT
+    sum, so the final double division is bit-identical across engines
+    with no float-accumulation exposure — the strongest gate class.
+    K is emitted micro-scaled (1e10 = 1e4 scale x 1e6 fixed-point)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    )
+    tc = tok.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("r"))
+    st = tc.groupBy("lang").agg(
+        F.sum("r").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sum_r2"),
+    )
+    return st.where(F.col("n_tokens") > 0).select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.floor(
+            10000000000.0
+            * (F.col("sum_r2") - F.col("n_tokens"))
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        )
+        .cast("bigint")
+        .alias("k_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level readability (Flesch / Flesch-Kincaid) per language
+# --------------------------------------------------------------------------
+
+_READ_SQL = """
+WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syll,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sent
+  FROM documents
+),
+st AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS tot_words,
+         CAST(sum(n_syll) AS BIGINT) AS tot_syll,
+         CAST(sum(n_sent) AS BIGINT) AS tot_sent
+  FROM d GROUP BY lang
+)
+SELECT lang, n_docs, tot_words, tot_syll, tot_sent,
+       CAST(floor(1000000.0 * (206.835
+            - 1.015 * (CAST(tot_words AS DOUBLE) / tot_sent)
+            - 84.6 * (CAST(tot_syll AS DOUBLE) / tot_words)))
+            AS BIGINT) AS fre_micro,
+       CAST(floor(1000000.0 * (0.39
+            * (CAST(tot_words AS DOUBLE) / tot_sent)
+            + 11.8 * (CAST(tot_syll AS DOUBLE) / tot_words) - 15.59))
+            AS BIGINT) AS fk_grade_micro
+FROM st WHERE tot_words > 0
+"""
+
+
+@register("readability_scores", _READ_SQL)
+def readability_scores(spark, sf_dir):
+    """Corpus-level Flesch Reading Ease and Flesch-Kincaid grade per
+    language — the quality-scoring family's readability member, used
+    by every pretraining-data curation pipeline as a cheap fluency
+    band filter. Syllables are approximated as vowel-group runs
+    (regexp_count of [aeiouy]+, the standard heuristic) and sentences
+    as terminal-punctuation runs with a floor of 1 (the synthetic
+    corpus is unpunctuated word soup; real corpora get true sentence
+    counts from the same expression). Everything is per-row regexp in
+    WholeStageCodegen followed by ONE combinable groupBy of exact
+    BIGINT sums — the readability formulas then run on exact integers,
+    so the doubles are bit-identical across engines. Macro (corpus-
+    level) averaging: the formula is applied to the per-lang token /
+    syllable / sentence TOTALS, not averaged per-doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(
+            F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')")
+        .cast("bigint")
+        .alias("n_syll"),
+        F.greatest(
+            F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sent"),
+    )
+    st = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("tot_words"),
+        F.sum("n_syll").cast("bigint").alias("tot_syll"),
+        F.sum("n_sent").cast("bigint").alias("tot_sent"),
+    )
+    wps = F.col("tot_words").cast("double") / F.col("tot_sent")
+    spw = F.col("tot_syll").cast("double") / F.col("tot_words")
+    return st.where(F.col("tot_words") > 0).select(
+        "lang",
+        "n_docs",
+        "tot_words",
+        "tot_syll",
+        "tot_sent",
+        F.floor(1000000.0 * (206.835 - 1.015 * wps - 84.6 * spw))
+        .cast("bigint")
+        .alias("fre_micro"),
+        F.floor(1000000.0 * (0.39 * wps + 11.8 * spw - 15.59))
+        .cast("bigint")
+        .alias("fk_grade_micro"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
