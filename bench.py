@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "compaction_plan",
     "stats_pruning_audit",
     "graph_truss_peel",
+    "graph_four_cliques",
     "edit_distance_pairs",
     "l_diversity_audit",
     "rrf_fusion",

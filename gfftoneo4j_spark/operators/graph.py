@@ -46,13 +46,16 @@ def _mat(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
     return out
 
 
-def _enumerate_triangles(und: DataFrame) -> DataFrame:
-    """Triangle enumeration over a canonical undirected edge set
-    (a, b) with a < b, deduped: degree-orientation (compact-forward)
-    so wedge fan-out is bounded by ~sqrt(2m) per node regardless of
-    hub skew. Each triangle is produced exactly once as (x, y, z)
-    with pi(x) < pi(y) < pi(z) under pi = (degree, id). Shared by
-    triangle_counts, clustering coefficients and truss_peel."""
+def _orient_edges(und: DataFrame) -> DataFrame:
+    """Degree-orientation (compact-forward) of a canonical undirected
+    edge set (a, b) with a < b, deduped: orient every edge from the
+    endpoint with the SMALLER pi = (degree, id) to the larger, so
+    out-degree is bounded by ~sqrt(2m) regardless of hub skew.
+    Returns (x, y, dy) eagerly checkpointed — multiple consumers read
+    it (wedge sides, closing probes, clique extensions); without the
+    snapshot each re-derives the dedup + degree joins (plan audit on
+    the gated triangle query: 30 exchanges without the snapshot, 3 in
+    the post-snapshot plan that actually runs per consumer)."""
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -66,17 +69,18 @@ def _enumerate_triangles(und: DataFrame) -> DataFrame:
     lo_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # three consumers read the oriented edge set (both wedge sides +
-    # the closing probe); without a snapshot each re-derives the
-    # dedup + degree joins — the same fan-out recompute the KG graph
-    # queries eliminate with an eager checkpoint (plan audit on the
-    # gated query: 30 exchanges without the snapshot, 3 in the
-    # post-snapshot plan that actually runs per consumer)
-    oriented = keyed.select(
+    return keyed.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dy"),
     ).localCheckpoint(eager=True)
+
+
+def _triangles_from_oriented(oriented: DataFrame) -> DataFrame:
+    """Oriented triangles (x, y, z) with pi(x) < pi(y) < pi(z) from a
+    degree-oriented edge set: wedge self-join at the oriented source
+    (bounded by sqrt(2m) out-degree) closed by a probe against the
+    oriented edges. Each triangle is produced exactly once."""
     e1 = oriented.select(F.col("x"), F.col("y"), F.col("dy"))
     e2 = oriented.select(
         F.col("x"), F.col("y").alias("z"), F.col("dy").alias("dz")
@@ -89,6 +93,66 @@ def _enumerate_triangles(und: DataFrame) -> DataFrame:
         F.col("x").alias("y"), F.col("y").alias("z")
     )
     return wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+
+
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """Triangle enumeration over a canonical undirected edge set
+    (a, b) with a < b, deduped: degree-orientation (compact-forward)
+    so wedge fan-out is bounded by ~sqrt(2m) per node regardless of
+    hub skew. Each triangle is produced exactly once as (x, y, z)
+    with pi(x) < pi(y) < pi(z) under pi = (degree, id). Shared by
+    triangle_counts, clustering coefficients and truss_peel."""
+    return _triangles_from_oriented(_orient_edges(und))
+
+
+def four_clique_counts(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node 4-clique participation counts — the compact-forward
+    triangle algorithm extended one level (Chiba-Nishizeki k-clique
+    listing, relational form): enumerate oriented triangles
+    (x, y, z) with pi(x) < pi(y) < pi(z), then extend each by the
+    out-neighbors w of x (at most ~sqrt(2m) candidates under the
+    orientation) and keep w that y and z also point to. Every
+    4-clique {a, b, c, d} with pi(a) < pi(b) < pi(c) < pi(d) is
+    produced exactly once — as its bottom triangle (a, b, c)
+    extended by its top vertex d (any other triangle of the clique
+    would need an edge INTO a lower-pi vertex, absent by
+    construction).
+
+    Scale shape: work is |triangles| x sqrt(2m) candidate rows, the
+    Chiba-Nishizeki arboricity bound — no d^2 hub blowup; the three
+    extension joins are equi-joins on (vertex, w) against the
+    checkpointed oriented edge snapshot, and the final per-node count
+    is one combinable groupBy.
+
+    Returns (node string, n_cliques4 long), nodes in >= 1 4-clique.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    oriented = _orient_edges(und)
+    tris = _triangles_from_oriented(oriented)
+    ext_x = oriented.select(F.col("x"), F.col("y").alias("w"))
+    ext_y = oriented.select(F.col("x").alias("y"), F.col("y").alias("w"))
+    ext_z = oriented.select(F.col("x").alias("z"), F.col("y").alias("w"))
+    quads = (
+        tris.join(ext_x, "x")
+        .join(ext_y, ["y", "w"])
+        .join(ext_z, ["z", "w"])
+    )
+    corners = quads.select(
+        F.explode(
+            F.array(F.col("x"), F.col("y"), F.col("z"), F.col("w"))
+        ).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_cliques4")
+    )
 
 
 def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:

@@ -10256,6 +10256,98 @@ def graph_truss_peel(spark, sf_dir):
     return truss_peel(raw, k=4, rounds=2, src="s", dst="t")
 
 
+_CLIQUE4_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i + 2) % m FROM base
+  UNION ALL SELECT i, (i + 3) % m FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+),
+deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+keyed AS (
+  SELECT u.a, u.b, x.d AS da, y.d AS db
+  FROM und u JOIN deg x ON x.n = u.a JOIN deg y ON y.n = u.b
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS x,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS y,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dy
+  FROM keyed
+),
+w AS (
+  SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.x = e2.x
+  WHERE e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y)
+),
+t AS MATERIALIZED (
+  SELECT w.x, w.y, w.z FROM w JOIN o c ON c.x = w.y AND c.y = w.z
+),
+q AS (
+  SELECT t.x, t.y, t.z, ex.y AS w
+  FROM t
+  JOIN o ex ON ex.x = t.x
+  JOIN o ey ON ey.x = t.y AND ey.y = ex.y
+  JOIN o ez ON ez.x = t.z AND ez.y = ex.y
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_cliques4 FROM (
+  SELECT x AS node FROM q
+  UNION ALL SELECT y FROM q
+  UNION ALL SELECT z FROM q
+  UNION ALL SELECT w FROM q
+) GROUP BY node
+"""
+
+
+@register("graph_four_cliques", _CLIQUE4_SQL)
+def graph_four_cliques(spark, sf_dir):
+    """Per-node 4-clique participation counts — Chiba-Nishizeki
+    k-clique listing in relational form (operators/graph.
+    four_clique_counts): each degree-oriented triangle (x, y, z) is
+    extended by the out-neighbors w of x that y and z also point to,
+    so every 4-clique is listed exactly once as its bottom triangle
+    plus its top-pi vertex. Candidate fan-out per triangle is
+    bounded by the ~sqrt(2m) orientation out-degree (the arboricity
+    bound), never a hub's raw degree, and all three extension joins
+    are equi-joins against one checkpointed oriented-edge snapshot.
+    Input: the triangle-rich additive circulant (i -> i+1, i+2, i+3
+    mod N, + the 2i generator), whose consecutive-run structure
+    {i..i+3} makes genuine 4-cliques both engines rebuild
+    bit-identically. Dense overlapping cliques are the strongest
+    duplicate-community signal an ER pipeline mines at 100 TB."""
+    from gfftoneo4j_spark.operators.graph import four_clique_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % m).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 2) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 3) % m).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % m).alias("t")
+            )
+        )
+    )
+    return four_clique_counts(raw, src="s", dst="t")
+
+
 # --------------------------------------------------------------------------
 # Blocked edit-distance near-dup pairs (levenshtein within prefix blocks)
 # --------------------------------------------------------------------------

@@ -3,7 +3,7 @@ and l_diversity_audit recomputation."""
 
 from pyspark.sql import functions as F
 
-from gfftoneo4j_spark.operators.graph import truss_peel
+from gfftoneo4j_spark.operators.graph import four_clique_counts, truss_peel
 from gfftoneo4j_spark.queries import QUERIES
 from gfftoneo4j_spark.sources.transcripts import load_table
 
@@ -38,6 +38,35 @@ def test_truss_k3_is_triangle_closure(spark):
     e = [(0, 1), (0, 2), (1, 2), (2, 3)]
     got = truss_peel(_edges(spark, e), k=3, rounds=2).collect()
     assert {(r["u"], r["v"]) for r in got} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_four_cliques_k5(spark):
+    # K5: C(5,4) = 5 distinct 4-cliques; every node sits in
+    # C(4,3) = 4 of them.
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = four_clique_counts(_edges(spark, k5)).collect()
+    assert {r["node"]: r["n_cliques4"] for r in got} == {
+        n: 4 for n in range(5)
+    }
+
+
+def test_four_cliques_shared_triangle_and_pendant(spark):
+    # Two K4s {0,1,2,3} and {1,2,3,4} glued on triangle {1,2,3}
+    # (no 0-4 edge), plus pendant 4-5. Exactly two 4-cliques; the
+    # glue nodes are in both, the tips in one, the pendant in none.
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = sorted(set(k4a + k4b)) + [(4, 5)]
+    got = four_clique_counts(_edges(spark, e)).collect()
+    assert {r["node"]: r["n_cliques4"] for r in got} == {
+        0: 1, 1: 2, 2: 2, 3: 2, 4: 1,
+    }
+
+
+def test_four_cliques_none_in_triangle_only_graph(spark):
+    # A triangle plus a chord-free cycle has triangles but no K4.
+    e = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 0)]
+    assert four_clique_counts(_edges(spark, e)).collect() == []
 
 
 def test_edit_distance_blocking_and_threshold(spark, sf_dir):
