@@ -304,6 +304,12 @@ BENCH_QUERIES = [
     "good_turing_smoothing",
     "yule_k",
     "readability_scores",
+    "event_transition_entropy",
+    "kaplan_meier_churn",
+    "ndcg_at_k",
+    "cohens_kappa",
+    "anova_oneway_f",
+    "kruskal_wallis",
 ]
 
 

@@ -15213,6 +15213,575 @@ def readability_scores(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Markov transition entropy over per-user event sequences
+# --------------------------------------------------------------------------
+
+_TRANS_ENTROPY_SQL = """
+WITH lagd AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pair AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM lagd WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type,
+       CAST(sum(n) AS BIGINT) AS n_out,
+       CAST(count(*) AS BIGINT) AS n_next,
+       round(log2(CAST(sum(n) AS DOUBLE))
+             - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6) AS h_bits
+FROM pair GROUP BY prev_type
+"""
+
+
+@register("event_transition_entropy", _TRANS_ENTROPY_SQL)
+def event_transition_entropy(spark, sf_dir):
+    """Conditional next-event entropy H(next | prev) per source state
+    of the per-user event-type Markov chain — the predictability
+    profile behind session modeling and next-action pretraining
+    objectives (a state with low conditional entropy is boilerplate; a
+    high one carries signal). One user-keyed lag window, a combinable
+    pair count, then H = log2(n_out) - sum(n log2 n)/n_out evaluated
+    on exact bigint counts — the identity avoids materializing
+    probabilities, so the per-source fold stays associative. The final
+    groupBy is bounded by the event-type alphabet squared, not the
+    corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pair.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next"),
+        F.round(
+            F.log2(F.sum("n").cast("double"))
+            - F.sum(F.col("n") * F.log2(F.col("n").cast("double")))
+            / F.sum("n"),
+            6,
+        ).alias("h_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user lifetimes (churn analysis)
+# --------------------------------------------------------------------------
+
+_KM_SQL = """
+WITH gmax AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS gsec FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS first_sec,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS last_sec
+  FROM events GROUP BY user_id
+),
+lab AS (
+  SELECT (last_sec - first_sec) // 86400 AS t_days,
+         CASE WHEN last_sec > (SELECT gsec FROM gmax) - 7 * 86400
+              THEN 1 ELSE 0 END AS censored
+  FROM u
+),
+per_t AS (
+  SELECT t_days,
+         CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM lab GROUP BY t_days
+),
+risk AS (
+  SELECT t_days, n_deaths, n_censored,
+         CAST((SELECT count(*) FROM lab) AS BIGINT)
+           - coalesce(sum(n_deaths + n_censored) OVER (
+               ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per_t
+)
+SELECT t_days, n_risk, n_deaths, n_censored,
+       round(exp(sum(CASE WHEN n_deaths > 0
+                          THEN ln(1.0 - CAST(n_deaths AS DOUBLE) / n_risk)
+                          ELSE 0.0 END) OVER (
+                 ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS surv
+FROM risk
+"""
+
+
+@register("kaplan_meier_churn", _KM_SQL)
+def kaplan_meier_churn(spark, sf_dir):
+    """Kaplan-Meier survival estimator over user lifetimes: lifetime =
+    days between a user's first and last event, right-censored when
+    the last event falls inside the final week of the corpus (the
+    user may still be active). S(t) = prod_{t_i <= t} (1 - d_i/n_i)
+    via the exp-sum-log identity so the product is a cumulative
+    window sum. The per-user fold and day-level death/censor counts
+    are combinable; both cumulative windows then run on the AGGREGATED
+    curve, whose row count is bounded by the observation span in days
+    (<= 31 here), not the user population — the activity_gini
+    discipline for unpartitioned windows."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    gmax = ev.agg(F.max(sec).alias("gsec"))
+    u = ev.groupBy("user_id").agg(
+        F.min(sec).alias("first_sec"), F.max(sec).alias("last_sec")
+    )
+    lab = u.crossJoin(F.broadcast(gmax)).select(
+        F.floor(
+            (F.col("last_sec") - F.col("first_sec")) / F.lit(86400)
+        ).alias("t_days"),
+        F.when(
+            F.col("last_sec") > F.col("gsec") - 7 * 86400, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    per_t = lab.groupBy("t_days").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    wprev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "n_deaths",
+        "n_censored",
+        (
+            F.col("tot")
+            - F.coalesce(
+                F.sum(F.col("n_deaths") + F.col("n_censored")).over(wprev),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("n_risk"),
+    )
+    factor = F.when(
+        F.col("n_deaths") > 0,
+        F.log(1.0 - F.col("n_deaths").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    return risk.select(
+        "t_days",
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        F.round(F.exp(F.sum(factor).over(wcur)), 6).alias("surv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# NDCG@k ranking evaluation (retrieval / reranker quality)
+# --------------------------------------------------------------------------
+
+_NDCG_SQL = """
+WITH g AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS gain,
+         sum(CAST(value AS DECIMAL(18,2))) AS score
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, gain,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, event_type) AS rp,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gain DESC, event_type) AS ri
+  FROM g
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN rp <= 3 THEN CAST(floor(
+         1000000.0 * gain / log2(CAST(rp + 1 AS DOUBLE))) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS dcg_micro,
+       CAST(sum(CASE WHEN ri <= 3 THEN CAST(floor(
+         1000000.0 * gain / log2(CAST(ri + 1 AS DOUBLE))) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS idcg_micro,
+       round(CAST(sum(CASE WHEN rp <= 3 THEN CAST(floor(
+         1000000.0 * gain / log2(CAST(rp + 1 AS DOUBLE))) AS BIGINT)
+         ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN ri <= 3 THEN CAST(floor(
+         1000000.0 * gain / log2(CAST(ri + 1 AS DOUBLE))) AS BIGINT)
+         ELSE 0 END), 6) AS ndcg
+FROM r GROUP BY user_id
+"""
+
+
+@register("ndcg_at_k", _NDCG_SQL)
+def ndcg_at_k(spark, sf_dir):
+    """NDCG@3 per user — the standard graded ranking metric for
+    retrieval and reranker evaluation. The 'system' ranking orders a
+    user's event types by total spend (decimal-exact sum), the ideal
+    ranking by true engagement count; each discounted-gain term is
+    pinned to micro-integer fixed point BEFORE summation so the DCG
+    fold is an exact bigint sum (associative — no float-order drift
+    between engines), and only the final dcg/idcg ratio is a rounded
+    double. Both rankings come from user-partitioned row_number
+    windows over the per-user aggregate (alphabet-bounded rows per
+    user), so nothing sorts globally."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("gain"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), "event_type"
+    )
+    wi = Window.partitionBy("user_id").orderBy(
+        F.col("gain").desc(), "event_type"
+    )
+    r = g.select(
+        "user_id",
+        "gain",
+        F.row_number().over(wp).alias("rp"),
+        F.row_number().over(wi).alias("ri"),
+    )
+
+    def term(rank):
+        return F.floor(
+            1000000.0
+            * F.col("gain")
+            / F.log2((F.col(rank) + 1).cast("double"))
+        ).cast("bigint")
+
+    dcg = F.sum(F.when(F.col("rp") <= 3, term("rp")).otherwise(F.lit(0)))
+    idcg = F.sum(F.when(F.col("ri") <= 3, term("ri")).otherwise(F.lit(0)))
+    return r.groupBy("user_id").agg(
+        dcg.cast("bigint").alias("dcg_micro"),
+        idcg.cast("bigint").alias("idcg_micro"),
+        F.round(dcg.cast("double") / idcg, 6).alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (inter-annotator agreement on noisy labels)
+# --------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH lab AS (
+  SELECT doc_id % 3 AS latent,
+         (doc_id % 3 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                 < '3' THEN 1 ELSE 0 END) % 3 AS a,
+         (doc_id % 3 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'b'),
+                                        1, 1) < '3' THEN 2 ELSE 0 END) % 3
+           AS b
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM lab),
+ma AS (SELECT a AS k, CAST(count(*) AS BIGINT) AS na FROM lab GROUP BY a),
+mb AS (SELECT b AS k, CAST(count(*) AS BIGINT) AS nb FROM lab GROUP BY b),
+pe AS (
+  SELECT CAST(sum(ma.na * mb.nb) AS BIGINT) AS cross_sum
+  FROM ma JOIN mb USING (k)
+)
+SELECT n.n AS n_docs, n.agree AS n_agree,
+       round(CAST(n.agree AS DOUBLE) / n.n, 6) AS po,
+       round(CAST(pe.cross_sum AS DOUBLE) / (n.n * n.n), 6) AS pe,
+       round((CAST(n.agree AS DOUBLE) / n.n
+              - CAST(pe.cross_sum AS DOUBLE) / (n.n * n.n))
+             / (1.0 - CAST(pe.cross_sum AS DOUBLE) / (n.n * n.n)), 6)
+         AS kappa
+FROM n, pe
+"""
+
+
+@register("cohens_kappa", _KAPPA_SQL)
+def cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two deterministic noisy annotators of a
+    latent 3-class document label (each flips its view with rate 3/16
+    keyed on disjoint md5 draws) — the chance-corrected agreement
+    score every labeling pipeline reports before trusting human or
+    model annotations. Observed agreement and both marginal
+    distributions are combinable integer folds; the marginal cross
+    product joins two alphabet-sized frames, so kappa is computed
+    from five exact counters and the corpus is read once."""
+    d = load_table(spark, sf_dir, "documents")
+    latent = F.col("doc_id") % 3
+    flip_a = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3"
+    flip_b = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("b"))),
+            1,
+            1,
+        )
+        < "3"
+    )
+    lab = d.select(
+        ((latent + F.when(flip_a, 1).otherwise(0)) % 3).alias("a"),
+        ((latent + F.when(flip_b, 2).otherwise(0)) % 3).alias("b"),
+    )
+    n = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ma = lab.groupBy(F.col("a").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    mb = lab.groupBy(F.col("b").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    pe = (
+        ma.join(mb, "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("cs"))
+    )
+    po_d = F.col("agree").cast("double") / F.col("n")
+    pe_d = F.col("cs").cast("double") / (F.col("n") * F.col("n"))
+    return (
+        n.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            F.round(po_d, 6).alias("po"),
+            F.round(pe_d, 6).alias("pe"),
+            F.round((po_d - pe_d) / (1.0 - pe_d), 6).alias("kappa"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F statistic (does the group explain the metric?)
+# --------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s100,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS ss10000
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s100) AS BIGINT) AS ts,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+),
+parts AS (
+  SELECT CAST(sum(n * power(CAST(s100 AS DOUBLE) / n
+                            - CAST((SELECT ts FROM tot) AS DOUBLE)
+                              / (SELECT nn FROM tot), 2)) AS DOUBLE)
+           AS ssb10000,
+         CAST(sum(CAST(ss10000 AS DOUBLE)
+                  - CAST(s100 AS DOUBLE) * s100 / n) AS DOUBLE) AS ssw10000
+  FROM g
+)
+SELECT tot.k AS k_groups, tot.nn AS n_total,
+       round(parts.ssb10000 / 10000, 6) AS ss_between,
+       round(parts.ssw10000 / 10000, 6) AS ss_within,
+       round((parts.ssb10000 / (tot.k - 1))
+             / (parts.ssw10000 / (tot.nn - tot.k)), 6) AS f_stat
+FROM tot, parts
+"""
+
+
+@register("anova_oneway_f", _ANOVA_SQL)
+def anova_oneway_f(spark, sf_dir):
+    """One-way ANOVA F over event value by event type — the
+    does-the-segment-matter test run before any per-segment model
+    split. Per-group sufficient statistics (n, sum, sum of squares)
+    are kept in centi-unit BIGINT fixed point so the wide fold is
+    exact and associative; between/within sums of squares are then
+    assembled from k alphabet-bounded exact rows (deviation form for
+    SSB, so no catastrophic cancellation against the grand total).
+    One combinable groupBy over the fact table, everything after is
+    broadcast-scale."""
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v100).cast("bigint").alias("s100"),
+            F.sum(v100 * v100).cast("bigint").alias("ss10000"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s100").cast("bigint").alias("ts"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    gt = g.crossJoin(F.broadcast(tot))
+    dev = (
+        F.col("s100").cast("double") / F.col("n")
+        - F.col("ts").cast("double") / F.col("nn")
+    )
+    parts = gt.agg(
+        F.sum(F.col("n") * F.pow(dev, 2)).alias("ssb10000"),
+        F.sum(
+            F.col("ss10000").cast("double")
+            - F.col("s100").cast("double") * F.col("s100") / F.col("n")
+        ).alias("ssw10000"),
+        F.first("k").alias("k"),
+        F.first("nn").alias("nn"),
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        F.round(F.col("ssb10000") / 10000, 6).alias("ss_between"),
+        F.round(F.col("ssw10000") / 10000, 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb10000") / (F.col("k") - 1))
+            / (F.col("ssw10000") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis rank test (nonparametric ANOVA, two-phase ranks)
+# --------------------------------------------------------------------------
+
+_KRUSKAL_SQL = """
+WITH vals AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY value
+),
+rk AS (
+  SELECT value, c,
+         coalesce(sum(c) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM vals
+),
+avg2 AS (
+  SELECT value, 2 * before + c + 1 AS ar2, c FROM rk
+),
+gv AS (
+  SELECT event_type, value, CAST(count(*) AS BIGINT) AS m
+  FROM events GROUP BY event_type, value
+),
+grp AS (
+  SELECT event_type, CAST(sum(m) AS BIGINT) AS n_j,
+         CAST(sum(m * ar2) AS BIGINT) AS rank_sum2
+  FROM gv JOIN avg2 USING (value) GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n_j) AS BIGINT) AS nn FROM grp
+),
+ties AS (
+  SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t3 FROM vals
+),
+h AS (
+  SELECT round(12.0 / ((SELECT nn FROM tot)
+                       * ((SELECT nn FROM tot) + 1.0))
+               * sum(CAST(rank_sum2 AS DOUBLE) * rank_sum2 / (4.0 * n_j))
+               - 3.0 * ((SELECT nn FROM tot) + 1), 6) AS h_stat
+  FROM grp
+)
+SELECT g.event_type, g.n_j, g.rank_sum2,
+       h.h_stat,
+       round(h.h_stat / (1.0 - CAST((SELECT t3 FROM ties) AS DOUBLE)
+             / (CAST((SELECT nn FROM tot) AS DOUBLE)
+                * (SELECT nn FROM tot) * (SELECT nn FROM tot)
+                - (SELECT nn FROM tot))), 6) AS h_corrected
+FROM grp g, h
+"""
+
+
+@register("kruskal_wallis", _KRUSKAL_SQL)
+def kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis rank test of event value across event types —
+    the nonparametric ANOVA used when the metric is skewed. Tie-aware
+    mid-ranks are carried DOUBLED (2*avg_rank is always an integer),
+    so every rank sum is an exact bigint and the H statistic — plus
+    its tie correction 1 - sum(t^3 - t)/(N^3 - N) — comes out of
+    exact counters. Ranks are computed on the value HISTOGRAM
+    (groupBy value first), so the ranking window runs over distinct
+    values, not rows; at 100-TB scale that window's two-phase
+    replacement is the dense_ids bucket-offset pattern, and the heavy
+    table is only touched by two combinable groupBys."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wprev = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    avg2 = vals.select(
+        "value",
+        (
+            2 * F.coalesce(F.sum("c").over(wprev), F.lit(0).cast("bigint"))
+            + F.col("c")
+            + 1
+        ).alias("ar2"),
+        "c",
+    )
+    gv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    grp = (
+        gv.join(avg2.select("value", "ar2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_j"),
+            F.sum(F.col("m") * F.col("ar2")).cast("bigint").alias(
+                "rank_sum2"
+            ),
+        )
+    )
+    tot = grp.agg(F.sum("n_j").cast("bigint").alias("nn"))
+    ties = vals.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("t3")
+    )
+    h = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                12.0
+                / (F.first("nn") * (F.first("nn") + 1.0))
+                * F.sum(
+                    F.col("rank_sum2").cast("double")
+                    * F.col("rank_sum2")
+                    / (4.0 * F.col("n_j"))
+                )
+                - 3.0 * (F.first("nn") + 1),
+                6,
+            ).alias("h_stat"),
+            F.first("nn").alias("nn"),
+        )
+    )
+    nn_d = F.col("nn").cast("double")
+    return (
+        grp.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "event_type",
+            "n_j",
+            "rank_sum2",
+            "h_stat",
+            F.round(
+                F.col("h_stat")
+                / (
+                    1.0
+                    - F.col("t3").cast("double")
+                    / (nn_d * nn_d * nn_d - nn_d)
+                ),
+                6,
+            ).alias("h_corrected"),
+        )
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
