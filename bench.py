@@ -310,6 +310,12 @@ BENCH_QUERIES = [
     "cohens_kappa",
     "anova_oneway_f",
     "kruskal_wallis",
+    "dag_levels",
+    "attribution_multitouch",
+    "brier_decomposition",
+    "rake_keywords",
+    "msprt_sequential",
+    "diff_in_diff",
 ]
 
 

@@ -155,6 +155,50 @@ def four_clique_counts(
     )
 
 
+def dag_longest_path_levels(
+    edges: DataFrame, rounds: int, src: str = "s", dst: str = "t"
+) -> DataFrame:
+    """Topological levels of a DAG — level(v) = length of the longest
+    path from any source (in-degree-0 node) to v, i.e. the earliest
+    wave v can run in if every edge is a dependency (critical-path
+    scheduling / dependency-stage assignment).
+
+    Frontier relaxation, bounded: round r's frontier is the DISTINCT
+    set of nodes reachable from a source in exactly r steps, so each
+    round is one equi-join against the checkpointed edge snapshot plus
+    a dedup — per-round rows are capped at |V|, never the path count,
+    and the final level is one combinable max-aggregation over the
+    r tags. `rounds` must be >= the DAG depth (callers that bound
+    depth by construction pass that bound); fixed rounds keep the job
+    count static, the same discipline as pagerank_fixed_point."""
+    e = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    targets = e.select(F.col("t").alias("node")).distinct()
+    frontier = nodes.join(targets, "node", "left_anti").select(
+        "node", F.lit(0).cast("long").alias("l")
+    )
+    levels = frontier
+    for r in range(1, rounds + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("t").alias("node"), F.lit(r).cast("long").alias("l"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        levels = levels.union(frontier)
+    return levels.groupBy("node").agg(F.max("l").alias("level"))
+
+
 def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Per-node triangle counts over an undirected simple graph —
     the compact-forward / degree-orientation algorithm, relational.

@@ -15782,6 +15782,625 @@ def kruskal_wallis(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# DAG topological levels (critical-path stage assignment)
+# --------------------------------------------------------------------------
+
+_DAG_SQL = """
+WITH RECURSIVE m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+e AS MATERIALIZED (
+  SELECT i AS s, i + v.d AS t
+  FROM base, (VALUES (1), (2), (3)) v(d)
+  WHERE i % 8 + v.d <= 7 AND i + v.d < base.m
+),
+nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+walk AS (
+  SELECT node, 0 AS l FROM nodes WHERE node NOT IN (SELECT t FROM e)
+  UNION ALL
+  SELECT e.t, w.l + 1 FROM walk w JOIN e ON e.s = w.node
+)
+SELECT node, CAST(max(l) AS BIGINT) AS level FROM walk GROUP BY node
+"""
+
+
+@register("dag_levels", _DAG_SQL)
+def dag_levels(spark, sf_dir):
+    """Topological levels (longest path from a source) of a
+    dependency DAG — the wave number critical-path scheduling assigns
+    each task, and the stage index a lineage compactor materializes
+    (operators/graph.dag_longest_path_levels). The frontier
+    relaxation dedups every round, so per-round work is capped at |V|
+    rows against a checkpointed edge snapshot — the oracle's
+    recursive path walk would fan out with the path count instead,
+    which is exactly why the engine side must not translate it
+    literally. Input: a deterministic blocked DAG over the document
+    id space (i -> i+1, i+2, i+3 inside aligned 8-blocks), depth <= 7
+    by construction, matching the bounded round count."""
+    from gfftoneo4j_spark.operators.graph import dag_longest_path_levels
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.count()
+    base = d.select((F.col("doc_id") % m).alias("i"))
+    parts = [
+        base.select(
+            F.col("i").alias("s"), (F.col("i") + dd).alias("t")
+        ).where(((F.col("i") % 8) + dd <= 7) & (F.col("i") + dd < m))
+        for dd in (1, 2, 3)
+    ]
+    edges = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return dag_longest_path_levels(edges, rounds=7, src="s", dst="t")
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (first / last / linear credit)
+# --------------------------------------------------------------------------
+
+_ATTRIB_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+conv AS (SELECT event_id AS conv_id, user_id, sec FROM ev
+         WHERE event_type = 'purchase'),
+touch AS (SELECT event_id, user_id, event_type, sec FROM ev
+          WHERE event_type <> 'purchase'),
+j AS MATERIALIZED (
+  SELECT c.conv_id, t.event_type, t.sec, t.event_id
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+  WHERE t.sec < c.sec AND c.sec - t.sec <= 604800
+),
+sized AS (
+  SELECT conv_id, event_type,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY sec, event_id) AS rf,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY sec DESC, event_id DESC) AS rl,
+         count(*) OVER (PARTITION BY conv_id) AS k
+  FROM j
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       CAST(sum(CAST(floor(1000000.0 / k) AS BIGINT)) AS BIGINT)
+         AS linear_micro,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM sized GROUP BY event_type
+"""
+
+
+@register("attribution_multitouch", _ATTRIB_SQL)
+def attribution_multitouch(spark, sf_dir):
+    """First-/last-/linear-touch conversion attribution: every
+    purchase's journey is the user's non-purchase events in the prior
+    7 days; first and last touch each credit one whole conversion,
+    linear splits it 1/k ways — carried in micro-integer fixed point
+    so the per-channel credit fold is an exact associative bigint
+    sum. The journey join is user-keyed (co-partitioned on the same
+    key both sides, then a residual time-band filter — the asof/range
+    join shape), and the rank/size windows run per conversion, whose
+    width is bounded by one user's week of activity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("sec").alias("csec"),
+    )
+    touch = ev.where(F.col("event_type") != "purchase")
+    j = conv.join(touch, "user_id").where(
+        (F.col("sec") < F.col("csec"))
+        & (F.col("csec") - F.col("sec") <= 604800)
+    )
+    wf = Window.partitionBy("conv_id").orderBy("sec", "event_id")
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    wk = Window.partitionBy("conv_id")
+    sized = j.select(
+        "event_type",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    return sized.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rf") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rl") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch"),
+        F.sum(F.floor(1000000.0 / F.col("k")).cast("bigint"))
+        .cast("bigint")
+        .alias("linear_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brier score Murphy decomposition (probability calibration audit)
+# --------------------------------------------------------------------------
+
+_BRIER_SQL = """
+WITH lab AS (
+  SELECT strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bin,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                   < strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM lab GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(pos) AS BIGINT) AS np FROM per),
+terms AS (
+  SELECT sum(n * power((2.0 * bin + 1) / 32
+                       - CAST(pos AS DOUBLE) / n, 2))
+           / (SELECT nn FROM tot) AS rel,
+         sum(n * power(CAST(pos AS DOUBLE) / n
+                       - CAST((SELECT np FROM tot) AS DOUBLE)
+                         / (SELECT nn FROM tot), 2))
+           / (SELECT nn FROM tot) AS res,
+         (CAST((SELECT np FROM tot) AS DOUBLE) / (SELECT nn FROM tot))
+           * (1 - CAST((SELECT np FROM tot) AS DOUBLE)
+                  / (SELECT nn FROM tot)) AS unc
+  FROM per
+)
+SELECT per.bin, per.n,
+       round((2.0 * per.bin + 1) / 32, 6) AS p_pred,
+       round(CAST(per.pos AS DOUBLE) / per.n, 6) AS frac_pos,
+       round(terms.rel, 6) AS reliability,
+       round(terms.res, 6) AS resolution,
+       round(terms.unc, 6) AS uncertainty,
+       round(terms.rel - terms.res + terms.unc, 6) AS brier
+FROM per, terms
+"""
+
+
+@register("brier_decomposition", _BRIER_SQL)
+def brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score (reliability -
+    resolution + uncertainty) over a deterministic 16-bin probability
+    forecast: predicted p = (bin + 0.5)/16 from one md5 nibble,
+    outcome positive when a second, independent nibble falls below
+    the bin — so the TRUE rate is bin/16 and the forecast carries a
+    known +1/32 calibration gap the reliability term must recover.
+    One combinable per-bin fold (n, positives) over the corpus; the
+    three decomposition terms are assembled from 16 exact-integer
+    rows and re-enter the per-bin report as broadcast scalars."""
+    d = load_table(spark, sf_dir, "documents")
+    nib1 = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    nib2 = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+    )
+    lab = d.select(
+        nib1.alias("bin"),
+        F.when(nib2 < nib1, 1).otherwise(0).alias("y"),
+    )
+    per = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    pt = per.crossJoin(F.broadcast(tot))
+    ybar_row = F.col("np").cast("double") / F.col("nn")
+    ybar_agg = F.first("np").cast("double") / F.first("nn")
+    terms = pt.agg(
+        (
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    (2.0 * F.col("bin") + 1) / 32
+                    - F.col("pos").cast("double") / F.col("n"),
+                    2,
+                )
+            )
+            / F.first("nn")
+        ).alias("rel"),
+        (
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.col("pos").cast("double") / F.col("n") - ybar_row, 2
+                )
+            )
+            / F.first("nn")
+        ).alias("res"),
+        (ybar_agg * (1 - ybar_agg)).alias("unc"),
+    )
+    return per.crossJoin(F.broadcast(terms)).select(
+        "bin",
+        "n",
+        F.round((2.0 * F.col("bin") + 1) / 32, 6).alias("p_pred"),
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(F.col("rel"), 6).alias("reliability"),
+        F.round(F.col("res"), 6).alias("resolution"),
+        F.round(F.col("unc"), 6).alias("uncertainty"),
+        F.round(
+            F.col("rel") - F.col("res") + F.col("unc"), 6
+        ).alias("brier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (stopword-delimited phrase scoring)
+# --------------------------------------------------------------------------
+
+_RAKE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, ws FROM toks),
+mark AS (
+  SELECT doc_id, pos, ws[pos] AS w,
+         CASE WHEN ws[pos] IN ('a', 'the', 'value', 'table')
+              THEN 1 ELSE 0 END AS st
+  FROM tp WHERE ws[pos] <> ''
+),
+grpd AS (
+  SELECT doc_id, pos, w, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM mark
+),
+sized AS MATERIALIZED (
+  SELECT doc_id, grp, pos, w,
+         count(*) OVER (PARTITION BY doc_id, grp) AS n_w
+  FROM grpd WHERE st = 0
+),
+wf AS MATERIALIZED (SELECT * FROM sized WHERE n_w <= 4),
+scores AS MATERIALIZED (
+  SELECT w, CAST(floor(1000000.0 * sum(n_w) / count(*)) AS BIGINT)
+           AS wscore
+  FROM wf GROUP BY w
+),
+inst AS (
+  SELECT wf.doc_id, wf.grp,
+         CAST(count(*) AS BIGINT) AS n_w,
+         string_agg(wf.w, ' ' ORDER BY wf.pos) AS phrase,
+         CAST(sum(s.wscore) AS BIGINT) AS score_micro
+  FROM wf JOIN scores s USING (w)
+  GROUP BY wf.doc_id, wf.grp
+),
+ph AS (
+  SELECT phrase, n_w, score_micro, CAST(count(*) AS BIGINT) AS n_occ
+  FROM inst GROUP BY phrase, n_w, score_micro
+  HAVING count(*) >= 2
+),
+rk AS (
+  SELECT phrase, n_w, n_occ, score_micro,
+         row_number() OVER (PARTITION BY n_w
+                            ORDER BY score_micro DESC, phrase) AS rnk
+  FROM ph
+)
+SELECT n_w, rnk, phrase, n_occ, score_micro FROM rk WHERE rnk <= 5
+"""
+
+
+@register("rake_keywords", _RAKE_SQL)
+def rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): stopword positions
+    cut each document into candidate phrases (gaps-and-islands on a
+    doc-local cumulative stopword count — no regex re-splitting);
+    each word scores degree/frequency over the candidate set, pinned
+    to micro-integer fixed point BEFORE the phrase-level sum so
+    phrase scores are exact bigints; top 5 repeated phrases per
+    phrase length. Word statistics are one combinable fold over an
+    alphabet-bounded vocabulary (broadcast back to instances), the
+    phrase windows are doc-local, and the only rank window runs on
+    the repeated-phrase survivors per length band."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = ("a", "the", "value", "table")
+    tw = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    mark = tw.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(F.col("w").isin(*stop), 1).otherwise(0).alias("st"),
+    )
+    wg = Window.partitionBy("doc_id").orderBy("pos")
+    grpd = mark.select(
+        "doc_id", "pos", "w", "st", F.sum("st").over(wg).alias("grp")
+    )
+    wsz = Window.partitionBy("doc_id", "grp")
+    sized = grpd.where(F.col("st") == 0).select(
+        "doc_id",
+        "grp",
+        "pos",
+        "w",
+        F.count(F.lit(1)).over(wsz).alias("n_w"),
+    )
+    wf = sized.where(F.col("n_w") <= 4).localCheckpoint(eager=True)
+    scores = wf.groupBy("w").agg(
+        F.floor(1000000.0 * F.sum("n_w") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("wscore")
+    )
+    inst = (
+        wf.join(F.broadcast(scores), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_w"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").cast("bigint").alias("score_micro"),
+        )
+    )
+    ph = (
+        inst.groupBy("phrase", "n_w", "score_micro")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+    wr = Window.partitionBy("n_w").orderBy(
+        F.col("score_micro").desc(), "phrase"
+    )
+    return (
+        ph.select(
+            "n_w",
+            F.row_number().over(wr).alias("rnk"),
+            "phrase",
+            "n_occ",
+            "score_micro",
+        )
+        .where(F.col("rnk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# mSPRT sequential A/B monitor (always-valid likelihood ratio by day)
+# --------------------------------------------------------------------------
+
+_MSPRT_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ta,
+         CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tb,
+         CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sb
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day_num,
+         CAST(sum(ta) OVER w AS BIGINT) AS n_a,
+         CAST(sum(sa) OVER w AS BIGINT) AS x_a,
+         CAST(sum(tb) OVER w AS BIGINT) AS n_b,
+         CAST(sum(sb) OVER w AS BIGINT) AS x_b
+  FROM daily
+  WINDOW w AS (ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+calc AS (
+  SELECT day_num, n_a, x_a, n_b, x_b,
+         CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b AS delta,
+         (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+           * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b) AS v
+  FROM cum WHERE n_a > 0 AND n_b > 0
+)
+SELECT day_num, n_a, x_a, n_b, x_b,
+       round(delta, 6) AS delta,
+       round(sqrt(v / (v + 0.01))
+             * exp(delta * delta * 0.01 / (2 * v * (v + 0.01))), 6) AS lr,
+       CASE WHEN sqrt(v / (v + 0.01))
+                 * exp(delta * delta * 0.01 / (2 * v * (v + 0.01))) > 20
+            THEN 1 ELSE 0 END AS reject
+FROM calc
+"""
+
+
+@register("msprt_sequential", _MSPRT_SQL)
+def msprt_sequential(spark, sf_dir):
+    """Mixture sequential probability ratio test (Johari et al.'s
+    always-valid inference) on a daily-peeking A/B readout: arms by
+    user parity, conversions = purchases, and each day's likelihood
+    ratio uses the cumulative counts so the analyst may stop ANY day
+    without inflating false positives (reject when LR > 1/alpha =
+    20; with parity arms the null is true, so the monitor must stay
+    quiet). Daily arm counts are one combinable fold; the cumulative
+    window runs over the day-bounded aggregate; the LR is evaluated
+    from exact bigint counters on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    arm_a = (F.col("user_id") % 2 == 0).cast("int")
+    purch = (F.col("event_type") == "purchase").cast("int")
+    daily = ev.groupBy(
+        F.floor(sec / 86400).cast("bigint").alias("day_num")
+    ).agg(
+        F.sum(arm_a).cast("bigint").alias("ta"),
+        F.sum(arm_a * purch).cast("bigint").alias("sa"),
+        F.sum(1 - arm_a).cast("bigint").alias("tb"),
+        F.sum((1 - arm_a) * purch).cast("bigint").alias("sb"),
+    )
+    w = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day_num",
+        F.sum("ta").over(w).cast("bigint").alias("n_a"),
+        F.sum("sa").over(w).cast("bigint").alias("x_a"),
+        F.sum("tb").over(w).cast("bigint").alias("n_b"),
+        F.sum("sb").over(w).cast("bigint").alias("x_b"),
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    delta = (
+        F.col("x_a").cast("double") / F.col("n_a")
+        - F.col("x_b").cast("double") / F.col("n_b")
+    )
+    pbar = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    v = pbar * (1 - pbar) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    lr = F.sqrt(v / (v + 0.01)) * F.exp(
+        delta * delta * 0.01 / (2 * v * (v + 0.01))
+    )
+    return cum.select(
+        "day_num",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(delta, 6).alias("delta"),
+        F.round(lr, 6).alias("lr"),
+        F.when(lr > 20, 1).otherwise(0).alias("reject"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (2x2 natural-experiment estimator)
+# --------------------------------------------------------------------------
+
+_DID_SQL = """
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+cells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   > (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS post,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n00,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n01,
+    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n10,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n11,
+    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN v100 ELSE 0 END)
+         AS BIGINT) AS s00,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN v100 ELSE 0 END)
+         AS BIGINT) AS s01,
+    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN v100 ELSE 0 END)
+         AS BIGINT) AS s10,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN v100 ELSE 0 END)
+         AS BIGINT) AS s11
+  FROM cells
+)
+SELECT n00, n01, n10, n11,
+       round(CAST(s00 AS DOUBLE) / 100 / n00, 6) AS mean_c_pre,
+       round(CAST(s01 AS DOUBLE) / 100 / n01, 6) AS mean_c_post,
+       round(CAST(s10 AS DOUBLE) / 100 / n10, 6) AS mean_t_pre,
+       round(CAST(s11 AS DOUBLE) / 100 / n11, 6) AS mean_t_post,
+       round((CAST(s11 AS DOUBLE) / 100 / n11
+              - CAST(s10 AS DOUBLE) / 100 / n10)
+             - (CAST(s01 AS DOUBLE) / 100 / n01
+                - CAST(s00 AS DOUBLE) / 100 / n00), 6) AS did
+FROM agg
+"""
+
+
+@register("diff_in_diff", _DID_SQL)
+def diff_in_diff(spark, sf_dir):
+    """2x2 difference-in-differences: treatment = user parity,
+    pre/post split at the corpus epoch midpoint (the CUPED split),
+    estimate = (treated post - pre) - (control post - pre) — the
+    workhorse estimator when a feature launches for half the
+    population and parallel trends must absorb seasonality. The
+    whole query is ONE combinable conditional fold (8 exact
+    centi-unit bigint counters), so it costs a single map-side
+    combine pass over the fact table; means and the DiD contrast are
+    assembled from those exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    mid = ev.agg(
+        F.floor(
+            (F.min(sec).cast("bigint") + F.max(sec).cast("bigint")) / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    cells = ev.crossJoin(F.broadcast(mid)).select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(sec > F.col("mid"), 1).otherwise(0).alias("post"),
+        v100.alias("v100"),
+    )
+
+    def cnt(t, p):
+        return (
+            F.sum(
+                F.when((F.col("treat") == t) & (F.col("post") == p), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    def ssum(t, p):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("treat") == t) & (F.col("post") == p),
+                    F.col("v100"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    agg = cells.agg(
+        cnt(0, 0).alias("n00"),
+        cnt(0, 1).alias("n01"),
+        cnt(1, 0).alias("n10"),
+        cnt(1, 1).alias("n11"),
+        ssum(0, 0).alias("s00"),
+        ssum(0, 1).alias("s01"),
+        ssum(1, 0).alias("s10"),
+        ssum(1, 1).alias("s11"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / 100 / F.col(n)
+
+    return agg.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(mean("s00", "n00"), 6).alias("mean_c_pre"),
+        F.round(mean("s01", "n01"), 6).alias("mean_c_post"),
+        F.round(mean("s10", "n10"), 6).alias("mean_t_pre"),
+        F.round(mean("s11", "n11"), 6).alias("mean_t_post"),
+        F.round(
+            (mean("s11", "n11") - mean("s10", "n10"))
+            - (mean("s01", "n01") - mean("s00", "n00")),
+            6,
+        ).alias("did"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
