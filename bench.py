@@ -316,6 +316,14 @@ BENCH_QUERIES = [
     "rake_keywords",
     "msprt_sequential",
     "diff_in_diff",
+    "path_contraction",
+    "isotonic_calibration",
+    "encoding_advisor",
+    "neyman_allocation",
+    "group_kfold_snake",
+    "mann_kendall_trend",
+    "beta_binomial_shrinkage",
+    "standardization_ate",
 ]
 
 

@@ -199,6 +199,97 @@ def dag_longest_path_levels(
     return levels.groupBy("node").agg(F.max("l").alias("level"))
 
 
+def contract_chains(
+    edges: DataFrame, src: str = "s", dst: str = "t"
+) -> DataFrame:
+    """Collapse every maximal chain of pass-through nodes (in-degree
+    1 AND out-degree 1) into a single edge (u, v, path_len) — the
+    graph-compaction step that turns a provenance/turn-sequence KG
+    into its branching skeleton, shrinking storage and walk depth by
+    the chain lengths while preserving reachability.
+
+    Relational plan: degree filters mark interior nodes; edges whose
+    BOTH endpoints are interior form disjoint simple paths (each
+    interior node has unique pred/succ), so one connected-components
+    call labels each chain; the unique entry edge (non-interior ->
+    head) and exit edge (tail -> non-interior) of each chain meet on
+    the component key, carrying path_len = interior_count + 1.
+    Interior cycles have no entry/exit and are dropped; edges between
+    two non-interior nodes pass through with path_len 1. Everything
+    is equi-joins plus combinable degree/size counts; CC itself is
+    the adaptive large-star/small-star operator."""
+    from gfftoneo4j_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    e = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy("t").agg(F.count(F.lit(1)).alias("id_"))
+    interior = (
+        ind.where(F.col("id_") == 1)
+        .select(F.col("t").alias("node"))
+        .join(
+            outd.where(F.col("od") == 1).select(F.col("s").alias("node")),
+            "node",
+        )
+    )
+    s_int = interior.select(F.col("node").alias("s"), F.lit(1).alias("si"))
+    t_int = interior.select(F.col("node").alias("t"), F.lit(1).alias("ti"))
+    em = (
+        e.join(s_int, "s", "left")
+        .join(t_int, "t", "left")
+        .select(
+            "s",
+            "t",
+            F.coalesce(F.col("si"), F.lit(0)).alias("si"),
+            F.coalesce(F.col("ti"), F.lit(0)).alias("ti"),
+        )
+    )
+    mid = em.where((F.col("si") == 1) & (F.col("ti") == 1)).select("s", "t")
+    cc = connected_components(mid, "s", "t")
+    in_mid = (
+        mid.select(F.col("s").alias("node"))
+        .union(mid.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    singles = interior.join(in_mid, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    comp = cc.union(singles)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_int")
+    )
+    entry = (
+        em.where((F.col("si") == 0) & (F.col("ti") == 1))
+        .select(F.col("s").alias("u"), F.col("t").alias("node"))
+        .join(comp, "node")
+        .select("u", "component")
+    )
+    exit_ = (
+        em.where((F.col("si") == 1) & (F.col("ti") == 0))
+        .select(F.col("s").alias("node"), F.col("t").alias("v"))
+        .join(comp, "node")
+        .select("component", "v")
+    )
+    contracted = (
+        entry.join(exit_, "component")
+        .join(sizes, "component")
+        .select("u", "v", (F.col("n_int") + 1).alias("path_len"))
+    )
+    passthrough = em.where((F.col("si") == 0) & (F.col("ti") == 0)).select(
+        F.col("s").alias("u"),
+        F.col("t").alias("v"),
+        F.lit(1).cast("long").alias("path_len"),
+    )
+    return contracted.union(passthrough)
+
+
 def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Per-node triangle counts over an undirected simple graph —
     the compact-forward / degree-orientation algorithm, relational.

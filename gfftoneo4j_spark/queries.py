@@ -16401,6 +16401,761 @@ def diff_in_diff(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Chain contraction of the KG's next_turn paths (graph compaction)
+# --------------------------------------------------------------------------
+
+_CONTRACT_SQL = f"""
+WITH t AS ({_KG_TRANSCRIPTS_SQL}),
+c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY conv_id)
+SELECT 'turn:' || conv_id || ':0' AS u,
+       'turn:' || conv_id || ':' || CAST(n - 1 AS VARCHAR) AS v,
+       CAST(n - 1 AS BIGINT) AS path_len
+FROM c WHERE n >= 2
+"""
+
+
+@register("path_contraction", _CONTRACT_SQL)
+def path_contraction(spark, sf_dir):
+    """Chain contraction of the KG's next_turn relation
+    (operators/graph.contract_chains): every maximal run of
+    pass-through turns (in-degree 1, out-degree 1) collapses to one
+    edge carrying its path length — the compaction that turns a
+    conversation graph into its branching skeleton before deep walks.
+    On this corpus each conversation IS one unbranched chain, so the
+    oracle can state the result closed-form per conversation while
+    the engine must discover it structurally (degree marking, CC over
+    interior-interior edges, entry/exit meet on the component key).
+    Scale: degree counts and chain sizes are combinable; chains are
+    labeled by the adaptive connected-components operator rather than
+    a sequential walk. The next_turn edges are derived with the same
+    conv-keyed lead window the KG pipeline uses (plans/pipeline.py),
+    skipping the unrelated mention/link stages."""
+    from gfftoneo4j_spark.operators.graph import contract_chains
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tid = F.concat(
+        F.lit("turn:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx")
+    )
+    nxt = t.select(
+        tid.alias("s"), F.lead(tid).over(w).alias("t")
+    ).where(F.col("t").isNotNull())
+    return contract_chains(nxt, "s", "t")
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration via PAVA's minimax identity (bounded bins)
+# --------------------------------------------------------------------------
+
+_ISOTONIC_SQL = """
+WITH lab AS (
+  SELECT strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bin,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                   < strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM lab GROUP BY bin
+),
+ivs AS MATERIALIZED (
+  SELECT jk.j, jk.k, CAST(sum(p.n) AS BIGINT) AS n,
+         CAST(sum(p.pos) AS BIGINT) AS pos
+  FROM (SELECT a.bin AS j, b.bin AS k FROM per a, per b
+        WHERE a.bin <= b.bin) jk
+  JOIN per p ON p.bin BETWEEN jk.j AND jk.k
+  GROUP BY jk.j, jk.k
+),
+step1 AS (
+  SELECT i.bin AS i, s.j, min(CAST(s.pos AS DOUBLE) / s.n) AS mn
+  FROM per i JOIN ivs s ON s.j <= i.bin AND s.k >= i.bin
+  GROUP BY i.bin, s.j
+),
+fit AS (SELECT i, max(mn) AS iso FROM step1 GROUP BY i)
+SELECT p.bin, p.n,
+       round(CAST(p.pos AS DOUBLE) / p.n, 6) AS frac_pos,
+       round(f.iso, 6) AS iso_fit
+FROM per p JOIN fit f ON f.i = p.bin
+"""
+
+
+@register("isotonic_calibration", _ISOTONIC_SQL)
+def isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone) calibration of the 16-bin forecast via the
+    pool-adjacent-violators MINIMAX identity: the PAVA fit at bin i
+    equals max over j<=i of min over k>=i of the empirical rate on
+    interval [j,k] — which turns the sequential pooling algorithm
+    into three joins over the bin grid. The corpus is touched by ONE
+    combinable per-bin fold; everything after runs on 16-row /
+    136-interval broadcast-scale frames, so the 'iterative' fit costs
+    no extra pass no matter how many documents feed the bins.
+    Min/max of exact-integer ratios, so both engines agree to the
+    bit."""
+    d = load_table(spark, sf_dir, "documents")
+    nib1 = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    nib2 = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+    )
+    lab = d.select(
+        nib1.alias("bin"), F.when(nib2 < nib1, 1).otherwise(0).alias("y")
+    )
+    per = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    ).localCheckpoint(eager=True)
+    a = per.select(F.col("bin").alias("j"))
+    b = per.select(F.col("bin").alias("k"))
+    jk = a.crossJoin(b).where(F.col("j") <= F.col("k"))
+    ivs = (
+        jk.join(
+            per.select(
+                F.col("bin").alias("pb"),
+                F.col("n").alias("pn"),
+                F.col("pos").alias("pp"),
+            ),
+            (F.col("pb") >= F.col("j")) & (F.col("pb") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("pp").cast("bigint").alias("pos"),
+        )
+    )
+    step1 = (
+        per.select(F.col("bin").alias("i"))
+        .join(
+            ivs,
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min(F.col("pos").cast("double") / F.col("n")).alias("mn"))
+    )
+    fit = step1.groupBy("i").agg(F.max("mn").alias("iso"))
+    return per.join(fit, per["bin"] == fit["i"]).select(
+        "bin",
+        "n",
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(F.col("iso"), 6).alias("iso_fit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column encoding advisor (layout planning from column statistics)
+# --------------------------------------------------------------------------
+
+_ENCODING_SQL = """
+WITH stats AS (
+  SELECT 'documents' AS tbl, 'lang' AS col, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT lang) AS BIGINT) AS ndv,
+         CAST(floor(1000000.0 * sum(length(lang)) / count(*)) AS BIGINT)
+           AS avg_len_micro
+  FROM documents
+  UNION ALL
+  SELECT 'documents', 'source', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST(floor(1000000.0 * sum(length(source)) / count(*)) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'documents', 'text', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT text) AS BIGINT),
+         CAST(floor(1000000.0 * sum(length(text)) / count(*)) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'events', 'event_type', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT),
+         CAST(floor(1000000.0 * sum(length(event_type)) / count(*))
+              AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'props', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT props) AS BIGINT),
+         CAST(floor(1000000.0 * sum(length(props)) / count(*)) AS BIGINT)
+  FROM events
+)
+SELECT tbl, col, n, ndv, avg_len_micro,
+       CASE WHEN ndv * 10 <= n AND ndv <= 4096 THEN 'dict'
+            WHEN avg_len_micro >= 64000000 THEN 'plain_zstd'
+            ELSE 'plain' END AS encoding
+FROM stats
+"""
+
+
+@register("encoding_advisor", _ENCODING_SQL)
+def encoding_advisor(spark, sf_dir):
+    """Column encoding advisor — the layout-planning pass a writer
+    runs before rewriting 100 TB of parquet: per string column it
+    measures cardinality and average width, then recommends
+    dictionary encoding (NDV small in absolute terms AND relative to
+    row count), plain+zstd for wide high-cardinality text, or plain.
+    Each column's profile is one combinable fold (count, exact
+    count-distinct on the aggregated key, summed lengths in micro
+    fixed point); the five profiles union into the advisory report.
+    The rule thresholds mirror parquet's dictionary-page heuristics."""
+
+    def prof(df, tbl, col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(col).cast("bigint").alias("ndv"),
+            F.floor(
+                1000000.0 * F.sum(F.length(col)) / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("avg_len_micro"),
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    stats = (
+        prof(d, "documents", "lang")
+        .unionAll(prof(d, "documents", "source"))
+        .unionAll(prof(d, "documents", "text"))
+        .unionAll(prof(ev, "events", "event_type"))
+        .unionAll(prof(ev, "events", "props"))
+    )
+    return stats.select(
+        "tbl",
+        "col",
+        "n",
+        "ndv",
+        "avg_len_micro",
+        F.when(
+            (F.col("ndv") * 10 <= F.col("n")) & (F.col("ndv") <= 4096),
+            F.lit("dict"),
+        )
+        .when(F.col("avg_len_micro") >= 64000000, F.lit("plain_zstd"))
+        .otherwise(F.lit("plain"))
+        .alias("encoding"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation for stratified sampling (largest-remainder rounding)
+# --------------------------------------------------------------------------
+
+_NEYMAN_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s100,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS ss10000
+  FROM events GROUP BY event_type
+),
+sd AS (
+  SELECT event_type, n,
+         sqrt((CAST(ss10000 AS DOUBLE)
+               - CAST(s100 AS DOUBLE) * s100 / n) / (n - 1)) / 100 AS sdev
+  FROM g
+),
+w AS (
+  SELECT event_type, n, sdev, n * sdev AS wt,
+         sum(n * sdev) OVER () AS tot
+  FROM sd
+),
+q AS (
+  SELECT event_type, n, sdev, 1000.0 * wt / tot AS quota,
+         CAST(floor(1000.0 * wt / tot) AS BIGINT) AS base
+  FROM w
+),
+r AS (
+  SELECT event_type, n, sdev, quota, base,
+         row_number() OVER (ORDER BY quota - base DESC, event_type) AS rnk,
+         CAST(1000 - sum(base) OVER () AS BIGINT) AS rem
+  FROM q
+)
+SELECT event_type, n AS n_stratum, round(sdev, 6) AS sd,
+       round(quota, 6) AS quota,
+       CAST(base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+"""
+
+
+@register("neyman_allocation", _NEYMAN_SQL)
+def neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation: a budget of 1000
+    draws split across event-type strata proportionally to N_h *
+    sigma_h (minimizing the stratified estimator's variance), with
+    largest-remainder rounding so the integer allocations sum exactly
+    to the budget. Per-stratum sufficient statistics are exact
+    centi-unit bigints from one combinable fold; the quota, remainder
+    ranking and rounding all run on the alphabet-sized stratum frame.
+    The design step every massive-survey sampler runs before drawing."""
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v100).cast("bigint").alias("s100"),
+            F.sum(v100 * v100).cast("bigint").alias("ss10000"),
+        )
+    )
+    sd = g.select(
+        "event_type",
+        "n",
+        (
+            F.sqrt(
+                (
+                    F.col("ss10000").cast("double")
+                    - F.col("s100").cast("double")
+                    * F.col("s100")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+            / 100
+        ).alias("sdev"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q = sd.select(
+        "event_type",
+        "n",
+        "sdev",
+        (
+            1000.0
+            * (F.col("n") * F.col("sdev"))
+            / F.sum(F.col("n") * F.col("sdev")).over(wtot)
+        ).alias("quota"),
+    ).select(
+        "event_type",
+        "n",
+        "sdev",
+        "quota",
+        F.floor("quota").cast("bigint").alias("base"),
+    )
+    r = q.select(
+        "event_type",
+        "n",
+        "sdev",
+        "quota",
+        "base",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("quota") - F.col("base")).desc(), "event_type"
+            )
+        )
+        .alias("rnk"),
+        (1000 - F.sum("base").over(wtot)).cast("bigint").alias("rem"),
+    )
+    return r.select(
+        "event_type",
+        F.col("n").alias("n_stratum"),
+        F.round("sdev", 6).alias("sd"),
+        F.round("quota", 6).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped k-fold assignment via snake draft (leak-free balanced splits)
+# --------------------------------------------------------------------------
+
+_KFOLD_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, n_ev,
+         row_number() OVER (ORDER BY n_ev DESC, user_id) - 1 AS r
+  FROM u
+),
+f AS (
+  SELECT user_id, n_ev,
+         CASE WHEN r % 10 < 5 THEN r % 10 ELSE 9 - r % 10 END AS fold
+  FROM r
+),
+agg AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_ev) AS BIGINT) AS n_events
+  FROM f GROUP BY fold
+)
+SELECT fold, n_users, n_events,
+       round(5.0 * n_events / sum(n_events) OVER (), 6) AS balance
+FROM agg
+"""
+
+
+@register("group_kfold_snake", _KFOLD_SQL)
+def group_kfold_snake(spark, sf_dir):
+    """Grouped 5-fold assignment with snake-draft balancing: all of a
+    user's events stay in one fold (no leakage between train and
+    eval), and users are dealt to folds in serpentine order of
+    descending activity (0,1,2,3,4,4,3,2,1,0,...) so heavy users
+    spread evenly — balance lands within one user of optimal for
+    skewed sizes, where naive hashing can load one fold with whales.
+    The global activity rank is the ONLY ordered step and runs on the
+    per-user aggregate; at extreme user counts it swaps in the
+    dense_ids bucket-offset two-phase rank, and the fold report is an
+    alphabet-sized window."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+    )
+    r = u.select(
+        "user_id",
+        "n_ev",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("n_ev").desc(), "user_id")
+            )
+            - 1
+        ).alias("r"),
+    )
+    pos = F.col("r") % 10
+    f = r.select(
+        "n_ev",
+        F.when(pos < 5, pos).otherwise(9 - pos).alias("fold"),
+    )
+    agg = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "fold",
+        "n_users",
+        "n_events",
+        F.round(
+            5.0 * F.col("n_events") / F.sum("n_events").over(wtot), 6
+        ).alias("balance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test per user (nonparametric monotone trend)
+# --------------------------------------------------------------------------
+
+_MK_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id,
+         CASE WHEN b.v100 > a.v100 THEN 1
+              WHEN b.v100 < a.v100 THEN -1 ELSE 0 END AS sgn
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id
+   AND (a.sec < b.sec OR (a.sec = b.sec AND a.event_id < b.event_id))
+),
+s AS (
+  SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY user_id
+),
+tie AS (
+  SELECT user_id,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS t
+        FROM ev GROUP BY user_id, v100)
+  GROUP BY user_id
+),
+nn AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY user_id
+)
+SELECT nn.user_id, nn.n, s.s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18 AS BIGINT)
+         AS var_s18,
+       round(CAST(s.s_stat AS DOUBLE) / s.n_pairs, 6) AS tau_a,
+       round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                              WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             / sqrt((nn.n * (nn.n - 1.0) * (2 * nn.n + 5) - tie.tie18)
+                    / 18), 6) AS z
+FROM nn JOIN s USING (user_id) JOIN tie USING (user_id)
+WHERE nn.n >= 2
+  AND nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18 > 0
+"""
+
+
+@register("mann_kendall_trend", _MK_SQL)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per user: S = sum of signs
+    over all time-ordered value pairs, tie-corrected variance
+    18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5) kept as an exact
+    bigint, continuity-corrected z, and Kendall's tau-a — the
+    distribution-free 'is this metric drifting' detector. The pair
+    self-join is user-keyed (both sides co-partitioned on user_id)
+    so its quadratic blowup is bounded by one user's activity, never
+    the corpus; S, ties and n are all combinable integer folds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            (F.col("a.sec") < F.col("b.sec"))
+            | (
+                (F.col("a.sec") == F.col("b.sec"))
+                & (F.col("a.event_id") < F.col("b.event_id"))
+            )
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.when(F.col("b.v100") > F.col("a.v100"), 1)
+        .when(F.col("b.v100") < F.col("a.v100"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    tie = (
+        ev.groupBy("user_id", "v100")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    nn = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie18")
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    return (
+        nn.join(s, "user_id")
+        .join(tie, "user_id")
+        .where((F.col("n") >= 2) & (var18 > 0))
+        .select(
+            "user_id",
+            "n",
+            "s_stat",
+            var18.cast("bigint").alias("var_s18"),
+            F.round(
+                F.col("s_stat").cast("double") / F.col("n_pairs"), 6
+            ).alias("tau_a"),
+            F.round(
+                (F.col("s_stat") - cc)
+                / F.sqrt(
+                    (
+                        F.col("n")
+                        * (F.col("n") - 1.0)
+                        * (2 * F.col("n") + 5)
+                        - F.col("tie18")
+                    )
+                    / 18
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Beta-binomial empirical-Bayes shrinkage of per-user conversion
+# --------------------------------------------------------------------------
+
+_BETABIN_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT avg(CAST(x AS DOUBLE) / n) AS m,
+         var_samp(CAST(x AS DOUBLE) / n) AS v
+  FROM u
+),
+prior AS (
+  SELECT m, v,
+         m * (m * (1 - m) / v - 1) AS alpha,
+         (1 - m) * (m * (1 - m) / v - 1) AS beta
+  FROM mom
+)
+SELECT u.user_id, u.n, u.x,
+       round(CAST(u.x AS DOUBLE) / u.n, 6) AS raw_rate,
+       round((u.x + p.alpha) / (u.n + p.alpha + p.beta), 6)
+         AS shrunk_rate,
+       round(p.alpha, 6) AS alpha,
+       round(p.beta, 6) AS beta
+FROM u, prior p
+"""
+
+
+@register("beta_binomial_shrinkage", _BETABIN_SQL)
+def beta_binomial_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates: a method-of-moments Beta prior fitted to the population of
+    raw rates, then every user's rate is posterior-updated to
+    (x + alpha)/(n + alpha + beta) — small-sample users pull hard
+    toward the prior mean, whales barely move. This is the estimator
+    behind stable per-entity CTRs and the smoothing inside
+    target-encoding at scale. One combinable per-user fold, one
+    broadcast two-scalar prior, zero extra passes over the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    rate = F.col("x").cast("double") / F.col("n")
+    mom = u.agg(
+        F.avg(rate).alias("m"), F.var_samp(rate).alias("v")
+    )
+    c = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    prior = mom.select(
+        (F.col("m") * c).alias("alpha"),
+        ((1 - F.col("m")) * c).alias("beta"),
+    )
+    return u.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n",
+        "x",
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Standardization (g-formula) treatment-effect estimate
+# --------------------------------------------------------------------------
+
+_STDZ_SQL = """
+WITH cells AS (
+  SELECT (user_id // 2) % 4 AS bucket,
+         CAST(user_id % 2 AS BIGINT) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN treat = 1 THEN v100 ELSE 0 END) AS BIGINT)
+           AS s1,
+         CAST(sum(CASE WHEN treat = 0 THEN v100 ELSE 0 END) AS BIGINT)
+           AS s0
+  FROM cells GROUP BY bucket
+),
+calc AS (
+  SELECT bucket, n0, n1,
+         CAST(s0 AS DOUBLE) / 100 / n0 AS m0,
+         CAST(s1 AS DOUBLE) / 100 / n1 AS m1,
+         n0 + n1 AS nb,
+         sum(n0 + n1) OVER () AS nn
+  FROM per
+)
+SELECT bucket, n0, n1,
+       round(m0, 6) AS mean_control,
+       round(m1, 6) AS mean_treated,
+       round(m1 - m0, 6) AS diff,
+       round(sum((m1 - m0) * nb / nn) OVER (), 6) AS ate
+FROM calc
+"""
+
+
+@register("standardization_ate", _STDZ_SQL)
+def standardization_ate(spark, sf_dir):
+    """Standardization / g-formula average treatment effect: within
+    each confounder stratum (a deterministic user cohort independent
+    of the parity 'treatment') compare treated vs control means, then
+    average the per-stratum contrasts weighted by stratum size — the
+    back-door-adjusted estimate that survives confounded traffic
+    where the naive pooled difference does not. One conditional
+    combinable fold to 4 stratum rows of exact centi-unit bigints;
+    the weighting window runs over those 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    cells = ev.select(
+        (F.floor(F.col("user_id") / 2) % 4).alias("bucket"),
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        v100.alias("v100"),
+    )
+    per = cells.groupBy("bucket").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("v100")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("v100")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    calc = per.select(
+        "bucket",
+        "n0",
+        "n1",
+        (F.col("s0").cast("double") / 100 / F.col("n0")).alias("m0"),
+        (F.col("s1").cast("double") / 100 / F.col("n1")).alias("m1"),
+        (F.col("n0") + F.col("n1")).alias("nb"),
+        F.sum(F.col("n0") + F.col("n1")).over(wtot).alias("nn"),
+    )
+    return calc.select(
+        "bucket",
+        "n0",
+        "n1",
+        F.round("m0", 6).alias("mean_control"),
+        F.round("m1", 6).alias("mean_treated"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("diff"),
+        F.round(
+            F.sum(
+                (F.col("m1") - F.col("m0")) * F.col("nb") / F.col("nn")
+            ).over(wtot),
+            6,
+        ).alias("ate"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
