@@ -324,6 +324,9 @@ BENCH_QUERIES = [
     "mann_kendall_trend",
     "beta_binomial_shrinkage",
     "standardization_ate",
+    "rich_club_coefficient",
+    "waterfill_mixture",
+    "markov_attribution",
 ]
 
 

@@ -17156,6 +17156,483 @@ def standardization_ate(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Rich-club coefficient curve (do hubs preferentially interlink?)
+# --------------------------------------------------------------------------
+
+_RICH_CLUB_SQL = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+  UNION ALL SELECT i, (i * 3) % m FROM base
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw
+  WHERE s <> t
+),
+deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+nh AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d
+),
+eh AS (
+  SELECT least(x.d, y.d) AS mind, CAST(count(*) AS BIGINT) AS cnt
+  FROM und u JOIN deg x ON x.n = u.a JOIN deg y ON y.n = u.b
+  GROUP BY least(x.d, y.d)
+),
+ks AS (SELECT DISTINCT d AS k FROM deg),
+curve AS (
+  SELECT ks.k,
+         (SELECT coalesce(sum(cnt), 0) FROM nh WHERE nh.d > ks.k)
+           AS n_k,
+         (SELECT coalesce(sum(cnt), 0) FROM eh WHERE eh.mind > ks.k)
+           AS e_k
+  FROM ks
+)
+SELECT k, CAST(n_k AS BIGINT) AS n_nodes, CAST(e_k AS BIGINT) AS n_edges,
+       round(2.0 * e_k / (n_k * (n_k - 1.0)), 6) AS phi
+FROM curve WHERE n_k >= 2
+"""
+
+
+@register("rich_club_coefficient", _RICH_CLUB_SQL)
+def rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient phi(k) = density of the subgraph induced
+    by nodes of degree > k, for every observed degree threshold — the
+    hubs-stick-together diagnostic (Colizza 2006) that separates
+    hub-interlinked infrastructure graphs from star-like content
+    graphs. The whole curve costs two HISTOGRAMS: a degree histogram
+    (for N_k) and a min-endpoint-degree histogram over edges (for
+    E_k); each phi(k) is then a suffix sum over the degree domain —
+    bounded by distinct degrees, not nodes — so no per-threshold scan
+    of the graph ever happens. Both histograms are combinable exact
+    folds on the degree-joined edge snapshot."""
+    raw = _circulant_edges(spark, sf_dir)
+    a, b = F.least("s", "t"), F.greatest("s", "t")
+    und = (
+        raw.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    nh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    dx = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    dy = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    eh = (
+        und.join(dx, "a")
+        .join(dy, "b")
+        .groupBy(F.least("da", "db").alias("mind"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # suffix sums over the (tiny) degree domain: order by threshold
+    # descending, cumulative sum = count strictly above k
+    wn = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nk = nh.select(
+        F.col("d").alias("k"),
+        F.coalesce(F.sum("cnt").over(wn), F.lit(0).cast("bigint")).alias(
+            "n_k"
+        ),
+    )
+    we = Window.orderBy(F.col("mind").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ek_at = eh.select(
+        F.col("mind").alias("k"),
+        F.coalesce(F.sum("cnt").over(we), F.lit(0).cast("bigint")).alias(
+            "e_k"
+        ),
+    )
+    # e_k is defined for every degree threshold k; between observed
+    # mind values the suffix count is that of the next higher observed
+    # mind — realize it by joining each k to the smallest mind > k and
+    # summing, done directly with a range join over two tiny frames
+    ks = nk.select("k", "n_k")
+    ek = (
+        ks.join(eh, F.col("mind") > F.col("k"), "left")
+        .groupBy("k", "n_k")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("e_k"))
+    )
+    return ek.where(F.col("n_k") >= 2).select(
+        "k",
+        F.col("n_k").alias("n_nodes"),
+        F.col("e_k").alias("n_edges"),
+        F.round(
+            2.0 * F.col("e_k") / (F.col("n_k") * (F.col("n_k") - 1.0)), 6
+        ).alias("phi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Water-filling token-budget allocation across sources (epoch caps)
+# --------------------------------------------------------------------------
+
+_WATERFILL_SQL = """
+WITH src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS w_all,
+         CAST(sum(tokens) * 2 AS BIGINT) AS budget
+  FROM src
+),
+capd AS (
+  SELECT source, tokens,
+         CAST(tokens * (1 + (strpos('0123456789abcdef',
+                                    substr(md5(source), 1, 1)) - 1) % 4)
+              AS BIGINT) AS cap,
+         CAST(1 + (strpos('0123456789abcdef',
+                          substr(md5(source), 1, 1)) - 1) % 4 AS DOUBLE)
+           AS ratio
+  FROM src
+),
+ordered AS (
+  SELECT source, tokens, cap, ratio,
+         sum(cap) OVER w AS cap_cum,
+         sum(tokens) OVER w AS w_cum,
+         lead(ratio) OVER (ORDER BY ratio, source) AS next_ratio
+  FROM capd
+  WINDOW w AS (ORDER BY ratio, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lam AS (
+  SELECT coalesce(max(lam_k), CAST((SELECT budget FROM tot) AS DOUBLE)
+                              / (SELECT w_all FROM tot)) AS lam
+  FROM (
+    SELECT (CAST((SELECT budget FROM tot) AS DOUBLE) - cap_cum)
+           / ((SELECT w_all FROM tot) - w_cum) AS lam_k,
+           ratio, next_ratio
+    FROM ordered
+    WHERE (SELECT w_all FROM tot) > w_cum
+  )
+  WHERE lam_k >= ratio
+    AND (next_ratio IS NULL OR lam_k <= next_ratio)
+)
+SELECT c.source, c.tokens, c.cap,
+       CAST(floor(1000000.0 * least(CAST(c.cap AS DOUBLE),
+                                    (SELECT lam FROM lam) * c.tokens))
+            AS BIGINT) AS alloc_micro,
+       CASE WHEN (SELECT lam FROM lam) * c.tokens
+                 >= CAST(c.cap AS DOUBLE) THEN 1 ELSE 0 END AS saturated
+FROM capd c
+"""
+
+
+def _wf_epochs():
+    """Permitted epochs per source: 1-4 keyed on an md5 nibble —
+    identical expression on the oracle side. Built lazily: F.expr
+    needs an active SparkContext."""
+    return F.expr(
+        "1 + (instr('0123456789abcdef', substring(md5(source), 1, 1)) - 1)"
+        " % 4"
+    )
+
+
+@register("waterfill_mixture", _WATERFILL_SQL)
+def waterfill_mixture(spark, sf_dir):
+    """Water-filling token-budget allocation: split a training budget
+    (2x the corpus) across sources proportional to their size but
+    capped at each source's permitted epoch count — the mixture
+    solver behind every data-recipe that must not over-epoch a small
+    high-weight source. Closed form: sort sources by cap/weight
+    (= epochs), find the water level lambda where uncapped mass
+    absorbs what the saturated prefix cannot (the unique prefix k
+    with r_k <= lambda_k <= r_{k+1}), allocate min(cap, lambda * w).
+    Per-source token masses are one combinable fold; the level
+    search is a window over the source alphabet. Caps are
+    heterogeneous (1-4 epochs keyed on an md5 nibble of the source
+    name), so low-cap sources genuinely saturate and their shortfall
+    raises the water level for everyone else."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("tokens"))
+    )
+    tot = src.agg(
+        F.sum("tokens").cast("bigint").alias("w_all"),
+        (F.sum("tokens") * 2).cast("bigint").alias("budget"),
+    )
+    capd = src.select(
+        "source",
+        "tokens",
+        (F.col("tokens") * _wf_epochs()).cast("bigint").alias("cap"),
+        _wf_epochs().cast("double").alias("ratio"),
+    )
+    wcum = Window.orderBy("ratio", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlead = Window.orderBy("ratio", "source")
+    ordered = capd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "cap",
+        "ratio",
+        "w_all",
+        "budget",
+        F.sum("cap").over(wcum).alias("cap_cum"),
+        F.sum("tokens").over(wcum).alias("w_cum"),
+        F.lead("ratio").over(wlead).alias("next_ratio"),
+    )
+    lam_k = (F.col("budget").cast("double") - F.col("cap_cum")) / (
+        F.col("w_all") - F.col("w_cum")
+    )
+    lam = (
+        ordered.where(
+            (F.col("w_all") > F.col("w_cum"))
+            & (lam_k >= F.col("ratio"))
+            & (
+                F.col("next_ratio").isNull()
+                | (lam_k <= F.col("next_ratio"))
+            )
+        )
+        .agg(F.max(lam_k).alias("lam_found"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(
+                F.col("lam_found"),
+                F.col("budget").cast("double") / F.col("w_all"),
+            ).alias("lam")
+        )
+    )
+    return capd.crossJoin(F.broadcast(lam)).select(
+        "source",
+        "tokens",
+        "cap",
+        F.floor(
+            1000000.0
+            * F.least(
+                F.col("cap").cast("double"),
+                F.col("lam") * F.col("tokens"),
+            )
+        )
+        .cast("bigint")
+        .alias("alloc_micro"),
+        F.when(
+            F.col("lam") * F.col("tokens") >= F.col("cap").cast("double"),
+            1,
+        )
+        .otherwise(0)
+        .alias("saturated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain channel credit)
+# --------------------------------------------------------------------------
+
+_MARKOV_ROUNDS = 16
+
+
+def _markov_attr_sql(rounds: int = _MARKOV_ROUNDS) -> str:
+    """Oracle generator: the absorbing-chain fixed point unrolled to
+    the same bounded round count the engine runs."""
+    head = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+firstp AS (
+  SELECT user_id, min(rn) AS prn FROM ev
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id, e.event_type, e.rn, f.prn
+  FROM ev e LEFT JOIN firstp f USING (user_id)
+  WHERE f.prn IS NULL OR e.rn < f.prn
+),
+steps AS (
+  SELECT user_id, event_type AS frm, prn,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) AS jrn
+  FROM j
+),
+trans_raw AS (
+  SELECT 'start' AS frm, frm AS nxt FROM steps WHERE jrn = 1
+  UNION ALL
+  SELECT frm, nxt FROM steps WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT frm, CASE WHEN prn IS NOT NULL THEN 'conv' ELSE 'null' END
+  FROM steps WHERE nxt IS NULL
+  UNION ALL
+  SELECT 'start', 'conv' FROM firstp WHERE prn = 1
+),
+cnt AS MATERIALIZED (
+  SELECT frm, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM trans_raw GROUP BY frm, nxt
+),
+trans AS MATERIALIZED (
+  SELECT frm, nxt,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY frm) AS p
+  FROM cnt
+),
+scen AS (SELECT * FROM (VALUES ('none'), ('click'), ('error'),
+                        ('signup'), ('view')) s(sc)),
+trans_s AS MATERIALIZED (
+  SELECT scen.sc, t.frm, t.nxt, t.p
+  FROM trans t, scen
+  WHERE scen.sc = 'none' OR t.nxt <> scen.sc
+),
+states AS (SELECT * FROM (VALUES ('start'), ('click'), ('error'),
+                          ('signup'), ('view')) s(state)),
+v0 AS (SELECT scen.sc, states.state, 0.0 AS v FROM scen, states)"""
+    ctes = []
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        ctes.append(
+            f""",
+v{r} AS (
+  SELECT t.sc, t.frm AS state,
+         sum(t.p * CASE WHEN t.nxt = 'conv' THEN 1.0
+                        WHEN t.nxt = 'null' THEN 0.0
+                        ELSE coalesce(p.v, 0.0) END) AS v
+  FROM trans_s t LEFT JOIN {prev} p
+    ON p.sc = t.sc AND p.state = t.nxt
+  GROUP BY t.sc, t.frm
+)"""
+        )
+    tail = f""",
+base AS (SELECT v FROM v{rounds} WHERE sc = 'none' AND state = 'start'),
+eff AS (
+  SELECT sc AS channel, (SELECT v FROM base) AS p_conv, v AS p_removed,
+         1 - v / (SELECT v FROM base) AS removal
+  FROM v{rounds} WHERE sc <> 'none' AND state = 'start'
+)
+SELECT channel, round(p_conv, 6) AS p_conv,
+       round(p_removed, 6) AS p_removed,
+       round(removal, 6) AS removal_effect,
+       round(removal / sum(removal) OVER (), 6) AS credit
+FROM eff
+"""
+    return head + "".join(ctes) + tail
+
+
+@register("markov_attribution", _markov_attr_sql())
+def markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014): model
+    journeys as a first-order absorbing chain over channels
+    (start -> channels -> conv/null, journeys truncated at the first
+    purchase), solve P(absorb in conv) by a BOUNDED 16-round value
+    iteration, then re-solve with each channel's inbound transitions
+    deleted — a channel's credit is how much conversion probability
+    vanishes without it. Unlike positional attribution this prices
+    indirect assists. The corpus is touched ONCE (journey windows per
+    user + one combinable transition count); the transition matrix
+    is alphabet-bounded (<= (channels+3)^2 rows), so — exactly like
+    connected_components' dictionary-sized fast path — the fixed
+    point is solved on the aggregated matrix after a bounded
+    collect, never looping Spark stages over a 100-row frame; 100 TB
+    of journeys compresses to the same tiny fixed-point problem.
+    Oracle unrolls the identical rounds as CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    firstp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = e.join(firstp, "user_id", "left").where(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = j.select(
+        "user_id",
+        F.col("event_type").alias("frm"),
+        "prn",
+        F.lead("event_type").over(wj).alias("nxt"),
+        F.row_number().over(wj).alias("jrn"),
+    )
+    trans_raw = (
+        steps.where(F.col("jrn") == 1)
+        .select(F.lit("start").alias("frm"), F.col("frm").alias("nxt"))
+        .unionAll(
+            steps.where(F.col("nxt").isNotNull()).select("frm", "nxt")
+        )
+        .unionAll(
+            steps.where(F.col("nxt").isNull()).select(
+                "frm",
+                F.when(F.col("prn").isNotNull(), F.lit("conv"))
+                .otherwise(F.lit("null"))
+                .alias("nxt"),
+            )
+        )
+        .unionAll(
+            firstp.where(F.col("prn") == 1).select(
+                F.lit("start").alias("frm"), F.lit("conv").alias("nxt")
+            )
+        )
+    )
+    cnt = trans_raw.groupBy("frm", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # alphabet-bounded collect (<= (channels+3)^2 rows): the
+    # dictionary-sized fast path, same rationale as
+    # connected_components' local_threshold branch
+    rows = cnt.collect()
+    out_tot: dict = {}
+    for r in rows:
+        out_tot[r["frm"]] = out_tot.get(r["frm"], 0) + r["n"]
+    trans = sorted(
+        (r["frm"], r["nxt"], r["n"] / out_tot[r["frm"]]) for r in rows
+    )
+    channels = ["click", "error", "signup", "view"]
+    states = ["start", *channels]
+    result = []
+    p_conv_base = None
+    for sc in ["none", *channels]:
+        t_sc = [(f, t, p) for f, t, p in trans if sc == "none" or t != sc]
+        v = {st: 0.0 for st in states}
+        for _ in range(_MARKOV_ROUNDS):
+            acc: dict = {}
+            for f, t, p in t_sc:
+                w = (
+                    1.0
+                    if t == "conv"
+                    else (0.0 if t == "null" else v.get(t, 0.0))
+                )
+                acc[f] = acc.get(f, 0.0) + p * w
+            v = {st: acc.get(st, 0.0) for st in states}
+        if sc == "none":
+            p_conv_base = v["start"]
+        else:
+            result.append((sc, v["start"]))
+    removals = [(c, 1 - pv / p_conv_base) for c, pv in result]
+    tot_rem = sum(rem for _, rem in removals)
+    out = [
+        (
+            c,
+            round(p_conv_base, 6),
+            round(pv, 6),
+            round(rem, 6),
+            round(rem / tot_rem, 6),
+        )
+        for (c, pv), (_, rem) in zip(result, removals)
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv double, p_removed double,"
+        " removal_effect double, credit double",
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
