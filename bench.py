@@ -327,6 +327,9 @@ BENCH_QUERIES = [
     "rich_club_coefficient",
     "waterfill_mixture",
     "markov_attribution",
+    "market_share_q8",
+    "rolling_distinct_exact",
+    "fd_violations",
 ]
 
 

@@ -17633,6 +17633,232 @@ def markov_attribution(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q8-style market share (two-role dimension star join)
+# --------------------------------------------------------------------------
+
+_MKT_SHARE_SQL = """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         sn.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT yr,
+       round(CAST(sum(volume) AS DOUBLE), 2) AS total_rev,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                           THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS DOUBLE), 2) AS nation_rev,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                           THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY yr
+"""
+
+
+@register("market_share_q8", _MKT_SHARE_SQL)
+def market_share_q8(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: the 8-table star where
+    nation plays TWO roles (customer's nation gates the ASIA region,
+    supplier's nation is the share numerator) and the part-type
+    filter prunes the fact scan. Join order: lineitem keeps its own
+    keys, every dimension — nation twice, region, part, supplier —
+    broadcasts, and orders/customer ride AQE's runtime choice; the
+    region and type predicates reach the scans as pushed filters.
+    Revenue stays in exact DECIMAL until the final per-year report.
+    The canonical does-my-optimizer-handle-role-playing-dims probe."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("volume"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("yr")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"),
+        F.col("n_regionkey").alias("crk"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("snk"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+            zero
+        )
+    )
+    return j.groupBy("yr").agg(
+        F.round(F.sum("volume").cast("double"), 2).alias("total_rev"),
+        F.round(nat.cast("double"), 2).alias("nation_rev"),
+        F.round(nat.cast("double") / F.sum("volume").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact trailing-window distinct users per day (dedup-then-expand)
+# --------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day_num FROM du),
+expand AS (
+  SELECT d.day_num, du.user_id
+  FROM days d JOIN du
+    ON du.day_num BETWEEN d.day_num - 6 AND d.day_num
+)
+SELECT day_num, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM expand GROUP BY day_num
+"""
+
+
+@register("rolling_distinct_exact", _ROLLING_DISTINCT_SQL)
+def rolling_distinct_exact(spark, sf_dir):
+    """EXACT trailing-7-day distinct users per day (the windowed-WAU
+    twin of rolling_distinct_sketch): first dedup to (day, user) —
+    the one pass over the fact table, combinable — then each of the
+    bounded 7 window offsets re-keys that small daily-actives frame
+    and a distinct-count per day finishes. The expand join fans each
+    (day, user) row to at most 7 rows of the DEDUPED frame (days x
+    active users), never the raw event stream, which is what makes
+    exactness affordable where the sketch trades it away."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    du = (
+        ev.select(
+            F.floor(sec / 86400).cast("bigint").alias("day_num"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = du.select("day_num").distinct().select(
+        F.col("day_num").alias("d")
+    )
+    expand = days.join(
+        du,
+        (F.col("day_num") >= F.col("d") - 6)
+        & (F.col("day_num") <= F.col("d")),
+    )
+    return expand.groupBy(F.col("d").alias("day_num")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency violation profiling (data-repair planning)
+# --------------------------------------------------------------------------
+
+_FD_SQL = """
+WITH pairs AS (
+  SELECT 'lang->source' AS fd, lang AS lhs, source AS rhs FROM documents
+  UNION ALL
+  SELECT 'source->lang', source, lang FROM documents
+  UNION ALL
+  SELECT 'user->type', CAST(user_id AS VARCHAR), event_type FROM events
+  UNION ALL
+  SELECT 'type->props', event_type, props FROM events
+),
+grp AS (
+  SELECT fd, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS ndv_rhs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY fd, lhs
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN ndv_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(sum(CASE WHEN ndv_rhs > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_in_violation,
+       CASE WHEN sum(CASE WHEN ndv_rhs > 1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS holds
+FROM grp GROUP BY fd
+"""
+
+
+@register("fd_violations", _FD_SQL)
+def fd_violations(spark, sf_dir):
+    """Functional-dependency profiling: for each candidate rule
+    lhs -> rhs, count determinant groups whose right side is not
+    unique — the discovery step a data-repair / schema-normalization
+    pass runs before choosing merge keys. Each FD check is one
+    combinable groupBy with an exact distinct-count on the
+    aggregated key; candidates stack as a union so the profiler
+    reports every rule's support and violation mass in one result.
+    A rule with holds=1 is usable as a lossless lookup key at 100 TB."""
+
+    def cand(df, fd, lhs, rhs):
+        return df.select(
+            F.lit(fd).alias("fd"),
+            F.col(lhs).cast("string").alias("lhs"),
+            F.col(rhs).cast("string").alias("rhs"),
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        cand(d, "lang->source", "lang", "source")
+        .unionAll(cand(d, "source->lang", "source", "lang"))
+        .unionAll(cand(ev, "user->type", "user_id", "event_type"))
+        .unionAll(cand(ev, "type->props", "event_type", "props"))
+    )
+    grp = pairs.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").cast("bigint").alias("ndv_rhs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    viol = F.sum(F.when(F.col("ndv_rhs") > 1, 1).otherwise(0))
+    return grp.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        viol.cast("bigint").alias("violating_groups"),
+        F.sum(F.when(F.col("ndv_rhs") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_violation"),
+        F.when(viol == 0, 1).otherwise(0).alias("holds"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
