@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "market_share_q8",
     "rolling_distinct_exact",
     "fd_violations",
+    "small_order_revenue_q17",
+    "prefix_zscore_anomaly",
 ]
 
 

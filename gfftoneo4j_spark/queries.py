@@ -17859,6 +17859,167 @@ def fd_violations(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q17-style small-order revenue (decorrelated scalar subquery)
+# --------------------------------------------------------------------------
+
+_Q17_SQL = """
+WITH pb AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'
+),
+li AS (
+  SELECT l.l_partkey, l.l_quantity,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem l JOIN pb ON l.l_partkey = pb.p_partkey
+),
+avgq AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS nq
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(count(DISTINCT li.l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(li.price) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM li JOIN avgq ON li.l_partkey = avgq.l_partkey
+WHERE li.l_quantity < 0.2 * (CAST(sq AS DOUBLE) / nq)
+"""
+
+
+@register("small_order_revenue_q17", _Q17_SQL)
+def small_order_revenue_q17(spark, sf_dir):
+    """TPC-H Q17-shaped small-order revenue: lines of one brand whose
+    quantity falls under 20% of that part's average order size — the
+    classic CORRELATED scalar subquery, decorrelated the way a
+    distributed optimizer must run it: one combinable per-part
+    average (exact integer sufficient statistics), re-joined on the
+    part key so both sides shuffle once on the same key (or broadcast
+    when the brand slice is dim-sized). The brand predicate prunes
+    through the join into both parquet scans; revenue stays DECIMAL
+    until the final report. Correlated-subquery-as-join is the
+    pattern every 100-TB 'compare each row to its group' query needs."""
+    pb = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_quantity",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        .join(F.broadcast(pb), F.col("l_partkey") == pb["p_partkey"])
+        .drop("p_partkey")
+        .localCheckpoint(eager=True)
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("nq"),
+    )
+    j = li.join(F.broadcast(avgq), F.col("l_partkey") == F.col("ak")).where(
+        F.col("l_quantity")
+        < 0.2 * (F.col("sq").cast("double") / F.col("nq"))
+    )
+    return j.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("price").cast("double") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix z-score anomalies (batch twin of the Welford streaming op)
+# --------------------------------------------------------------------------
+
+_PREFIX_Z_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+pre AS (
+  SELECT user_id, event_id, sec, v100,
+         row_number() OVER w AS i,
+         coalesce(sum(v100) OVER (PARTITION BY user_id ORDER BY sec,
+           event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS s_prev,
+         coalesce(sum(v100 * v100) OVER (PARTITION BY user_id ORDER BY
+           sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+           1 PRECEDING), 0) AS ss_prev
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+)
+SELECT user_id, event_id, v100,
+       CAST(i - 1 AS BIGINT) AS n_prior,
+       round((CAST(v100 AS DOUBLE) - CAST(s_prev AS DOUBLE) / (i - 1))
+             / sqrt((CAST(ss_prev AS DOUBLE)
+                     - CAST(s_prev AS DOUBLE) * s_prev / (i - 1))
+                    / (i - 2)), 6) AS z,
+       CASE WHEN abs((CAST(v100 AS DOUBLE)
+                      - CAST(s_prev AS DOUBLE) / (i - 1))
+                 / sqrt((CAST(ss_prev AS DOUBLE)
+                         - CAST(s_prev AS DOUBLE) * s_prev / (i - 1))
+                        / (i - 2))) > 3 THEN 1 ELSE 0 END AS is_anomaly
+FROM pre
+WHERE i > 5
+  AND (CAST(ss_prev AS DOUBLE)
+       - CAST(s_prev AS DOUBLE) * s_prev / (i - 1)) > 0
+"""
+
+
+@register("prefix_zscore_anomaly", _PREFIX_Z_SQL)
+def prefix_zscore_anomaly(spark, sf_dir):
+    """Leak-free online anomaly scores: each event's z-score against
+    ONLY its user's PRIOR history (prefix mean/variance) — the batch
+    twin of the Welford streaming operator
+    (streaming/anomaly.streaming_welford_anomaly), which maintains
+    the same prefix moments as O(1) per-user state; the pytest
+    asserts cross-microbatch parity against this query. Prefix sums
+    run in exact centi-unit bigints inside user-keyed windows (no
+    global sort), so both engines derive identical doubles; scoring
+    starts after a 5-event burn-in."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    pre = ev.select(
+        "user_id",
+        "event_id",
+        "v100",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("v100").over(wprev), F.lit(0).cast("bigint")
+        ).alias("s_prev"),
+        F.coalesce(
+            F.sum(F.col("v100") * F.col("v100")).over(wprev),
+            F.lit(0).cast("bigint"),
+        ).alias("ss_prev"),
+    )
+    n1 = F.col("i") - 1
+    var_num = (
+        F.col("ss_prev").cast("double")
+        - F.col("s_prev").cast("double") * F.col("s_prev") / n1
+    )
+    z = (
+        F.col("v100").cast("double") - F.col("s_prev").cast("double") / n1
+    ) / F.sqrt(var_num / (F.col("i") - 2))
+    return pre.where((F.col("i") > 5) & (var_num > 0)).select(
+        "user_id",
+        "event_id",
+        "v100",
+        n1.cast("bigint").alias("n_prior"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
