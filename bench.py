@@ -332,6 +332,9 @@ BENCH_QUERIES = [
     "fd_violations",
     "small_order_revenue_q17",
     "prefix_zscore_anomaly",
+    "custdist_q13",
+    "dormant_customers_q22",
+    "stickiness_ratio",
 ]
 
 

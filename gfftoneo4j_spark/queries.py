@@ -18020,6 +18020,174 @@ def prefix_zscore_anomaly(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q13-style customer order-count distribution (outer join + CoC)
+# --------------------------------------------------------------------------
+
+_Q13_SQL = """
+WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+@register("custdist_q13", _Q13_SQL)
+def custdist_q13(spark, sf_dir):
+    """TPC-H Q13-shaped customer distribution: how many customers
+    placed exactly k orders, INCLUDING k = 0 — the count-of-counts
+    histogram that only a LEFT outer join can produce (an inner join
+    silently drops the zero class every churn analysis needs). Two
+    combinable aggregations: per-customer order count (count of the
+    nullable right-side key, so unmatched customers count 0), then
+    the distribution over counts, whose cardinality is bounded by the
+    max order frequency."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22-style dormant high-balance customers (scalar sub + anti join)
+# --------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH avgbal AS (
+  SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+  FROM customer WHERE c_acctbal > 0
+),
+cand AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         c_custkey
+  FROM customer
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (SELECT ab FROM avgbal)
+),
+dormant AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = cand.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(bal) AS DOUBLE), 2) AS totacctbal
+FROM dormant GROUP BY cntrycode
+"""
+
+
+@register("dormant_customers_q22", _Q22_SQL)
+def dormant_customers_q22(spark, sf_dir):
+    """TPC-H Q22-shaped sales-opportunity scan: customers holding an
+    above-average positive balance with no order SINCE 2000 (dormant
+    accounts), rolled up by country code — the scalar-subquery +
+    NOT-EXISTS pattern. The average balance is one fold whose scalar
+    re-enters the plan as a broadcast; the NOT EXISTS compiles to a
+    LEFT ANTI join against the date-filtered orders keys (the date
+    predicate prunes the anti-join build side at the scan); DECIMAL
+    balances keep the rollup exact."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    avgbal = cust.where(F.col("bal") > 0).agg(F.avg("bal").alias("ab"))
+    cand = cust.crossJoin(F.broadcast(avgbal)).where(
+        F.col("bal") > F.col("ab")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    dormant = cand.join(o, "c_custkey", "left_anti")
+    return dormant.groupBy(
+        F.col("c_nationkey").cast("string").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.round(F.sum("bal").cast("double"), 2).alias("totacctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DAU/WAU stickiness ratio per day
+# --------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         user_id
+  FROM events
+),
+dau AS (
+  SELECT day_num, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day_num
+),
+wau AS (
+  SELECT d.day_num, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT day_num FROM du) d
+  JOIN du ON du.day_num BETWEEN d.day_num - 6 AND d.day_num
+  GROUP BY d.day_num
+)
+SELECT dau.day_num, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day_num)
+"""
+
+
+@register("stickiness_ratio", _STICKINESS_SQL)
+def stickiness_ratio(spark, sf_dir):
+    """DAU/WAU stickiness per day — the fraction of the week's
+    audience that showed up today, the engagement ratio every growth
+    report tracks. Builds on the exact trailing-window distinct
+    machinery (dedup to (day, user) once; DAU is a count on that
+    frame, WAU expands it over the bounded 7-day offset) and joins
+    the two day-keyed aggregates; everything past the single dedup
+    pass is day-cardinality work."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    du = (
+        ev.select(
+            F.floor(sec / 86400).cast("bigint").alias("day_num"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dau = du.groupBy("day_num").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    days = du.select("day_num").distinct().select(
+        F.col("day_num").alias("d")
+    )
+    wau = (
+        days.join(
+            du,
+            (F.col("day_num") >= F.col("d") - 6)
+            & (F.col("day_num") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day_num"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day_num").select(
+        "day_num",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
