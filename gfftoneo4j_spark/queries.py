@@ -17762,9 +17762,12 @@ def rolling_distinct_exact(spark, sf_dir):
     the one pass over the fact table, combinable — then each of the
     bounded 7 window offsets re-keys that small daily-actives frame
     and a distinct-count per day finishes. The expand join fans each
-    (day, user) row to at most 7 rows of the DEDUPED frame (days x
-    active users), never the raw event stream, which is what makes
-    exactness affordable where the sketch trades it away."""
+    (day, user) row to EXACTLY 7 rows via an explode of the window
+    offsets — a bounded equi-join shape (no range/nested-loop join
+    anywhere), never the raw event stream, which is what makes
+    exactness affordable where the sketch trades it away; a semi
+    join against observed days drops the phantom report days the
+    explode creates past gaps."""
     ev = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts").cast("bigint")
     du = (
@@ -17774,17 +17777,17 @@ def rolling_distinct_exact(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    days = du.select("day_num").distinct().select(
-        F.col("day_num").alias("d")
+    days = du.select("day_num").distinct()
+    expand = du.select(
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + 6)
+        ).alias("rday"),
+        "user_id",
     )
-    expand = days.join(
-        du,
-        (F.col("day_num") >= F.col("d") - 6)
-        & (F.col("day_num") <= F.col("d")),
-    )
-    return expand.groupBy(F.col("d").alias("day_num")).agg(
+    wau = expand.groupBy(F.col("rday").alias("day_num")).agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
+    return wau.join(days, "day_num", "left_semi").select("day_num", "wau")
 
 
 # --------------------------------------------------------------------------
@@ -18151,9 +18154,11 @@ def stickiness_ratio(spark, sf_dir):
     audience that showed up today, the engagement ratio every growth
     report tracks. Builds on the exact trailing-window distinct
     machinery (dedup to (day, user) once; DAU is a count on that
-    frame, WAU expands it over the bounded 7-day offset) and joins
-    the two day-keyed aggregates; everything past the single dedup
-    pass is day-cardinality work."""
+    frame, WAU explodes each row over the bounded 7 window offsets —
+    equi-join shape, no range join) and joins the two day-keyed
+    aggregates; the inner join on DAU days drops phantom report days
+    past gaps, and everything after the single dedup pass is
+    day-cardinality work."""
     ev = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts").cast("bigint")
     du = (
@@ -18166,16 +18171,14 @@ def stickiness_ratio(spark, sf_dir):
     dau = du.groupBy("day_num").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
-    days = du.select("day_num").distinct().select(
-        F.col("day_num").alias("d")
-    )
     wau = (
-        days.join(
-            du,
-            (F.col("day_num") >= F.col("d") - 6)
-            & (F.col("day_num") <= F.col("d")),
+        du.select(
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("rday"),
+            "user_id",
         )
-        .groupBy(F.col("d").alias("day_num"))
+        .groupBy(F.col("rday").alias("day_num"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
     return dau.join(wau, "day_num").select(
