@@ -335,6 +335,8 @@ BENCH_QUERIES = [
     "custdist_q13",
     "dormant_customers_q22",
     "stickiness_ratio",
+    "best_split_finder",
+    "split_conformal",
 ]
 
 

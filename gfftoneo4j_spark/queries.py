@@ -18191,6 +18191,310 @@ def stickiness_ratio(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Histogram-based best-split finder (tree-induction step)
+# --------------------------------------------------------------------------
+
+_SPLIT_SQL = """
+WITH lab AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v100,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bounds AS (
+  SELECT min(v100) AS lo, max(v100) AS hi FROM lab
+),
+binned AS (
+  SELECT least(31, CAST(floor((v100 - (SELECT lo FROM bounds)) * 32.0
+           / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds) + 1))
+           AS INTEGER)) AS bin,
+         y
+  FROM lab
+),
+hist AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(pos) AS BIGINT) AS np FROM hist),
+pre AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         sum(pos) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+  FROM hist
+),
+gains AS (
+  SELECT bin AS split_bin, CAST(nl AS BIGINT) AS n_left,
+         CAST(pl AS BIGINT) AS pos_left,
+         CAST(floor(1000000000.0 * (
+           ent(CAST((SELECT np FROM tot) AS DOUBLE)
+               / (SELECT nn FROM tot))
+           - (CAST(nl AS DOUBLE) / (SELECT nn FROM tot))
+             * ent(CAST(pl AS DOUBLE) / nl)
+           - (CAST((SELECT nn FROM tot) - nl AS DOUBLE)
+              / (SELECT nn FROM tot))
+             * ent(CAST((SELECT np FROM tot) - pl AS DOUBLE)
+                   / ((SELECT nn FROM tot) - nl))
+         )) AS BIGINT) AS gain_nano
+  FROM pre
+  WHERE nl > 0 AND nl < (SELECT nn FROM tot)
+)
+SELECT split_bin, n_left, pos_left, gain_nano,
+       CASE WHEN row_number() OVER (ORDER BY gain_nano DESC, split_bin)
+                 = 1 THEN 1 ELSE 0 END AS is_best
+FROM gains
+"""
+
+
+def _entropy_macro(p: str) -> str:
+    """Binary entropy H(p) in SQL, 0-safe: -p log2 p - q log2 q."""
+    return (
+        f"(CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
+        f"ELSE -({p}) * log2({p}) - (1 - ({p})) * log2(1 - ({p})) END)"
+    )
+
+
+# expand the ent() placeholders (DuckDB has no ent function; inline the
+# 0-safe binary entropy macro textually so oracle and engine share it)
+import re as _re  # noqa: E402
+
+_SPLIT_SQL = _re.sub(
+    r"ent\(((?:[^()]|\([^()]*(?:\([^()]*\)[^()]*)*\))*)\)",
+    lambda m: _entropy_macro(f"({m.group(1)})"),
+    _SPLIT_SQL,
+)
+
+
+@register("best_split_finder", _SPLIT_SQL)
+def best_split_finder(spark, sf_dir):
+    """Histogram-based best-split search — the inner loop of
+    distributed gradient-boosting/decision-tree induction (the
+    LightGBM/XGBoost 'hist' strategy): bin the feature into 32
+    equal-width bins with ONE combinable (n, positives) fold, then
+    every candidate split's information gain falls out of prefix
+    sums over the 32-row histogram. The fact table is touched once;
+    the gain argmax (nano fixed point, deterministic bin tie-break)
+    runs on bounded rows. Label = is-purchase, feature = event
+    value."""
+    lab = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bounds = lab.agg(
+        F.min("v100").alias("lo"), F.max("v100").alias("hi")
+    )
+    binned = lab.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(31),
+            F.floor(
+                (F.col("v100") - F.col("lo"))
+                * 32.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = hist.select(
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("pl"),
+    ).crossJoin(F.broadcast(tot))
+
+    def ent(p):
+        return (
+            F.when((p <= 0) | (p >= 1), F.lit(0.0))
+            .otherwise(-p * F.log2(p) - (1 - p) * F.log2(1 - p))
+        )
+
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nn, np_ = F.col("nn").cast("double"), F.col("np").cast("double")
+    gain = (
+        ent(np_ / nn)
+        - (nl / nn) * ent(pl / nl)
+        - ((nn - nl) / nn) * ent((np_ - pl) / (nn - nl))
+    )
+    gains = pre.where(
+        (F.col("nl") > 0) & (F.col("nl") < F.col("nn"))
+    ).select(
+        F.col("bin").alias("split_bin"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        F.floor(1000000000.0 * gain).cast("bigint").alias("gain_nano"),
+    )
+    wr = Window.orderBy(F.col("gain_nano").desc(), "split_bin")
+    return gains.select(
+        "split_bin",
+        "n_left",
+        "pos_left",
+        "gain_nano",
+        F.when(F.row_number().over(wr) == 1, 1).otherwise(0).alias(
+            "is_best"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals (distributed exact order stat)
+# --------------------------------------------------------------------------
+
+_CONFORMAL_SQL = """
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+lab AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   <= (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS is_cal
+  FROM events
+),
+mu AS MATERIALIZED (
+  SELECT event_type,
+         CAST(sum(v100) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lab WHERE is_cal = 1 GROUP BY event_type
+),
+resid AS MATERIALIZED (
+  SELECT l.event_type, l.is_cal,
+         abs(CAST(l.v100 AS DOUBLE) / 100
+             - CAST(m.s AS DOUBLE) / 100 / m.n) AS r
+  FROM lab l JOIN mu m USING (event_type)
+),
+caln AS (SELECT CAST(count(*) AS BIGINT) AS n FROM resid WHERE is_cal = 1),
+qhat AS (
+  SELECT r AS q FROM resid WHERE is_cal = 1
+  ORDER BY r
+  LIMIT 1
+  OFFSET (CAST(ceil(((SELECT n FROM caln) + 1) * 0.9) AS BIGINT) - 1)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN r <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       round(CAST(sum(CASE WHEN r <= (SELECT q FROM qhat)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS coverage,
+       round((SELECT q FROM qhat), 6) AS qhat
+FROM resid WHERE is_cal = 0 GROUP BY event_type
+"""
+
+
+@register("split_conformal", _CONFORMAL_SQL)
+def split_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals with a finite-sample 90%
+    guarantee: fit a trivial per-type mean on the calibration half
+    (exact integer sufficient stats), take q_hat = the
+    ceil((n+1)*0.9)-th smallest absolute residual, and audit coverage
+    on the held-out half. The order statistic is computed the
+    DISTRIBUTED way — range-bucket the residuals, cumulative bucket
+    counts locate the target bucket, and only THAT bucket's rows are
+    ever sorted (the dense_ids prune applied to quantiles) — no
+    global sort, no percentile_approx approximation. q_hat re-enters
+    the coverage scan as one broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    mid = ev.agg(
+        F.floor(
+            (F.min(sec).cast("bigint") + F.max(sec).cast("bigint")) / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    lab = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+        F.when(sec <= F.col("mid"), 1).otherwise(0).alias("is_cal"),
+    )
+    mu = (
+        lab.where(F.col("is_cal") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum("v100").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    resid = lab.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "is_cal",
+        F.abs(
+            F.col("v100").cast("double") / 100
+            - F.col("s").cast("double") / 100 / F.col("n")
+        ).alias("r"),
+    ).localCheckpoint(eager=True)
+    cal = resid.where(F.col("is_cal") == 1)
+    # ---- distributed exact order statistic on cal.r ----
+    cb = cal.agg(
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    bucketed = cal.crossJoin(F.broadcast(cb)).select(
+        "r",
+        F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("r") - F.col("lo"))
+                * 64.0
+                / (F.col("hi") - F.col("lo") + 1e-9)
+            ).cast("int"),
+        ).alias("bk"),
+        F.ceil((F.col("n") + 1) * 0.9).cast("bigint").alias("k"),
+    )
+    counts = bucketed.groupBy("bk", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    target = counts.select(
+        "bk",
+        "k",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("bigint")).alias(
+            "before"
+        ),
+    ).where(
+        (F.col("before") < F.col("k"))
+        & (F.col("k") <= F.col("before") + F.col("cnt"))
+    )
+    wloc = Window.partitionBy("bk").orderBy("r")
+    qhat = (
+        bucketed.join(
+            F.broadcast(target.select("bk", "before", F.col("k").alias("kk"))),
+            "bk",
+        )
+        .select("r", "before", "kk", F.row_number().over(wloc).alias("lr"))
+        .where(F.col("before") + F.col("lr") == F.col("kk"))
+        .select(F.col("r").alias("q"))
+    )
+    test = resid.where(F.col("is_cal") == 0)
+    cov = F.sum(
+        F.when(F.col("r") <= F.col("q"), 1).otherwise(0)
+    )
+    return test.crossJoin(F.broadcast(qhat)).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        cov.cast("bigint").alias("n_covered"),
+        F.round(
+            cov.cast("double") / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+        F.round(F.first("q"), 6).alias("qhat"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
