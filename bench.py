@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "stickiness_ratio",
     "best_split_finder",
     "split_conformal",
+    "ann_recall_eval",
+    "ari_nmi_agreement",
 ]
 
 

@@ -18495,6 +18495,252 @@ def split_conformal(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# ANN recall evaluation (approximate vs exact ground truth)
+# --------------------------------------------------------------------------
+
+_ANN_RECALL_SQL = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q JOIN ex e ON q.i = e.i AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(dp / (nq.nrm * ne.nrm), 3) DESC, neighbor_id)
+             AS rank
+    FROM dots
+    JOIN n nq ON nq.vec_id = query_id
+    JOIN n ne ON ne.vec_id = neighbor_id
+  ) WHERE rank <= 3
+),
+planes AS (SELECT vec_id - 5 AS plane_idx, i, x FROM ex
+           WHERE vec_id BETWEEN 5 AND 8),
+bitdots AS (
+  SELECT e.vec_id, p.plane_idx, sum(e.x * p.x) AS dp
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.plane_idx
+),
+buckets AS (
+  SELECT vec_id AS id,
+         CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, plane_idx)
+                                             AS INTEGER) ELSE 0 END)
+              AS INTEGER) AS bucket
+  FROM bitdots GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.x * e.x) AS dp
+  FROM q JOIN buckets bq ON bq.id = q.vec_id
+  JOIN buckets be ON be.bucket = bq.bucket AND be.id <> q.vec_id
+  JOIN ex e ON e.vec_id = be.id AND e.i = q.i
+  GROUP BY q.vec_id, e.vec_id
+),
+lsh3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(dp / (nq.nrm * ne.nrm), 3) DESC, neighbor_id)
+             AS rank
+    FROM cand
+    JOIN n nq ON nq.vec_id = query_id
+    JOIN n ne ON ne.vec_id = neighbor_id
+  ) WHERE rank <= 3
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS recall
+FROM exact3 e
+LEFT JOIN lsh3 l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_eval", _ANN_RECALL_SQL)
+def ann_recall_eval(spark, sf_dir):
+    """Recall@3 of the LSH-bucketed ANN against the exact brute-force
+    top-k — the accept/reject gate every approximate index must pass
+    before it replaces the exact path in production. Both rankings
+    reuse the registered operators (SIM.cosine_topk ground truth,
+    SIM.lsh_topk candidate path); the eval itself is a left join of
+    two query-keyed top-3 frames, so measuring recall costs only the
+    two searches it audits. Low recall here is the signal to add
+    multiprobe or more planes, not a failure of the eval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.where(F.col("vec_id") < 5).select("vec_id")
+    exact = SIM.cosine_topk(emb, qids, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    planes = emb.where(F.col("vec_id").between(5, 8)).select(
+        (F.col("vec_id") - 5).cast("int").alias("plane_idx"),
+        F.col("embedding").alias("plane"),
+    )
+    lsh = SIM.lsh_topk(emb, qids, planes, k=3).select(
+        F.col("query_id").alias("lq"),
+        F.col("neighbor_id").alias("ln"),
+        F.lit(1).alias("hit"),
+    )
+    j = exact.join(
+        lsh,
+        (F.col("query_id") == F.col("lq"))
+        & (F.col("neighbor_id") == F.col("ln")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Clustering agreement: adjusted Rand index + normalized mutual info
+# --------------------------------------------------------------------------
+
+_ARI_NMI_SQL = """
+WITH lab AS (
+  SELECT (doc_id % 3 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                 < '3' THEN 1 ELSE 0 END) % 3 AS a,
+         (doc_id % 3 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'b'),
+                                        1, 1) < '3' THEN 2 ELSE 0 END) % 3
+           AS b
+  FROM documents
+),
+ct AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS nij FROM lab GROUP BY a, b
+),
+ma AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY a),
+mb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY b),
+nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+sums AS (
+  SELECT
+    (SELECT CAST(sum(nij * (nij - 1) / 2) AS BIGINT) FROM ct) AS sij,
+    (SELECT CAST(sum(ai * (ai - 1) / 2) AS BIGINT) FROM ma) AS sa,
+    (SELECT CAST(sum(bj * (bj - 1) / 2) AS BIGINT) FROM mb) AS sb,
+    (SELECT CAST(n * (n - 1) / 2 AS BIGINT) FROM nn) AS sn,
+    (SELECT n FROM nn) AS n
+),
+info AS (
+  SELECT
+    (SELECT sum((CAST(nij AS DOUBLE) / s.n)
+                * ln(CAST(s.n AS DOUBLE) * nij / (ma.ai * mb.bj)))
+     FROM ct JOIN ma USING (a) JOIN mb USING (b)) AS mi,
+    (SELECT -sum((CAST(ai AS DOUBLE) / s.n)
+                 * ln(CAST(ai AS DOUBLE) / s.n)) FROM ma) AS ha,
+    (SELECT -sum((CAST(bj AS DOUBLE) / s.n)
+                 * ln(CAST(bj AS DOUBLE) / s.n)) FROM mb) AS hb
+  FROM sums s
+)
+SELECT s.n,
+       round((CAST(s.sij AS DOUBLE)
+              - CAST(s.sa AS DOUBLE) * s.sb / s.sn)
+             / (0.5 * (s.sa + s.sb)
+                - CAST(s.sa AS DOUBLE) * s.sb / s.sn), 6) AS ari,
+       round(i.mi / sqrt(i.ha * i.hb), 6) AS nmi
+FROM sums s, info i
+"""
+
+
+@register("ari_nmi_agreement", _ARI_NMI_SQL)
+def ari_nmi_agreement(spark, sf_dir):
+    """Adjusted Rand index and normalized mutual information between
+    the two noisy annotators' partitions — the chance-corrected
+    clustering-agreement pair every dedup/ER evaluation reports
+    (pairwise view via ARI, information view via NMI). Everything
+    derives from ONE contingency fold (the alphabet-squared groupBy);
+    pair counts stay exact bigints, entropies come from exact
+    marginals, so both engines agree bit-for-bit on the inputs to
+    the two final formulas."""
+    d = load_table(spark, sf_dir, "documents")
+    latent = F.col("doc_id") % 3
+    flip_a = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3"
+    flip_b = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("b"))),
+            1,
+            1,
+        )
+        < "3"
+    )
+    lab = d.select(
+        ((latent + F.when(flip_a, 1).otherwise(0)) % 3).alias("a"),
+        ((latent + F.when(flip_b, 2).otherwise(0)) % 3).alias("b"),
+    )
+    ct = lab.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    ).localCheckpoint(eager=True)
+    ma = ct.groupBy("a").agg(F.sum("nij").cast("bigint").alias("ai"))
+    mb = ct.groupBy("b").agg(F.sum("nij").cast("bigint").alias("bj"))
+    nn = ct.agg(F.sum("nij").cast("bigint").alias("n"))
+
+    def c2(c):
+        return F.sum(c * (c - 1) / 2).cast("bigint")
+
+    sums = (
+        ct.agg(c2(F.col("nij")).alias("sij"))
+        .crossJoin(ma.agg(c2(F.col("ai")).alias("sa")))
+        .crossJoin(mb.agg(c2(F.col("bj")).alias("sb")))
+        .crossJoin(nn.select(
+            (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("sn"),
+            "n",
+        ))
+    )
+    joined = ct.join(ma, "a").join(mb, "b").crossJoin(F.broadcast(nn))
+    mi = joined.agg(
+        F.sum(
+            (F.col("nij").cast("double") / F.col("n"))
+            * F.log(
+                F.col("n").cast("double")
+                * F.col("nij")
+                / (F.col("ai") * F.col("bj"))
+            )
+        ).alias("mi")
+    )
+    ha = ma.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum(
+            (F.col("ai").cast("double") / F.col("n"))
+            * F.log(F.col("ai").cast("double") / F.col("n"))
+        )).alias("ha")
+    )
+    hb = mb.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum(
+            (F.col("bj").cast("double") / F.col("n"))
+            * F.log(F.col("bj").cast("double") / F.col("n"))
+        )).alias("hb")
+    )
+    row = sums.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+    sa, sb, sij, sn = (
+        F.col("sa").cast("double"),
+        F.col("sb").cast("double"),
+        F.col("sij").cast("double"),
+        F.col("sn").cast("double"),
+    )
+    return row.select(
+        "n",
+        F.round(
+            (sij - sa * sb / sn) / (0.5 * (sa + sb) - sa * sb / sn), 6
+        ).alias("ari"),
+        F.round(
+            F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")), 6
+        ).alias("nmi"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
