@@ -339,6 +339,9 @@ BENCH_QUERIES = [
     "split_conformal",
     "ann_recall_eval",
     "ari_nmi_agreement",
+    "mutual_nn_pairs",
+    "forecast_backtest",
+    "edge_structural_similarity",
 ]
 
 

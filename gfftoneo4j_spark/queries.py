@@ -18741,6 +18741,337 @@ def ari_nmi_agreement(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Mutual nearest-neighbor pairs (LSH-bucketed, both directions agree)
+# --------------------------------------------------------------------------
+
+_MNN_SQL = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+planes AS (SELECT vec_id - 5 AS plane_idx, i, x FROM ex
+           WHERE vec_id BETWEEN 5 AND 8),
+bitdots AS (
+  SELECT e.vec_id, p.plane_idx, sum(e.x * p.x) AS dp
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.plane_idx
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id AS id,
+         CAST(sum(CASE WHEN dp > 0 THEN CAST(power(2, plane_idx)
+                                             AS INTEGER) ELSE 0 END)
+              AS INTEGER) AS bucket
+  FROM bitdots GROUP BY vec_id
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+pairs AS MATERIALIZED (
+  SELECT b1.id AS id1, b2.id AS id2, sum(e1.x * e2.x) AS dp
+  FROM buckets b1 JOIN buckets b2
+    ON b1.bucket = b2.bucket AND b1.id <> b2.id
+  JOIN ex e1 ON e1.vec_id = b1.id
+  JOIN ex e2 ON e2.vec_id = b2.id AND e2.i = e1.i
+  GROUP BY b1.id, b2.id
+),
+scored AS MATERIALIZED (
+  SELECT id1, id2, round(dp / (n1.nrm * n2.nrm), 3) AS score
+  FROM pairs JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+),
+best AS MATERIALIZED (
+  SELECT id1, id2, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY id1
+                                 ORDER BY score DESC, id2) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT a.id1 AS id_a, a.id2 AS id_b, a.score
+FROM best a JOIN best b ON b.id1 = a.id2 AND b.id2 = a.id1
+WHERE a.id1 < a.id2
+"""
+
+
+@register("mutual_nn_pairs", _MNN_SQL)
+def mutual_nn_pairs(spark, sf_dir):
+    """Mutual nearest neighbors inside LSH buckets: a pair survives
+    only if each vector is the OTHER's best in-bucket cosine match —
+    the reciprocal-best-hit rule that mines translation pairs and
+    high-precision duplicate seeds (one-directional top-1 is noisy;
+    mutuality is the cheap precision filter). Buckets bound the pair
+    space (never corpus-quadratic), the per-vector argmax is a
+    bucket-partitioned window, and mutuality is one self-join of the
+    tiny best-match frame on the reversed key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.where(F.col("vec_id").between(5, 8)).select(
+        (F.col("vec_id") - 5).cast("int").alias("plane_idx"),
+        F.col("embedding").alias("plane"),
+    )
+    buckets = SIM.hyperplane_buckets(emb, planes)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).join(buckets, "id")
+    a = v.select(
+        F.col("id").alias("id1"),
+        F.col("v").alias("v1"),
+        "bucket",
+    )
+    b = v.select(
+        F.col("id").alias("id2"),
+        F.col("v").alias("v2"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("id1") != F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                SIM.dot(F.col("v1"), F.col("v2"))
+                / (SIM.norm(F.col("v1")) * SIM.norm(F.col("v2"))),
+                3,
+            ).alias("score"),
+        )
+    )
+    wb = Window.partitionBy("id1").orderBy(F.col("score").desc(), "id2")
+    best = (
+        scored.select("id1", "id2", "score", F.row_number().over(wb).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    other = best.select(
+        F.col("id1").alias("o1"), F.col("id2").alias("o2")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("o1") == F.col("id2")) & (F.col("o2") == F.col("id1")),
+        )
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            F.col("id1").alias("id_a"),
+            F.col("id2").alias("id_b"),
+            "score",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest: sMAPE + MASE of naive forecasters per segment
+# --------------------------------------------------------------------------
+
+_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day_num
+),
+lagd AS (
+  SELECT event_type, day_num, y,
+         lag(y, 1) OVER w AS f1,
+         lag(y, 7) OVER w AS f7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+),
+m AS (
+  SELECT event_type,
+         CAST(count(f1) AS BIGINT) AS n1,
+         CAST(count(f7) AS BIGINT) AS n7,
+         CAST(sum(abs(y - f1)) AS BIGINT) AS sae1,
+         CAST(sum(abs(y - f7)) AS BIGINT) AS sae7,
+         sum(CASE WHEN f1 IS NOT NULL
+                  THEN 2.0 * abs(y - f1) / (abs(y) + abs(f1)) END)
+           AS smape_sum
+  FROM lagd GROUP BY event_type
+)
+SELECT event_type, n1 AS n_days, sae1, sae7,
+       round(smape_sum / n1, 6) AS smape1,
+       round((CAST(sae7 AS DOUBLE) / n7)
+             / (CAST(sae1 AS DOUBLE) / n1), 6) AS mase7
+FROM m
+"""
+
+
+@register("forecast_backtest", _BACKTEST_SQL)
+def forecast_backtest(spark, sf_dir):
+    """Forecast backtesting without a model: score the naive
+    (yesterday) and seasonal-naive (last week) forecasters on daily
+    revenue per event type with sMAPE and MASE — the benchmark floor
+    every forecasting pipeline must beat before it earns compute.
+    MASE > 1 for the weekly forecaster means the corpus has no weekly
+    seasonality worth modeling. Daily sums are exact centi-unit
+    bigints from one combinable fold; the lags are type-keyed windows
+    over day-cardinality rows; absolute errors stay integer until the
+    two final ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(sec / 86400).cast("bigint").alias("day_num"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    lagd = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("f1"),
+        F.lag("y", 7).over(w).alias("f7"),
+    )
+    m = lagd.groupBy("event_type").agg(
+        F.count("f1").cast("bigint").alias("n1"),
+        F.count("f7").cast("bigint").alias("n7"),
+        F.sum(F.abs(F.col("y") - F.col("f1"))).cast("bigint").alias("sae1"),
+        F.sum(F.abs(F.col("y") - F.col("f7"))).cast("bigint").alias("sae7"),
+        F.sum(
+            F.when(
+                F.col("f1").isNotNull(),
+                2.0
+                * F.abs(F.col("y") - F.col("f1"))
+                / (F.abs(F.col("y")) + F.abs(F.col("f1"))),
+            )
+        ).alias("smape_sum"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n1").alias("n_days"),
+        "sae1",
+        "sae7",
+        F.round(F.col("smape_sum") / F.col("n1"), 6).alias("smape1"),
+        F.round(
+            (F.col("sae7").cast("double") / F.col("n7"))
+            / (F.col("sae1").cast("double") / F.col("n1")),
+            6,
+        ).alias("mase7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCAN-style edge structural similarity (support / degree geometry)
+# --------------------------------------------------------------------------
+
+_SCAN_SQL = f"""
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i + 2) % m FROM base
+  UNION ALL SELECT i, (i + 3) % m FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+),
+{_truss_support_block("sc", "e0")}
+SELECT u.a, u.b, coalesce(s.support, 0) AS support,
+       round((coalesce(s.support, 0) + 2.0)
+             / sqrt((da.d + 1.0) * (db.d + 1.0)), 6) AS sigma,
+       CASE WHEN (coalesce(s.support, 0) + 2.0)
+                 / sqrt((da.d + 1.0) * (db.d + 1.0)) >= 0.5
+            THEN 1 ELSE 0 END AS is_core
+FROM e0 u
+LEFT JOIN scsup s ON s.a = u.a AND s.b = u.b
+JOIN scdeg da ON da.n = u.a
+JOIN scdeg db ON db.n = u.b
+"""
+
+
+@register("edge_structural_similarity", _SCAN_SQL)
+def edge_structural_similarity(spark, sf_dir):
+    """SCAN structural similarity per edge (Xu et al. 2007):
+    sigma(u,v) = (|common neighbors| + 2) / sqrt((d_u+1)(d_v+1)),
+    the first stage of structure-based community/hub/outlier
+    labeling — epsilon-core edges (sigma >= 0.5) seed the clusters.
+    Common-neighbor counts reuse the degree-oriented triangle
+    enumeration (sqrt(2m)-bounded wedge work, one count per edge),
+    degrees are one combinable histogram, and the report is a left
+    join so zero-support bridge edges keep sigma defined. Input: the
+    triangle-rich additive circulant."""
+    from gfftoneo4j_spark.operators.graph import _enumerate_triangles
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = d.count()
+    base = d.select((F.col("doc_id") % mm).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % mm).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 2) % mm).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 3) % mm).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % mm).alias("t")
+            )
+        )
+    )
+    a, b = F.least("s", "t"), F.greatest("s", "t")
+    und = (
+        raw.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    tris = _enumerate_triangles(und)
+    sup = (
+        tris.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .unionAll(
+            tris.select(
+                F.least("x", "z").alias("a"),
+                F.greatest("x", "z").alias("b"),
+            )
+        )
+        .unionAll(
+            tris.select(
+                F.least("y", "z").alias("a"),
+                F.greatest("y", "z").alias("b"),
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    j = (
+        und.join(sup, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias(
+                "support"
+            ),
+            "da",
+            "db",
+        )
+    )
+    sigma = (F.col("support") + 2.0) / F.sqrt(
+        (F.col("da") + 1.0) * (F.col("db") + 1.0)
+    )
+    return j.select(
+        "a",
+        "b",
+        "support",
+        F.round(sigma, 6).alias("sigma"),
+        F.when(sigma >= 0.5, 1).otherwise(0).alias("is_core"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
