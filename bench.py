@@ -342,6 +342,9 @@ BENCH_QUERIES = [
     "mutual_nn_pairs",
     "forecast_backtest",
     "edge_structural_similarity",
+    "entity_conv_diversity",
+    "ppl_filter_sweep",
+    "minhash_calibration",
 ]
 
 

@@ -19072,6 +19072,285 @@ def edge_structural_similarity(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Entity conversation diversity (KG star rollup)
+# --------------------------------------------------------------------------
+
+_ENT_DIVERSITY_SQL = f"""
+WITH t AS ({_KG_TRANSCRIPTS_SQL}),
+m AS (
+  SELECT conv_id,
+         'ent:E_' || regexp_replace(
+           regexp_extract(text, '<<m:([A-Za-z0-9_.\\-]+)>>', 1),
+           '[0-9]+$', '') || '0' AS ent
+  FROM t
+)
+SELECT ent, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT conv_id), 6)
+         AS mentions_per_conv
+FROM m GROUP BY ent
+"""
+
+
+@register("entity_conv_diversity", _ENT_DIVERSITY_SQL)
+def entity_conv_diversity(spark, sf_dir):
+    """Per-entity conversation diversity over the constructed KG: how
+    many mentions each canonical entity has and across how many
+    distinct conversations — the spread-vs-burst signal that
+    separates corpus-wide entities from one-thread obsessions when
+    ranking what to canonicalize first. The engine walks the actual
+    graph (has_mention joined to refers_to joined to in_conv on the
+    shared turn/mention keys — a 3-edge star over the triple store),
+    while the oracle derives the same rollup closed-form from the
+    transcript template; agreeing proves the pipeline's edges carry
+    the information losslessly."""
+    t = QUERIES["kg_triples"](spark, sf_dir).localCheckpoint(eager=True)
+    hm = t.where(F.col("pred") == "has_mention").select(
+        F.col("subj").alias("turn"), F.col("obj").alias("mention")
+    )
+    rt = t.where(F.col("pred") == "refers_to").select(
+        F.col("subj").alias("mention"), F.col("obj").alias("ent")
+    )
+    ic = t.where(F.col("pred") == "in_conv").select(
+        F.col("subj").alias("turn"), F.col("obj").alias("conv")
+    )
+    star = hm.join(rt, "mention").join(ic, "turn")
+    return star.groupBy("ent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.countDistinct("conv").cast("bigint").alias("n_convs"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("conv"), 6
+        ).alias("mentions_per_conv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-filter operating curve (drop-rate sweep)
+# --------------------------------------------------------------------------
+
+_PPL_SWEEP_SQL = f"""
+WITH scored AS ({_LM_PPL_SQL}),
+bounds AS (
+  SELECT min(ppl) AS lo, max(ppl) AS hi,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM scored
+),
+grid AS (SELECT i FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) g(i)),
+cut AS (
+  SELECT g.i, b.lo + g.i * (b.hi - b.lo) / 8 AS thr, b.n_all
+  FROM grid g, bounds b
+)
+SELECT c.i AS step, round(c.thr, 6) AS threshold,
+       CAST(count(s.doc_id) AS BIGINT) AS n_kept,
+       round(CAST(count(s.doc_id) AS DOUBLE) / c.n_all, 6) AS frac_kept,
+       CAST(sum(CAST(floor(s.ppl * 100) AS BIGINT)) AS BIGINT)
+         AS kept_ppl_cents
+FROM cut c LEFT JOIN scored s ON s.ppl <= c.thr
+GROUP BY c.i, c.thr, c.n_all
+"""
+
+
+@register("ppl_filter_sweep", _PPL_SWEEP_SQL)
+def ppl_filter_sweep(spark, sf_dir):
+    """Operating curve for the perplexity quality filter: for 7
+    evenly spaced cutoffs between the corpus's min and max bigram
+    perplexity, how much data survives and at what total perplexity
+    mass — the keep-rate-vs-threshold table a data curator reads
+    BEFORE freezing the filter, instead of picking a cutoff blind.
+    Documents are scored once (the existing bigram-LM operator);
+    the sweep joins that scored frame against a 7-row broadcast
+    threshold grid, so widening the grid never re-reads the corpus.
+    Kept mass is summed in exact cents of (2dp-pinned) perplexity."""
+    from gfftoneo4j_spark.operators.lm import bigram_perplexity
+
+    scored = bigram_perplexity(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    bounds = scored.agg(
+        F.min("ppl").alias("lo"),
+        F.max("ppl").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    grid = spark.range(1, 8).select(F.col("id").cast("int").alias("i"))
+    cut = grid.crossJoin(F.broadcast(bounds)).select(
+        "i",
+        (
+            F.col("lo") + F.col("i") * (F.col("hi") - F.col("lo")) / 8
+        ).alias("thr"),
+        "n_all",
+    )
+    j = F.broadcast(cut).join(
+        scored, scored["ppl"] <= F.col("thr"), "left"
+    )
+    return j.groupBy("i", "thr", "n_all").agg(
+        F.count("doc_id").cast("bigint").alias("n_kept"),
+        F.round(
+            F.count("doc_id").cast("double") / F.first("n_all"), 6
+        ).alias("frac_kept"),
+        F.sum(F.floor(F.col("ppl") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("kept_ppl_cents"),
+    ).select(
+        F.col("i").alias("step"),
+        F.round("thr", 6).alias("threshold"),
+        "n_kept",
+        "frac_kept",
+        "kept_ppl_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration (estimated vs exact Jaccard by bucket)
+# --------------------------------------------------------------------------
+
+_MINHASH_CAL_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, t.tok AS token
+  FROM corpus, unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''
+),
+sigs AS MATERIALIZED (
+  SELECT id,
+    min(md5('0:' || token)) AS sig_0, min(md5('1:' || token)) AS sig_1,
+    min(md5('2:' || token)) AS sig_2, min(md5('3:' || token)) AS sig_3,
+    min(md5('4:' || token)) AS sig_4, min(md5('5:' || token)) AS sig_5,
+    min(md5('6:' || token)) AS sig_6, min(md5('7:' || token)) AS sig_7
+  FROM tok GROUP BY id
+),
+banded AS (
+  SELECT id, 0 AS band, md5(sig_0 || '|' || sig_1) AS band_hash FROM sigs
+  UNION ALL SELECT id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+  UNION ALL SELECT id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+  UNION ALL SELECT id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.id < b.id
+  WHERE a.id % 5 = 0 AND b.id % 5 = 0
+),
+match_cnt AS (
+  SELECT c.id_a, c.id_b,
+         CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_6 = sb.sig_6 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.sig_7 = sb.sig_7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS k_match
+  FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN tok a ON a.id = c.id_a
+  JOIN tok b ON b.id = c.id_b AND b.token = a.token
+  GROUP BY c.id_a, c.id_b
+),
+truth AS (
+  SELECT m.id_a, m.id_b, m.k_match,
+         CAST(floor(1000000.0 * coalesce(i.i, 0)
+              / (sa.sz + sb.sz - coalesce(i.i, 0))) AS BIGINT) AS j_micro
+  FROM match_cnt m
+  LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+  JOIN sizes sa ON sa.id = m.id_a
+  JOIN sizes sb ON sb.id = m.id_b
+)
+SELECT k_match, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(k_match / 8.0, 6) AS est_jaccard,
+       round(CAST(sum(j_micro) AS DOUBLE) / 1000000 / count(*), 6)
+         AS mean_true_jaccard
+FROM truth GROUP BY k_match
+"""
+
+
+@register("minhash_calibration", _MINHASH_CAL_SQL)
+def minhash_calibration(spark, sf_dir):
+    """Calibration audit of the MinHash estimator: for every banded
+    candidate pair, compare the signature-agreement estimate
+    (matching hashes / k) with the EXACT token Jaccard, bucketed by
+    agreement count — the is-my-sketch-honest table that decides
+    whether 8 permutations suffice before the sketch gates a 100-TB
+    dedup. Candidates come from the same banded LSH (never all
+    pairs), restricted to a deterministic 1-in-5 audit stratum on
+    both endpoints — calibration needs a representative sample, not
+    the full pair mass; exact Jaccards are computed only for those
+    candidates and pinned to micro-integers before the per-bucket
+    mean."""
+    from gfftoneo4j_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        tokens,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, "doc_id", "text", k=8).localCheckpoint(
+        eager=True
+    )
+    cand = lsh_candidate_pairs(sigs, 8, 4).where(
+        (F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0)
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)],
+    )
+    k_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    mc = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", k_match.cast("bigint").alias("k_match"))
+    )
+    tok = tokens(corpus, "doc_id", "text")
+    sizes = tok.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        mc.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
+    ii = F.coalesce(F.col("i"), F.lit(0).cast("bigint"))
+    truth = (
+        mc.join(inter, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "k_match",
+            F.floor(
+                1000000.0 * ii / (F.col("sza") + F.col("szb") - ii)
+            )
+            .cast("bigint")
+            .alias("j_micro"),
+        )
+    )
+    return truth.groupBy("k_match").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.col("k_match") / 8.0, 6).alias("est_jaccard"),
+        F.round(
+            F.sum("j_micro").cast("double") / 1000000 / F.count(F.lit(1)),
+            6,
+        ).alias("mean_true_jaccard"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
