@@ -345,6 +345,9 @@ BENCH_QUERIES = [
     "entity_conv_diversity",
     "ppl_filter_sweep",
     "minhash_calibration",
+    "greedy_set_cover",
+    "simpsons_check",
+    "consistent_join_sample",
 ]
 
 

@@ -19351,6 +19351,300 @@ def minhash_calibration(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Greedy set cover: pick sources maximizing vocabulary coverage
+# --------------------------------------------------------------------------
+
+
+def _set_cover_sql(rounds: int = 3) -> str:
+    """Oracle generator: unrolled greedy rounds. inc{r} scores each
+    remaining source by uncovered-word gain; pick{r} takes the
+    argmax (ties -> source name); cov{r} accumulates covered words."""
+    head = """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT source, t.tok AS w
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+cov0 AS (SELECT NULL AS w WHERE 1 = 0),
+picked0 AS (SELECT NULL AS source WHERE 1 = 0)"""
+    parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+gain{r} AS (
+  SELECT s.source, CAST(coalesce(g.cnt, 0) AS BIGINT) AS gain
+  FROM (SELECT DISTINCT source FROM inc
+        WHERE source NOT IN (SELECT source FROM picked{p})) s
+  LEFT JOIN (
+    SELECT source, count(*) AS cnt FROM inc
+    WHERE w NOT IN (SELECT w FROM cov{p})
+    GROUP BY source
+  ) g USING (source)
+),
+pick{r} AS (
+  SELECT source, gain, {r} AS step FROM gain{r}
+  ORDER BY gain DESC, source LIMIT 1
+),
+picked{r} AS (
+  SELECT source FROM picked{p} UNION ALL SELECT source FROM pick{r}
+),
+cov{r} AS (
+  SELECT w FROM cov{p}
+  UNION
+  SELECT i.w FROM inc i JOIN pick{r} USING (source)
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT step, source, gain FROM pick{r}"
+        for r in range(1, rounds + 1)
+    )
+    tail = f""",
+total AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_words FROM inc),
+steps AS ({sel})
+SELECT s.step, s.source, s.gain,
+       CAST(sum(s.gain) OVER (ORDER BY s.step
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS covered,
+       round(CAST(sum(s.gain) OVER (ORDER BY s.step
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT n_words FROM total), 6) AS coverage
+FROM steps s
+"""
+    return head + "".join(parts) + tail
+
+
+@register("greedy_set_cover", _set_cover_sql())
+def greedy_set_cover(spark, sf_dir):
+    """Greedy maximum-coverage source selection: pick 3 sources, each
+    round taking the source whose documents add the most NOT-yet-
+    covered vocabulary — the classic (1 - 1/e)-approximate submodular
+    selection a data-mixing team runs to cover token space with the
+    fewest licensing deals. The corpus is folded ONCE into a
+    (source, word) incidence frame; each bounded greedy round is an
+    anti-join + argmax on that alphabet-sized frame (the oracle
+    unrolls identical rounds). Marginal gains are exact integers, so
+    the pick sequence is fully deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    inc = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    total = inc.select("w").distinct().count()
+    covered = None
+    picked: list = []
+    out = []
+    run = 0
+    for step in (1, 2, 3):
+        remaining = inc.select("source").distinct()
+        g = inc
+        if picked:
+            pf = spark.createDataFrame(
+                [(s,) for s in picked], "source string"
+            )
+            remaining = remaining.join(pf, "source", "left_anti")
+            g = g.join(pf, "source", "left_anti")
+        if covered is not None:
+            g = g.join(covered, "w", "left_anti")
+        gain = remaining.join(
+            g.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            ),
+            "source",
+            "left",
+        ).select(
+            "source",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("gain"),
+        )
+        best = gain.orderBy(F.col("gain").desc(), "source").limit(1).collect()[0]
+        picked.append(best["source"])
+        run += best["gain"]
+        out.append((step, best["source"], best["gain"], run,
+                    round(run / total, 6)))
+        newly = inc.where(F.col("source") == best["source"]).select("w")
+        covered = (
+            newly if covered is None else covered.union(newly)
+        ).distinct().localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out,
+        "step int, source string, gain bigint, covered bigint,"
+        " coverage double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Simpson's paradox detector (pooled vs stratified association)
+# --------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH cells AS (
+  SELECT (user_id // 2) % 4 AS bucket,
+         CAST(user_id % 2 AS BIGINT) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN treat = 1 THEN v100 ELSE 0 END) AS BIGINT)
+           AS s1,
+         CAST(sum(CASE WHEN treat = 0 THEN v100 ELSE 0 END) AS BIGINT)
+           AS s0
+  FROM cells GROUP BY bucket
+),
+strat AS (
+  SELECT bucket, n0, n1,
+         CAST(s1 AS DOUBLE) / 100 / n1
+           - CAST(s0 AS DOUBLE) / 100 / n0 AS diff
+  FROM per
+),
+pooled AS (
+  SELECT CAST(sum(s1) AS DOUBLE) / 100 / sum(n1)
+           - CAST(sum(s0) AS DOUBLE) / 100 / sum(n0) AS pdiff
+  FROM per
+)
+SELECT s.bucket, s.n0, s.n1, round(s.diff, 6) AS strat_diff,
+       round(p.pdiff, 6) AS pooled_diff,
+       CASE WHEN sign(s.diff) <> 0 AND sign(p.pdiff) <> 0
+                 AND sign(s.diff) <> sign(p.pdiff)
+            THEN 1 ELSE 0 END AS reversed
+FROM strat s, pooled p
+"""
+
+
+@register("simpsons_check", _SIMPSON_SQL)
+def simpsons_check(spark, sf_dir):
+    """Simpson's-paradox detector: the pooled treated-vs-control
+    difference next to every stratum's within-stratum difference,
+    flagging sign reversals — the aggregation trap where a metric
+    'wins' overall while losing in every cohort (or vice versa),
+    which standardization_ate is the cure for. One conditional fold
+    to 4 exact-integer stratum rows; the pooled contrast is a sum of
+    those same counters, so detector and strata can never disagree
+    on inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    cells = ev.select(
+        (F.floor(F.col("user_id") / 2) % 4).alias("bucket"),
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        v100.alias("v100"),
+    )
+    per = cells.groupBy("bucket").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("v100")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("v100")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    pooled = per.agg(
+        (
+            F.sum("s1").cast("double") / 100 / F.sum("n1")
+            - F.sum("s0").cast("double") / 100 / F.sum("n0")
+        ).alias("pdiff")
+    )
+    diff = (
+        F.col("s1").cast("double") / 100 / F.col("n1")
+        - F.col("s0").cast("double") / 100 / F.col("n0")
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "bucket",
+        "n0",
+        "n1",
+        F.round(diff, 6).alias("strat_diff"),
+        F.round("pdiff", 6).alias("pooled_diff"),
+        F.when(
+            (F.signum(diff) != 0)
+            & (F.signum(F.col("pdiff")) != 0)
+            & (F.signum(diff) != F.signum(F.col("pdiff"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("reversed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hash-consistent cross-table sampling (joinable 10% sample)
+# --------------------------------------------------------------------------
+
+_CONSISTENT_SAMPLE_SQL = """
+WITH su AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0', 'a')
+),
+se AS (
+  SELECT e.* FROM events e JOIN su USING (user_id)
+),
+tot AS (
+  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+           AS users_all,
+         (SELECT CAST(count(*) AS BIGINT) FROM su) AS users_kept,
+         (SELECT CAST(count(*) AS BIGINT) FROM events) AS events_all,
+         (SELECT CAST(count(*) AS BIGINT) FROM se) AS events_kept,
+         (SELECT CAST(count(*) AS BIGINT) FROM se
+          WHERE user_id NOT IN (SELECT user_id FROM su)) AS orphans
+)
+SELECT users_all, users_kept, events_all, events_kept, orphans,
+       round(CAST(users_kept AS DOUBLE) / users_all, 6) AS user_rate,
+       round(CAST(events_kept AS DOUBLE) / events_all, 6) AS event_rate
+FROM tot
+"""
+
+
+@register("consistent_join_sample", _CONSISTENT_SAMPLE_SQL)
+def consistent_join_sample(spark, sf_dir):
+    """Hash-consistent sampling: keep a user iff a fixed md5 nibble
+    of the KEY falls in a 2/16 range, then take every fact row of
+    kept users — so independently sampled tables still JOIN (row-level
+    Bernoulli sampling would orphan ~90% of each table's join
+    partners). The audit reports both rates and proves zero orphans.
+    This is how 100-TB pipelines build faithful dev slices: the
+    hash-range predicate pushes to every table's scan, no coordination
+    or shared state between samplers."""
+    ev = load_table(spark, sf_dir, "events")
+    keep = F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 1
+    ).isin("0", "a")
+    su = ev.where(keep).select("user_id").distinct().localCheckpoint(
+        eager=True
+    )
+    se = ev.join(F.broadcast(su), "user_id")
+    users_all = ev.select("user_id").distinct().count()
+    users_kept = su.count()
+    events_all = ev.count()
+    events_kept = se.count()
+    orphans = se.join(su, "user_id", "left_anti").count()
+    return spark.createDataFrame(
+        [
+            (
+                users_all,
+                users_kept,
+                events_all,
+                events_kept,
+                orphans,
+                round(users_kept / users_all, 6),
+                round(events_kept / events_all, 6),
+            )
+        ],
+        "users_all bigint, users_kept bigint, events_all bigint,"
+        " events_kept bigint, orphans bigint, user_rate double,"
+        " event_rate double",
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
