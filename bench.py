@@ -348,6 +348,8 @@ BENCH_QUERIES = [
     "greedy_set_cover",
     "simpsons_check",
     "consistent_join_sample",
+    "densest_subgraph_peel",
+    "source_influence_loo",
 ]
 
 

@@ -19645,6 +19645,205 @@ def consistent_join_sample(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Densest-subgraph 2(1+eps)-approx via parallel peeling (Bahmani 2012)
+# --------------------------------------------------------------------------
+
+
+def _densest_sql(rounds: int = 6) -> str:
+    """Oracle generator: unrolled parallel peel rounds. Each round
+    removes every node whose degree is <= (1+eps) * average degree,
+    recording the density before the cut."""
+    head = """
+WITH m AS (SELECT count(*) AS m FROM documents),
+base AS (SELECT doc_id % m.m AS i, m.m AS m FROM documents, m),
+raw AS (
+  SELECT i AS s, (i + 1) % m AS t FROM base
+  UNION ALL SELECT i, (i + 2) % m FROM base
+  UNION ALL SELECT i, (i + 3) % m FROM base
+  UNION ALL SELECT i, (i * 2) % m FROM base
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+)"""
+    parts = []
+    for r in range(rounds):
+        nxt = r + 1
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e{r} UNION ALL SELECT b AS n FROM e{r}
+  ) GROUP BY n
+),
+st{r} AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS ee
+  FROM d{r}
+),
+keep{r} AS MATERIALIZED (
+  SELECT n FROM d{r}
+  WHERE CAST(d AS DOUBLE)
+        > 1.1 * 2.0 * (SELECT ee FROM st{r}) / (SELECT nn FROM st{r})
+),
+e{nxt} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN keep{r} ka ON ka.n = e.a
+  JOIN keep{r} kb ON kb.n = e.b
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, nn AS n_nodes, ee AS n_edges FROM st{r}"
+        for r in range(rounds)
+    )
+    tail = f""",
+curve AS ({sel})
+SELECT round, n_nodes, n_edges,
+       round(CAST(n_edges AS DOUBLE) / n_nodes, 6) AS density,
+       CASE WHEN row_number() OVER (
+              ORDER BY CAST(n_edges AS DOUBLE) / n_nodes DESC, round) = 1
+            THEN 1 ELSE 0 END AS is_best
+FROM curve WHERE n_nodes > 0
+"""
+    return head + "".join(parts) + tail
+
+
+@register("densest_subgraph_peel", _densest_sql())
+def densest_subgraph_peel(spark, sf_dir):
+    """Densest-subgraph 2(1+eps)-approximation by PARALLEL peeling
+    (Bahmani-Kumar-Vassilvitskii 2012, the MapReduce algorithm):
+    each round drops EVERY node whose degree is at most (1+eps)
+    times the current average degree — O(log n) rounds total instead
+    of |V| sequential min-degree deletions — and the densest
+    prefix of the peel curve is a 2(1+eps)-approx of the true
+    densest subgraph. Per round: one combinable degree histogram,
+    two scalar counters re-entering as broadcasts, one semi-join
+    against the kept set, all on an eagerly checkpointed shrinking
+    edge frame. The density curve itself is the report (is_best
+    marks the certified round)."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = d.count()
+    base = d.select((F.col("doc_id") % mm).alias("i"))
+    raw = (
+        base.select(F.col("i").alias("s"), ((F.col("i") + 1) % mm).alias("t"))
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 2) % mm).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") + 3) % mm).alias("t")
+            )
+        )
+        .unionAll(
+            base.select(
+                F.col("i").alias("s"), ((F.col("i") * 2) % mm).alias("t")
+            )
+        )
+    )
+    a, b = F.least("s", "t"), F.greatest("s", "t")
+    e = (
+        raw.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    curve = []
+    for r in range(6):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        nn = deg.count()
+        ee = e.count()
+        if nn == 0:
+            break
+        curve.append((r, nn, ee))
+        thr = 1.1 * 2.0 * ee / nn
+        keep = deg.where(F.col("d").cast("double") > thr).select("n")
+        ka = keep.select(F.col("n").alias("a"))
+        kb = keep.select(F.col("n").alias("b"))
+        e = e.join(ka, "a").join(kb, "b").localCheckpoint(eager=True)
+    best = max(range(len(curve)), key=lambda i: (curve[i][2] / curve[i][1], -i))
+    rows = [
+        (r, nn, ee, round(ee / nn, 6), 1 if i == best else 0)
+        for i, (r, nn, ee) in enumerate(curve)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, n_nodes bigint, n_edges bigint, density double,"
+        " is_best int",
+    )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-source-out influence on corpus statistics (data valuation)
+# --------------------------------------------------------------------------
+
+_SOURCE_LOO_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss
+  FROM g
+)
+SELECT g.source, g.n, g.s,
+       round(CAST(g.s AS DOUBLE) / g.n, 6) AS source_mean,
+       round(CAST(tot.ss AS DOUBLE) / tot.nn, 6) AS corpus_mean,
+       round(CAST(tot.ss - g.s AS DOUBLE) / (tot.nn - g.n)
+             - CAST(tot.ss AS DOUBLE) / tot.nn, 6) AS loo_delta
+FROM g, tot
+"""
+
+
+@register("source_influence_loo", _SOURCE_LOO_SQL)
+def source_influence_loo(spark, sf_dir):
+    """Leave-one-source-out influence: how the corpus mean document
+    length moves if a source is dropped entirely — the cheapest data
+    valuation signal (a big |delta| source dominates the statistic;
+    candidates for reweighting or auditing first). One combinable
+    per-source fold; every LOO counterfactual is pure arithmetic on
+    the exact totals — no second pass, no per-source re-aggregation,
+    which is the whole trick at 100 TB."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "s",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "source_mean"
+        ),
+        F.round(F.col("ss").cast("double") / F.col("nn"), 6).alias(
+            "corpus_mean"
+        ),
+        F.round(
+            (F.col("ss") - F.col("s")).cast("double")
+            / (F.col("nn") - F.col("n"))
+            - F.col("ss").cast("double") / F.col("nn"),
+            6,
+        ).alias("loo_delta"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
