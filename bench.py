@@ -350,6 +350,9 @@ BENCH_QUERIES = [
     "consistent_join_sample",
     "densest_subgraph_peel",
     "source_influence_loo",
+    "median_of_means",
+    "blocking_quality",
+    "position_debias_ctr",
 ]
 
 

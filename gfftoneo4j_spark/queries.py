@@ -19844,6 +19844,294 @@ def source_influence_loo(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Median-of-means robust mean estimator
+# --------------------------------------------------------------------------
+
+_MOM_SQL = """
+WITH bucketed AS (
+  SELECT strpos('0123456789abcdef',
+                substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS bk,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+means AS (
+  SELECT bk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v100) AS BIGINT) AS s,
+         CAST(sum(v100) AS DOUBLE) / 100 / count(*) AS mean
+  FROM bucketed GROUP BY bk
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY mean, bk) AS r,
+         count(*) OVER () AS k
+  FROM means
+)
+SELECT bk, n, round(mean, 6) AS bucket_mean,
+       round((SELECT avg(mean) FROM ranked
+              WHERE r IN ((k + 1) // 2, (k + 2) // 2)), 6) AS mom,
+       CASE WHEN r IN ((k + 1) // 2, (k + 2) // 2) THEN 1 ELSE 0 END
+         AS is_median_bucket
+FROM ranked
+"""
+
+
+@register("median_of_means", _MOM_SQL)
+def median_of_means(spark, sf_dir):
+    """Median-of-means: hash events into 16 deterministic buckets,
+    average each, take the median of the 16 bucket means — the
+    estimator with exponential concentration under heavy tails,
+    where the plain mean is one corrupted shard away from garbage.
+    One combinable fold to 16 exact-integer rows; the median is an
+    order statistic over those 16 (averaging the two middle ranks
+    for even k), a broadcast-sized window."""
+    ev = load_table(spark, sf_dir, "events")
+    bk = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(event_id as string)), 1, 1)) - 1"
+    )
+    means = ev.groupBy(bk.alias("bk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+    ).select(
+        "bk",
+        "n",
+        (F.col("s").cast("double") / 100 / F.col("n")).alias("mean"),
+    )
+    wr = Window.orderBy("mean", "bk")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = means.select(
+        "bk",
+        "n",
+        "mean",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    is_mid = (F.col("r") == F.floor((F.col("k") + 1) / 2)) | (
+        F.col("r") == F.floor((F.col("k") + 2) / 2)
+    )
+    mom = (
+        ranked.where(is_mid)
+        .agg(F.avg("mean").alias("mom"))
+    )
+    return ranked.crossJoin(F.broadcast(mom)).select(
+        "bk",
+        "n",
+        F.round("mean", 6).alias("bucket_mean"),
+        F.round("mom", 6).alias("mom"),
+        F.when(is_mid, 1).otherwise(0).alias("is_median_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ER blocking quality: reduction ratio + pairs completeness
+# --------------------------------------------------------------------------
+
+_BLOCKING_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+blocked AS (
+  SELECT doc_id, substr(text, 1, 12) AS blk FROM corpus
+),
+sizes AS (SELECT blk, CAST(count(*) AS BIGINT) AS n FROM blocked
+          GROUP BY blk),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(n * (n - 1) / 2) AS BIGINT) AS cand_pairs
+  FROM sizes
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 1000000
+),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN ba.blk = bb.blk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found
+  FROM truth t
+  JOIN blocked ba ON ba.doc_id = t.id_a
+  JOIN blocked bb ON bb.doc_id = t.id_b
+)
+SELECT tot.nn AS n_records, tot.cand_pairs,
+       CAST(tot.nn * (tot.nn - 1) / 2 AS BIGINT) AS all_pairs,
+       round(1.0 - CAST(tot.cand_pairs AS DOUBLE)
+                   / (tot.nn * (tot.nn - 1.0) / 2), 6)
+         AS reduction_ratio,
+       hits.n_true, hits.n_found,
+       round(CAST(hits.n_found AS DOUBLE) / hits.n_true, 6)
+         AS pairs_completeness
+FROM tot, hits
+"""
+
+
+@register("blocking_quality", _BLOCKING_SQL)
+def blocking_quality(spark, sf_dir):
+    """Blocking-scheme quality for entity resolution: reduction ratio
+    (what fraction of the quadratic pair space the prefix-12 blocks
+    eliminate) against pairs completeness (what fraction of TRUE
+    duplicate pairs still share a block) — the two-axis scorecard
+    that decides whether a blocking key is safe before the expensive
+    match stage. Candidate mass comes from per-block counts (sum of
+    n-choose-2, never materialized pairs); truth is the injected
+    exact-duplicate pairing, checked by key lookup. At 100 TB you
+    tune the key until RR stays ~1 while PC holds."""
+    corpus = _dup_corpus(spark, sf_dir)
+    blocked = corpus.select(
+        "doc_id", F.substring("text", 1, 12).alias("blk")
+    ).localCheckpoint(eager=True)
+    sizes = blocked.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = sizes.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2)
+        .cast("bigint")
+        .alias("cand_pairs"),
+    )
+    orig = corpus.where(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("id_a")
+    )
+    truth = orig.join(
+        corpus.select((F.col("doc_id") - 1000000).alias("id_a")),
+        "id_a",
+        "left_semi",
+    ).select("id_a", (F.col("id_a") + 1000000).alias("id_b"))
+    ba = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("blk").alias("blk_a")
+    )
+    bb = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b")
+    )
+    hits = (
+        truth.join(ba, "id_a")
+        .join(bb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(
+                F.when(F.col("blk_a") == F.col("blk_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_found"),
+        )
+    )
+    nn_d = F.col("nn").cast("double")
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("nn").alias("n_records"),
+        "cand_pairs",
+        (F.col("nn") * (F.col("nn") - 1) / 2)
+        .cast("bigint")
+        .alias("all_pairs"),
+        F.round(
+            1.0
+            - F.col("cand_pairs").cast("double")
+            / (nn_d * (nn_d - 1.0) / 2),
+            6,
+        ).alias("reduction_ratio"),
+        "n_true",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_true"), 6
+        ).alias("pairs_completeness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Position-debiased CTR (inverse-propensity correction of rank bias)
+# --------------------------------------------------------------------------
+
+_POSBIAS_SQL = """
+WITH imp AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(floor(epoch(ts)) AS BIGINT) // 86400
+           ORDER BY ts, event_id) AS pos,
+         CASE WHEN value >= 50 THEN 1 ELSE 0 END AS click
+  FROM events
+),
+capped AS (
+  SELECT event_type, least(pos, 10) AS pos, click FROM imp
+),
+pb AS MATERIALIZED (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(click) AS BIGINT) AS c
+  FROM capped GROUP BY pos
+),
+p1 AS (SELECT CAST(c AS DOUBLE) / n AS ctr1 FROM pb WHERE pos = 1),
+bias AS (
+  SELECT pos, (CAST(c AS DOUBLE) / n) / (SELECT ctr1 FROM p1) AS b
+  FROM pb
+),
+item AS (
+  SELECT c.event_type,
+         CAST(count(*) AS BIGINT) AS n_imp,
+         CAST(sum(c.click) AS BIGINT) AS n_click,
+         sum(CASE WHEN c.click = 1 THEN 1.0 / b.b ELSE 0.0 END)
+           AS debiased_clicks
+  FROM capped c JOIN bias b USING (pos)
+  GROUP BY c.event_type
+)
+SELECT event_type, n_imp, n_click,
+       round(CAST(n_click AS DOUBLE) / n_imp, 6) AS raw_ctr,
+       round(debiased_clicks / n_imp, 6) AS debiased_ctr
+FROM item
+"""
+
+
+@register("position_debias_ctr", _POSBIAS_SQL)
+def position_debias_ctr(spark, sf_dir):
+    """Position-debiased CTR: estimate per-position examination bias
+    from the corpus itself (CTR at position p over CTR at position
+    1, positions capped at 10), then reweight each click by 1/bias —
+    the inverse-propensity correction that stops a ranker from
+    confusing 'shown first' with 'genuinely clickable'. Positions
+    come from user-day windows (bounded partitions), the bias curve
+    is an 11-row broadcast, and the debiased fold is one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    wp = Window.partitionBy(
+        "user_id", F.floor(sec / 86400).cast("bigint")
+    ).orderBy("ts", "event_id")
+    imp = ev.select(
+        "event_type",
+        F.least(F.row_number().over(wp), F.lit(10)).alias("pos"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("click"),
+    )
+    pb = imp.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("click").cast("bigint").alias("c"),
+    )
+    p1 = pb.where(F.col("pos") == 1).select(
+        (F.col("c").cast("double") / F.col("n")).alias("ctr1")
+    )
+    bias = pb.crossJoin(F.broadcast(p1)).select(
+        "pos",
+        ((F.col("c").cast("double") / F.col("n")) / F.col("ctr1")).alias(
+            "b"
+        ),
+    )
+    item = imp.join(F.broadcast(bias), "pos").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_imp"),
+        F.sum("click").cast("bigint").alias("n_click"),
+        F.sum(
+            F.when(F.col("click") == 1, 1.0 / F.col("b")).otherwise(0.0)
+        ).alias("debiased_clicks"),
+    )
+    return item.select(
+        "event_type",
+        "n_imp",
+        "n_click",
+        F.round(
+            F.col("n_click").cast("double") / F.col("n_imp"), 6
+        ).alias("raw_ctr"),
+        F.round(F.col("debiased_clicks") / F.col("n_imp"), 6).alias(
+            "debiased_ctr"
+        ),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
