@@ -353,6 +353,9 @@ BENCH_QUERIES = [
     "median_of_means",
     "blocking_quality",
     "position_debias_ctr",
+    "design_effect_cluster",
+    "winners_curse_audit",
+    "qini_curve",
 ]
 
 

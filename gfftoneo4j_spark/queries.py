@@ -20132,6 +20132,363 @@ def position_debias_ctr(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Cluster-sampling design effect (ICC via ANOVA variance components)
+# --------------------------------------------------------------------------
+
+_DEFF_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ts,
+         CAST(sum(ss) AS BIGINT) AS tss,
+         sum(CAST(s AS DOUBLE) * s / n) AS sb
+  FROM u
+),
+comp AS (
+  SELECT k, nn,
+         (sb - CAST(ts AS DOUBLE) * ts / nn) / (k - 1) AS msb,
+         (CAST(tss AS DOUBLE) - sb) / (nn - k) AS msw,
+         (CAST(nn AS DOUBLE) - sum_n2 / nn) / (k - 1) AS n0
+  FROM tot, (SELECT sum(CAST(n AS DOUBLE) * n) AS sum_n2 FROM u)
+),
+icc AS (
+  SELECT k, nn, n0,
+         (msb - msw) / (msb + (n0 - 1) * msw) AS rho
+  FROM comp
+)
+SELECT k AS n_clusters, nn AS n_obs,
+       round(CAST(nn AS DOUBLE) / k, 6) AS avg_cluster_size,
+       round(n0, 6) AS n0,
+       round(rho, 6) AS icc,
+       round(1 + (CAST(nn AS DOUBLE) / k - 1) * rho, 6) AS deff
+FROM icc
+"""
+
+
+@register("design_effect_cluster", _DEFF_SQL)
+def design_effect_cluster(spark, sf_dir):
+    """Cluster-sampling design effect: intraclass correlation from
+    one-way ANOVA variance components over user clusters (ANOVA
+    moment estimator with the unequal-size n0 correction), then
+    DEFF = 1 + (m-1)*ICC — how many times more observations a
+    user-clustered sample needs to match simple random sampling.
+    The number every experimentation platform applies before sizing
+    a user-randomized test read at event level. One combinable
+    per-user fold of exact centi-unit integers; everything after is
+    scalar algebra on the aggregate."""
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v100).cast("bigint").alias("s"),
+            F.sum(v100 * v100).cast("bigint").alias("ss"),
+        )
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ts"),
+        F.sum("ss").cast("bigint").alias("tss"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sb"
+        ),
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("sum_n2"),
+    )
+    k, nn = F.col("k"), F.col("nn")
+    msb = (F.col("sb") - F.col("ts").cast("double") * F.col("ts") / nn) / (
+        k - 1
+    )
+    msw = (F.col("tss").cast("double") - F.col("sb")) / (nn - k)
+    n0 = (nn.cast("double") - F.col("sum_n2") / nn) / (k - 1)
+    rho = (msb - msw) / (msb + (n0 - 1) * msw)
+    return tot.select(
+        k.alias("n_clusters"),
+        nn.alias("n_obs"),
+        F.round(nn.cast("double") / k, 6).alias("avg_cluster_size"),
+        F.round(n0, 6).alias("n0"),
+        F.round(rho, 6).alias("icc"),
+        F.round(1 + (nn.cast("double") / k - 1) * rho, 6).alias("deff"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winner's-curse audit (split-half shrinkage of top-ranked arms)
+# --------------------------------------------------------------------------
+
+_WCURSE_SQL = """
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+arms AS (
+  SELECT event_type || '_' || CAST(user_id % 4 AS VARCHAR) AS arm,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   <= (SELECT mid FROM bounds) THEN 'a' ELSE 'b' END
+           AS half,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+per AS MATERIALIZED (
+  SELECT arm,
+         CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(sum(CASE WHEN half = 'a' THEN v100 ELSE 0 END) AS BIGINT)
+           AS sa,
+         CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb,
+         CAST(sum(CASE WHEN half = 'b' THEN v100 ELSE 0 END) AS BIGINT)
+           AS sb
+  FROM arms GROUP BY arm
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY CAST(sa AS DOUBLE) / na DESC, arm) AS rnk,
+    avg(CAST(sb AS DOUBLE) / 100 / nb) OVER () AS grand_b
+  FROM per WHERE na > 0 AND nb > 0
+)
+SELECT rnk, arm,
+       round(CAST(sa AS DOUBLE) / 100 / na, 6) AS mean_half_a,
+       round(CAST(sb AS DOUBLE) / 100 / nb, 6) AS mean_half_b,
+       round(CAST(sa AS DOUBLE) / 100 / na
+             - CAST(sb AS DOUBLE) / 100 / nb, 6) AS shrink,
+       round(grand_b, 6) AS grand_mean_b
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("winners_curse_audit", _WCURSE_SQL)
+def winners_curse_audit(spark, sf_dir):
+    """Winner's-curse audit: rank arms on the first half of the data,
+    then re-measure the top 3 on the held-out half — the selected
+    winners' replication means systematically fall back toward the
+    grand mean, and `shrink` quantifies exactly how much of the
+    apparent lift was selection noise. This split-half replication is
+    the cheapest honest answer to 'will the best variant hold up'.
+    One conditional fold per arm (exact centi-units); ranking runs on
+    the arm-alphabet frame."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    mid = ev.agg(
+        F.floor(
+            (F.min(sec).cast("bigint") + F.max(sec).cast("bigint")) / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    arms = ev.crossJoin(F.broadcast(mid)).select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("_"),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("arm"),
+        F.when(sec <= F.col("mid"), "a").otherwise("b").alias("half"),
+        v100.alias("v100"),
+    )
+    per = arms.groupBy("arm").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("half") == "a", F.col("v100")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("half") == "b", F.col("v100")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    ).where((F.col("na") > 0) & (F.col("nb") > 0))
+    wr = Window.orderBy(
+        (F.col("sa").cast("double") / F.col("na")).desc(), "arm"
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "*",
+        F.row_number().over(wr).alias("rnk"),
+        F.avg(F.col("sb").cast("double") / 100 / F.col("nb"))
+        .over(wall)
+        .alias("grand_b"),
+    )
+    ma = F.col("sa").cast("double") / 100 / F.col("na")
+    mb = F.col("sb").cast("double") / 100 / F.col("nb")
+    return ranked.where(F.col("rnk") <= 3).select(
+        "rnk",
+        "arm",
+        F.round(ma, 6).alias("mean_half_a"),
+        F.round(mb, 6).alias("mean_half_b"),
+        F.round(ma - mb, 6).alias("shrink"),
+        F.round("grand_b", 6).alias("grand_mean_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Qini uplift curve by score decile (null-calibrated)
+# --------------------------------------------------------------------------
+
+_QINI_SQL = """
+WITH scored AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(round(value * 100) AS BIGINT) AS score,
+         event_id
+  FROM events
+),
+deciled AS (
+  SELECT treat, y,
+         ntile(10) OVER (ORDER BY score DESC, event_id) AS dec
+  FROM scored
+),
+per AS (
+  SELECT dec,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nt,
+         CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT)
+           AS rt,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc,
+         CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT)
+           AS rc
+  FROM deciled GROUP BY dec
+),
+cum AS (
+  SELECT dec,
+         CAST(sum(nt) OVER w AS BIGINT) AS cnt,
+         CAST(sum(rt) OVER w AS BIGINT) AS crt,
+         CAST(sum(nc) OVER w AS BIGINT) AS cnc,
+         CAST(sum(rc) OVER w AS BIGINT) AS crc
+  FROM per
+  WINDOW w AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT dec, cnt, crt, cnc, crc,
+       round(crt - CAST(crc AS DOUBLE) * cnt / cnc, 6) AS qini
+FROM cum
+"""
+
+
+@register("qini_curve", _QINI_SQL)
+def qini_curve(spark, sf_dir):
+    """Qini uplift curve: sort the population by a targeting score,
+    then at each decile compare cumulative treated responders with
+    the control responders scaled to the treated volume — the curve
+    an uplift model is judged by. Here treatment is user parity
+    (independent of the score by construction), so the curve must
+    hug zero: a built-in NULL CALIBRATION that catches a leaky score
+    pipeline the moment qini drifts. Deciles reproduce exact ntile
+    semantics WITHOUT the single-task global sort: range-bucket the
+    descending score key, broadcast cumulative bucket offsets, and a
+    bucket-local row_number yields the global rank fully parallel
+    (the equi_depth_binning two-phase pattern); the per-decile fold
+    and cumulative window then run on 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+        "event_id",
+    )
+    n_buckets = 32
+    mx = scored.agg(F.max("score").alias("ms"))
+    b = scored.crossJoin(F.broadcast(mx)).select(
+        "treat",
+        "y",
+        (F.col("ms") - F.col("score")).alias("key"),
+        "event_id",
+    )
+    mk = b.agg(F.max("key").alias("mk"))
+    bk = b.crossJoin(F.broadcast(mk)).select(
+        "treat",
+        "y",
+        "key",
+        "event_id",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                F.col("key") * n_buckets / (F.col("mk") + 1)
+            ).cast("int"),
+        ).alias("bk"),
+    )
+    counts = bk.groupBy("bk").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "bk",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        F.sum("cnt").over(wall).alias("tot"),
+    )
+    wloc = Window.partitionBy("bk").orderBy("key", "event_id")
+    deciled = bk.join(F.broadcast(offsets), "bk").select(
+        "treat",
+        "y",
+        (
+            F.floor(
+                (F.row_number().over(wloc) + F.col("off") - 1)
+                * 10
+                / F.col("tot")
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("dec"),
+    )
+    per = deciled.groupBy("dec").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("rt"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("rc"),
+    )
+    wc = Window.orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "dec",
+        F.sum("nt").over(wc).cast("bigint").alias("cnt"),
+        F.sum("rt").over(wc).cast("bigint").alias("crt"),
+        F.sum("nc").over(wc).cast("bigint").alias("cnc"),
+        F.sum("rc").over(wc).cast("bigint").alias("crc"),
+    )
+    return cum.select(
+        "dec",
+        "cnt",
+        "crt",
+        "cnc",
+        "crc",
+        F.round(
+            F.col("crt")
+            - F.col("crc").cast("double") * F.col("cnt") / F.col("cnc"),
+            6,
+        ).alias("qini"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
