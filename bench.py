@@ -356,6 +356,9 @@ BENCH_QUERIES = [
     "design_effect_cluster",
     "winners_curse_audit",
     "qini_curve",
+    "lm_interpolation_em",
+    "session_timeout_sweep",
+    "abc_classification",
 ]
 
 

@@ -20489,6 +20489,313 @@ def qini_curve(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Interpolated-LM weight tuning via unrolled EM (deleted interpolation)
+# --------------------------------------------------------------------------
+
+_LM_EM_SQL = """
+WITH tr AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  WHERE doc_id % 2 = 0
+),
+ho AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  WHERE doc_id % 2 = 1
+),
+trb AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM tr WHERE len(toks) >= 2)
+),
+cb AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb FROM trb GROUP BY w1, w2
+),
+cu AS MATERIALIZED (
+  SELECT w1 AS w, CAST(sum(nb) AS BIGINT) AS nu FROM cb GROUP BY w1
+),
+vt AS (
+  SELECT CAST(sum(nu) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+  FROM cu
+),
+hob AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM ho WHERE len(toks) >= 2)
+),
+hb AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS m FROM hob GROUP BY w1, w2
+),
+probs AS MATERIALIZED (
+  SELECT h.w1, h.w2, h.m,
+         CASE WHEN c1.nu IS NOT NULL AND b.nb IS NOT NULL
+              THEN CAST(b.nb AS DOUBLE) / c1.nu ELSE 0.0 END AS pbg,
+         (CAST(coalesce(c2.nu, 0) AS DOUBLE) + 1)
+           / ((SELECT t FROM vt) + (SELECT v FROM vt)) AS pug
+  FROM hb h
+  LEFT JOIN cb b ON b.w1 = h.w1 AND b.w2 = h.w2
+  LEFT JOIN cu c1 ON c1.w = h.w1
+  LEFT JOIN cu c2 ON c2.w = h.w2
+),
+l1 AS (
+  SELECT sum(m * (0.5 * pbg) / (0.5 * pbg + 0.5 * pug)) / sum(m)
+           AS lam
+  FROM probs
+),
+l2 AS (
+  SELECT sum(m * ((SELECT lam FROM l1) * pbg)
+             / ((SELECT lam FROM l1) * pbg
+                + (1 - (SELECT lam FROM l1)) * pug)) / sum(m) AS lam
+  FROM probs
+)
+SELECT CAST(sum(m) AS BIGINT) AS n_heldout,
+       round(CAST(sum(CASE WHEN pbg > 0 THEN m ELSE 0 END) AS DOUBLE)
+             / sum(m), 6) AS bigram_coverage,
+       round((SELECT lam FROM l1), 6) AS lambda_1,
+       round((SELECT lam FROM l2), 6) AS lambda_2
+FROM probs
+"""
+
+
+@register("lm_interpolation_em", _LM_EM_SQL)
+def lm_interpolation_em(spark, sf_dir):
+    """Deleted-interpolation weight tuning: fit the bigram/unigram
+    mixing weight lambda by TWO unrolled EM rounds on a held-out
+    half (Jelinek-Mercer), with add-one-smoothed unigrams so the
+    responsibility denominator never vanishes — the classic way an
+    n-gram LM learns how much to trust context before backoff. The
+    corpus splits by doc parity; counts are combinable integer
+    folds; each EM round is one weighted fold over the held-out
+    bigram table with the previous lambda re-entering as a broadcast
+    scalar, exactly as the oracle unrolls it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    bg = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] as w1, toks[i] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    trb = bg.where(F.col("doc_id") % 2 == 0)
+    hob = bg.where(F.col("doc_id") % 2 == 1)
+    cb = trb.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    cu = cb.groupBy("w1").agg(F.sum("nb").cast("bigint").alias("nu"))
+    vt = cu.agg(
+        F.sum("nu").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    hb = hob.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    c2 = cu.select(F.col("w1").alias("w2x"), F.col("nu").alias("nu2"))
+    probs = (
+        hb.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .join(c2, F.col("w2") == F.col("w2x"), "left")
+        .crossJoin(F.broadcast(vt))
+        .select(
+            "m",
+            F.when(
+                F.col("nu").isNotNull() & F.col("nb").isNotNull(),
+                F.col("nb").cast("double") / F.col("nu"),
+            )
+            .otherwise(0.0)
+            .alias("pbg"),
+            (
+                (F.coalesce(F.col("nu2"), F.lit(0)).cast("double") + 1)
+                / (F.col("t") + F.col("v"))
+            ).alias("pug"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = 0.5
+    lams = []
+    for _ in range(2):
+        lam_row = probs.agg(
+            (
+                F.sum(
+                    F.col("m")
+                    * (lam * F.col("pbg"))
+                    / (lam * F.col("pbg") + (1 - lam) * F.col("pug"))
+                )
+                / F.sum("m")
+            ).alias("lam")
+        ).collect()[0]
+        lam = lam_row["lam"]
+        lams.append(lam)
+    return probs.agg(
+        F.sum("m").cast("bigint").alias("n_heldout"),
+        F.round(
+            F.sum(F.when(F.col("pbg") > 0, F.col("m")).otherwise(0))
+            .cast("double")
+            / F.sum("m"),
+            6,
+        ).alias("bigram_coverage"),
+        F.round(F.lit(lams[0]), 6).alias("lambda_1"),
+        F.round(F.lit(lams[1]), 6).alias("lambda_2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization timeout sweep (inactivity-gap sensitivity)
+# --------------------------------------------------------------------------
+
+_SESSION_SWEEP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+lagd AS (
+  SELECT user_id, sec,
+         lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS prev_sec
+  FROM ev
+),
+sweep AS (
+  SELECT t.timeout_s,
+         CAST(sum(CASE WHEN prev_sec IS NULL
+                            OR sec - prev_sec > t.timeout_s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM lagd, (VALUES (900), (1800), (3600)) t(timeout_s)
+  GROUP BY t.timeout_s
+)
+SELECT timeout_s, n_sessions, n_events,
+       round(CAST(n_events AS DOUBLE) / n_sessions, 6)
+         AS avg_session_len
+FROM sweep
+"""
+
+
+@register("session_timeout_sweep", _SESSION_SWEEP_SQL)
+def session_timeout_sweep(spark, sf_dir):
+    """Inactivity-timeout sensitivity for sessionization: session
+    counts and mean lengths at 15/30/60-minute gaps, from ONE
+    user-keyed lag pass — a session starts where the gap exceeds the
+    timeout, so each candidate timeout is just a different predicate
+    over the same gap column (3x fan-out of a tiny column set, zero
+    extra window work). The table that justifies a session definition
+    before every downstream funnel inherits it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    lagd = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    ).select(
+        "user_id", "sec", F.lag("sec").over(w).alias("prev_sec")
+    )
+    grid = spark.createDataFrame(
+        [(900,), (1800,), (3600,)], "timeout_s int"
+    )
+    sweep = lagd.crossJoin(F.broadcast(grid)).groupBy("timeout_s").agg(
+        F.sum(
+            F.when(
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > F.col("timeout_s")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return sweep.select(
+        "timeout_s",
+        "n_sessions",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_sessions"), 6
+        ).alias("avg_session_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto 80/95) classification of sources by mass
+# --------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH g AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, mass,
+         coalesce(sum(mass) OVER (ORDER BY mass DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev,
+         sum(mass) OVER () AS total
+  FROM g
+)
+SELECT source, mass,
+       round(CAST(mass AS DOUBLE) / total, 6) AS share,
+       round(CAST(cum_prev + mass AS DOUBLE) / total, 6) AS cum_share,
+       CASE WHEN CAST(cum_prev AS DOUBLE) < 0.8 * total THEN 'A'
+            WHEN CAST(cum_prev AS DOUBLE) < 0.95 * total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("abc_classification", _ABC_SQL)
+def abc_classification(spark, sf_dir):
+    """ABC / Pareto classification of sources by token mass: rank
+    descending, classify A until the PRIOR cumulative mass crosses
+    80% (so the crossing source still counts as A), B to 95%, C
+    after — the 80/20 triage every storage-tiering and
+    curation-effort decision starts from. One combinable per-source
+    fold; the ranking windows run over the source alphabet with
+    exact integer cumulative mass."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("mass"))
+    )
+    wprev = Window.orderBy(F.col("mass").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = g.select(
+        "source",
+        "mass",
+        F.coalesce(
+            F.sum("mass").over(wprev), F.lit(0).cast("bigint")
+        ).alias("cum_prev"),
+        F.sum("mass").over(wall).alias("total"),
+    )
+    return ranked.select(
+        "source",
+        "mass",
+        F.round(F.col("mass").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            (F.col("cum_prev") + F.col("mass")).cast("double")
+            / F.col("total"),
+            6,
+        ).alias("cum_share"),
+        F.when(
+            F.col("cum_prev").cast("double") < 0.8 * F.col("total"), "A"
+        )
+        .when(
+            F.col("cum_prev").cast("double") < 0.95 * F.col("total"), "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
