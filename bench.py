@@ -359,6 +359,9 @@ BENCH_QUERIES = [
     "lm_interpolation_em",
     "session_timeout_sweep",
     "abc_classification",
+    "woe_information_value",
+    "overdispersion_check",
+    "bradley_terry_strengths",
 ]
 
 

@@ -20796,6 +20796,376 @@ def abc_classification(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Weight of evidence + information value (credit-scoring feature audit)
+# --------------------------------------------------------------------------
+
+_WOE_SQL = """
+WITH lab AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v100,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bounds AS (SELECT min(v100) AS lo, max(v100) AS hi FROM lab),
+binned AS (
+  SELECT least(9, CAST(floor((v100 - (SELECT lo FROM bounds)) * 10.0
+           / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds) + 1))
+           AS INTEGER)) AS bin,
+         y
+  FROM lab
+),
+hist AS MATERIALIZED (
+  SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(neg) AS BIGINT) AS n FROM hist),
+woe AS (
+  SELECT bin, pos, neg,
+         ln(((pos + 0.5) / ((SELECT p FROM tot) + 5.0))
+            / ((neg + 0.5) / ((SELECT n FROM tot) + 5.0))) AS w,
+         (CAST(pos AS DOUBLE) / (SELECT p FROM tot)
+          - CAST(neg AS DOUBLE) / (SELECT n FROM tot)) AS dgap
+  FROM hist
+)
+SELECT bin, pos, neg, round(w, 6) AS woe,
+       round(dgap * w, 6) AS iv_part,
+       round(sum(dgap * w) OVER (), 6) AS iv_total
+FROM woe
+"""
+
+
+@register("woe_information_value", _WOE_SQL)
+def woe_information_value(spark, sf_dir):
+    """Weight of evidence per value bin and total information value —
+    the credit-scoring feature audit (IV < 0.02 = useless, > 0.5 =
+    suspiciously strong / leaky) for the is-purchase label. One
+    combinable (pos, neg) fold over 10 equal-width bins; WOE uses
+    half-count Laplace smoothing so empty cells stay finite; IV is
+    the sum of per-bin (distribution gap x WOE) contributions over
+    the 10-row histogram."""
+    lab = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bounds = lab.agg(F.min("v100").alias("lo"), F.max("v100").alias("hi"))
+    binned = lab.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("v100") - F.col("lo"))
+                * 10.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    tot = hist.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("n"),
+    )
+    ht = hist.crossJoin(F.broadcast(tot))
+    w = F.log(
+        ((F.col("pos") + 0.5) / (F.col("p") + 5.0))
+        / ((F.col("neg") + 0.5) / (F.col("n") + 5.0))
+    )
+    dgap = (
+        F.col("pos").cast("double") / F.col("p")
+        - F.col("neg").cast("double") / F.col("n")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ht.select(
+        "bin",
+        "pos",
+        "neg",
+        F.round(w, 6).alias("woe"),
+        F.round(dgap * w, 6).alias("iv_part"),
+        F.round(F.sum(dgap * w).over(wall), 6).alias("iv_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Overdispersion check on daily counts (Poisson adequacy)
+# --------------------------------------------------------------------------
+
+_OVERDISP_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day_num
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       round(CAST(s AS DOUBLE) / n_days, 6) AS mean_count,
+       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+             / (n_days - 1), 6) AS var_count,
+       round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+              / (n_days - 1)) / (CAST(s AS DOUBLE) / n_days), 6)
+         AS dispersion,
+       CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+                 / (n_days - 1) > CAST(s AS DOUBLE) / n_days
+            THEN 1 ELSE 0 END AS overdispersed
+FROM m
+"""
+
+
+@register("overdispersion_check", _OVERDISP_SQL)
+def overdispersion_check(spark, sf_dir):
+    """Poisson adequacy check on daily event counts: dispersion =
+    sample variance over mean per event type — the one-line test that
+    decides between Poisson and negative-binomial error models before
+    anyone fits an anomaly threshold (dispersion >> 1 means bursty
+    traffic and Poisson alarms will page all night). Daily counts
+    are one combinable fold; moments come from exact integer sums of
+    counts and squared counts."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.floor(sec / 86400).cast("bigint").alias("day_num")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(var / mean, 6).alias("dispersion"),
+        F.when(var > mean, 1).otherwise(0).alias("overdispersed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry preference strengths (2 unrolled MM rounds)
+# --------------------------------------------------------------------------
+
+_BT_SQL = """
+WITH um AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+comps AS (
+  SELECT CASE WHEN CAST(a.s AS DOUBLE) / a.n > CAST(b.s AS DOUBLE) / b.n
+              THEN a.event_type ELSE b.event_type END AS winner,
+         CASE WHEN CAST(a.s AS DOUBLE) / a.n > CAST(b.s AS DOUBLE) / b.n
+              THEN b.event_type ELSE a.event_type END AS loser
+  FROM um a JOIN um b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  WHERE CAST(a.s AS DOUBLE) / a.n <> CAST(b.s AS DOUBLE) / b.n
+),
+pairs AS MATERIALIZED (
+  SELECT least(winner, loser) AS x, greatest(winner, loser) AS y,
+         CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT)
+           AS wx,
+         CAST(sum(CASE WHEN winner > loser THEN 1 ELSE 0 END) AS BIGINT)
+           AS wy
+  FROM comps GROUP BY least(winner, loser), greatest(winner, loser)
+),
+wins AS MATERIALIZED (
+  SELECT t, CAST(sum(w) AS BIGINT) AS w, CAST(sum(nc) AS BIGINT) AS nc
+  FROM (
+    SELECT x AS t, wx AS w, wx + wy AS nc FROM pairs
+    UNION ALL
+    SELECT y, wy, wx + wy FROM pairs
+  ) GROUP BY t
+),
+s1raw AS (
+  SELECT w.t, CAST(w.w AS DOUBLE) / sum((p.wx + p.wy) / 2.0) AS s
+  FROM wins w
+  JOIN pairs p ON p.x = w.t OR p.y = w.t
+  GROUP BY w.t, w.w
+),
+s1 AS MATERIALIZED (
+  SELECT t, s * (SELECT count(*) FROM s1raw)
+           / (SELECT sum(s) FROM s1raw) AS s
+  FROM s1raw
+),
+s2raw AS (
+  SELECT w.t,
+         CAST(w.w AS DOUBLE)
+           / sum((p.wx + p.wy)
+                 / (st.s + so.s)) AS s
+  FROM wins w
+  JOIN pairs p ON p.x = w.t OR p.y = w.t
+  JOIN s1 st ON st.t = w.t
+  JOIN s1 so ON so.t = CASE WHEN p.x = w.t THEN p.y ELSE p.x END
+  GROUP BY w.t, w.w
+),
+s2 AS (
+  SELECT t, s * (SELECT count(*) FROM s2raw)
+           / (SELECT sum(s) FROM s2raw) AS s
+  FROM s2raw
+)
+SELECT w.t AS event_type, w.w AS wins, w.nc AS n_comparisons,
+       round(s1.s, 6) AS strength_r1,
+       round(s2.s, 6) AS strength_r2
+FROM wins w JOIN s1 ON s1.t = w.t JOIN s2 ON s2.t = w.t
+"""
+
+
+@register("bradley_terry_strengths", _BT_SQL)
+def bradley_terry_strengths(spark, sf_dir):
+    """Bradley-Terry strengths from pairwise preferences via two
+    unrolled MM (minorize-maximize, Hunter 2004) rounds — the model
+    under every preference-data pipeline (reward modeling, ranker
+    evals): each user 'prefers' the event type with the higher
+    personal mean value, pair win counts aggregate corpus-wide, and
+    s_a <- W_a / sum_b n_ab/(s_a+s_b), renormalized to mean 1 per
+    round. Comparisons are user-keyed self-joins over the
+    alphabet-bounded per-user profile; both MM rounds run on the
+    10-row pair frame with strengths re-entering as broadcasts."""
+    um = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    a = um.select(
+        "user_id",
+        F.col("event_type").alias("ta"),
+        (F.col("s").cast("double") / F.col("n")).alias("ma"),
+    )
+    b = um.select(
+        "user_id",
+        F.col("event_type").alias("tb"),
+        (F.col("s").cast("double") / F.col("n")).alias("mb"),
+    )
+    comps = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .where(F.col("ma") != F.col("mb"))
+        .select(
+            F.when(F.col("ma") > F.col("mb"), F.col("ta"))
+            .otherwise(F.col("tb"))
+            .alias("winner"),
+            F.when(F.col("ma") > F.col("mb"), F.col("tb"))
+            .otherwise(F.col("ta"))
+            .alias("loser"),
+        )
+    )
+    pairs = (
+        comps.groupBy(
+            F.least("winner", "loser").alias("x"),
+            F.greatest("winner", "loser").alias("y"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("winner") < F.col("loser"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("wx"),
+            F.sum(
+                F.when(F.col("winner") > F.col("loser"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("wy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        pairs.select(
+            F.col("x").alias("t"),
+            F.col("wx").alias("w"),
+            (F.col("wx") + F.col("wy")).alias("nc"),
+        )
+        .unionAll(
+            pairs.select(
+                F.col("y").alias("t"),
+                F.col("wy").alias("w"),
+                (F.col("wx") + F.col("wy")).alias("nc"),
+            )
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("w").cast("bigint").alias("w"),
+            F.sum("nc").cast("bigint").alias("nc"),
+        )
+    )
+    # edge list per node for the MM denominator
+    edges = pairs.select(
+        F.col("x").alias("t"),
+        F.col("y").alias("o"),
+        (F.col("wx") + F.col("wy")).alias("nab"),
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("t"),
+            F.col("x").alias("o"),
+            (F.col("wx") + F.col("wy")).alias("nab"),
+        )
+    )
+
+    def mm_round(strengths):
+        st = strengths.select(
+            F.col("t").alias("t_"), F.col("s").alias("s_t")
+        )
+        so = strengths.select(
+            F.col("t").alias("o_"), F.col("s").alias("s_o")
+        )
+        denom = (
+            edges.join(F.broadcast(st), F.col("t") == F.col("t_"))
+            .join(F.broadcast(so), F.col("o") == F.col("o_"))
+            .groupBy("t")
+            .agg(
+                F.sum(
+                    F.col("nab") / (F.col("s_t") + F.col("s_o"))
+                ).alias("d")
+            )
+        )
+        raw = wins.join(denom, "t").select(
+            "t", (F.col("w").cast("double") / F.col("d")).alias("s")
+        )
+        norm = raw.agg(
+            (F.count(F.lit(1)) / F.sum("s")).alias("z")
+        )
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "t", (F.col("s") * F.col("z")).alias("s")
+        )
+
+    s0 = wins.select("t", F.lit(1.0).alias("s"))
+    s1 = mm_round(s0).localCheckpoint(eager=True)
+    s2 = mm_round(s1).localCheckpoint(eager=True)
+    return (
+        wins.join(s1.select(F.col("t"), F.col("s").alias("sr1")), "t")
+        .join(s2.select(F.col("t"), F.col("s").alias("sr2")), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("w").alias("wins"),
+            F.col("nc").alias("n_comparisons"),
+            F.round("sr1", 6).alias("strength_r1"),
+            F.round("sr2", 6).alias("strength_r2"),
+        )
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
