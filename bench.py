@@ -362,6 +362,9 @@ BENCH_QUERIES = [
     "woe_information_value",
     "overdispersion_check",
     "bradley_terry_strengths",
+    "meta_analysis_dl",
+    "ece_maxce",
+    "risk_ratio_panel",
 ]
 
 

@@ -21166,6 +21166,345 @@ def bradley_terry_strengths(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Random-effects meta-analysis across daily experiments (DL estimator)
+# --------------------------------------------------------------------------
+
+_META_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         CAST(user_id % 2 AS BIGINT) AS treat,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+per AS (
+  SELECT day_num, treat, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v100) AS BIGINT) AS s,
+         CAST(sum(v100 * v100) AS BIGINT) AS ss
+  FROM cells GROUP BY day_num, treat
+),
+study AS MATERIALIZED (
+  SELECT t.day_num,
+         CAST(t.s AS DOUBLE) / 100 / t.n
+           - CAST(c.s AS DOUBLE) / 100 / c.n AS y,
+         ((CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n)
+            / (t.n - 1) / t.n
+          + (CAST(c.ss AS DOUBLE) - CAST(c.s AS DOUBLE) * c.s / c.n)
+            / (c.n - 1) / c.n) / 10000 AS v
+  FROM per t JOIN per c
+    ON t.day_num = c.day_num AND t.treat = 1 AND c.treat = 0
+  WHERE t.n > 1 AND c.n > 1
+),
+fe AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(1 / v) AS sw, sum(y / v) AS swy, sum(1 / (v * v)) AS sw2
+  FROM study
+),
+q AS (
+  SELECT fe.k, fe.sw, fe.sw2, fe.swy / fe.sw AS mu_fe,
+         (SELECT sum((y - fe.swy / fe.sw) * (y - fe.swy / fe.sw) / v)
+          FROM study) AS q_stat
+  FROM fe
+),
+tau AS (
+  SELECT k, mu_fe, q_stat,
+         greatest(0.0, (q_stat - (k - 1)) / (sw - sw2 / sw)) AS tau2
+  FROM q
+),
+re AS (
+  SELECT t.k, t.mu_fe, t.q_stat, t.tau2,
+         (SELECT sum(y / (v + t.tau2)) FROM study)
+           / (SELECT sum(1 / (v + t.tau2)) FROM study) AS mu_re,
+         1 / (SELECT sum(1 / (v + t.tau2)) FROM study) AS var_re
+  FROM tau t
+)
+SELECT k AS n_studies, round(q_stat, 6) AS q_stat,
+       round(tau2, 6) AS tau2,
+       round(mu_fe, 6) AS pooled_fixed,
+       round(mu_re, 6) AS pooled_random,
+       round(sqrt(var_re), 6) AS se_random
+FROM re
+"""
+
+
+@register("meta_analysis_dl", _META_SQL)
+def meta_analysis_dl(spark, sf_dir):
+    """DerSimonian-Laird random-effects meta-analysis treating each
+    day as an independent experiment: per-day treated-vs-control mean
+    differences with their variances (exact centi-unit sufficient
+    statistics), Cochran's Q for heterogeneity, the DL tau^2
+    between-study variance, and both fixed- and random-effect pooled
+    estimates — how a platform combines a month of daily reads into
+    one honest effect. The corpus is folded once per (day, arm); all
+    meta-analytic algebra runs on the 30-row study frame with
+    scalars re-entering as broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("bigint")
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    per = ev.groupBy(
+        F.floor(sec / 86400).cast("bigint").alias("day_num"),
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v100).cast("bigint").alias("s"),
+        F.sum(v100 * v100).cast("bigint").alias("ss"),
+    )
+    t = per.where(F.col("treat") == 1).select(
+        "day_num",
+        F.col("n").alias("nt"),
+        F.col("s").alias("st"),
+        F.col("ss").alias("sst"),
+    )
+    c = per.where(F.col("treat") == 0).select(
+        "day_num",
+        F.col("n").alias("ncl"),
+        F.col("s").alias("scl"),
+        F.col("ss").alias("sscl"),
+    )
+    study = (
+        t.join(c, "day_num")
+        .where((F.col("nt") > 1) & (F.col("ncl") > 1))
+        .select(
+            "day_num",
+            (
+                F.col("st").cast("double") / 100 / F.col("nt")
+                - F.col("scl").cast("double") / 100 / F.col("ncl")
+            ).alias("y"),
+            (
+                (
+                    (
+                        F.col("sst").cast("double")
+                        - F.col("st").cast("double")
+                        * F.col("st")
+                        / F.col("nt")
+                    )
+                    / (F.col("nt") - 1)
+                    / F.col("nt")
+                    + (
+                        F.col("sscl").cast("double")
+                        - F.col("scl").cast("double")
+                        * F.col("scl")
+                        / F.col("ncl")
+                    )
+                    / (F.col("ncl") - 1)
+                    / F.col("ncl")
+                )
+                / 10000
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fe = study.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(1 / F.col("v")).alias("sw"),
+        F.sum(F.col("y") / F.col("v")).alias("swy"),
+        F.sum(1 / (F.col("v") * F.col("v"))).alias("sw2"),
+    )
+    mu_fe = F.col("swy") / F.col("sw")
+    qdf = study.crossJoin(F.broadcast(fe)).agg(
+        F.sum(
+            (F.col("y") - mu_fe) * (F.col("y") - mu_fe) / F.col("v")
+        ).alias("q_stat"),
+        F.first("k").alias("k"),
+        F.first("sw").alias("sw"),
+        F.first("sw2").alias("sw2"),
+        F.first(mu_fe).alias("mu_fe"),
+    )
+    tau = qdf.select(
+        "k",
+        "mu_fe",
+        "q_stat",
+        F.greatest(
+            F.lit(0.0),
+            (F.col("q_stat") - (F.col("k") - 1))
+            / (F.col("sw") - F.col("sw2") / F.col("sw")),
+        ).alias("tau2"),
+    )
+    re = study.crossJoin(F.broadcast(tau)).agg(
+        F.first("k").alias("k"),
+        F.first("mu_fe").alias("mu_fe"),
+        F.first("q_stat").alias("q_stat"),
+        F.first("tau2").alias("tau2"),
+        (
+            F.sum(F.col("y") / (F.col("v") + F.col("tau2")))
+            / F.sum(1 / (F.col("v") + F.col("tau2")))
+        ).alias("mu_re"),
+        (1 / F.sum(1 / (F.col("v") + F.col("tau2")))).alias("var_re"),
+    )
+    return re.select(
+        F.col("k").alias("n_studies"),
+        F.round("q_stat", 6).alias("q_stat"),
+        F.round("tau2", 6).alias("tau2"),
+        F.round("mu_fe", 6).alias("pooled_fixed"),
+        F.round("mu_re", 6).alias("pooled_random"),
+        F.round(F.sqrt("var_re"), 6).alias("se_random"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Expected / maximum calibration error summary (ECE + MCE)
+# --------------------------------------------------------------------------
+
+_ECE_SQL = """
+WITH lab AS (
+  SELECT strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bin,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                   < strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM lab GROUP BY bin
+),
+gaps AS (
+  SELECT bin, n,
+         abs((2.0 * bin + 1) / 32 - CAST(pos AS DOUBLE) / n) AS gap
+  FROM per
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(n * gap) / sum(n), 6) AS ece,
+       round(max(gap), 6) AS mce
+FROM gaps
+"""
+
+
+@register("ece_maxce", _ECE_SQL)
+def ece_maxce(spark, sf_dir):
+    """Expected and maximum calibration error over the 16-bin
+    forecast — the two headline numbers a model card quotes from the
+    reliability diagram (ECE weights per-bin |confidence - accuracy|
+    gaps by mass, MCE takes the worst bin; here the construction
+    plants a known 1/32 gap for them to recover). Same one-pass
+    per-bin fold as the Brier decomposition, then a 16-row reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    nib1 = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    nib2 = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+    )
+    lab = d.select(
+        nib1.alias("bin"), F.when(nib2 < nib1, 1).otherwise(0).alias("y")
+    )
+    per = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    gap = F.abs(
+        (2.0 * F.col("bin") + 1) / 32
+        - F.col("pos").cast("double") / F.col("n")
+    )
+    return per.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion effect panel: risk ratio + odds ratio with CIs
+# --------------------------------------------------------------------------
+
+_RR_SQL = """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+tab AS (
+  SELECT
+    CAST(sum(CASE WHEN treat = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS a,
+    CAST(sum(CASE WHEN treat = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b,
+    CAST(sum(CASE WHEN treat = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c,
+    CAST(sum(CASE WHEN treat = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS d
+  FROM cells
+),
+calc AS (
+  SELECT a, b, c, d,
+         (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+           AS rr,
+         CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
+         sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))
+           AS se_lrr,
+         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se_lor
+  FROM tab
+)
+SELECT a, b, c, d,
+       round(rr, 6) AS risk_ratio,
+       round(exp(ln(rr) - 1.959964 * se_lrr), 6) AS rr_lo,
+       round(exp(ln(rr) + 1.959964 * se_lrr), 6) AS rr_hi,
+       round(orr, 6) AS odds_ratio,
+       round(exp(ln(orr) - 1.959964 * se_lor), 6) AS or_lo,
+       round(exp(ln(orr) + 1.959964 * se_lor), 6) AS or_hi
+FROM calc
+"""
+
+
+@register("risk_ratio_panel", _RR_SQL)
+def risk_ratio_panel(spark, sf_dir):
+    """Two-proportion effect panel: risk ratio and odds ratio with
+    log-scale Wald 95% intervals from the 2x2 purchase table — the
+    epidemiology-grade readout (relative, not absolute) that a
+    conversion test reports alongside the raw lift; parity arms mean
+    both intervals must cover 1. ONE conditional fold produces the
+    four exact cells; every ratio, log-SE and interval is scalar
+    algebra on them."""
+    cells = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+
+    def cell(t, yy):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("treat") == t) & (F.col("y") == yy), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    tab = cells.agg(
+        cell(1, 1).alias("a"),
+        cell(1, 0).alias("b"),
+        cell(0, 1).alias("c"),
+        cell(0, 0).alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    rr = (a / (a + b)) / (c / (c + d))
+    orr = a * d / (b * c)
+    se_lrr = F.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    se_lor = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    z = 1.959964
+    return tab.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(F.exp(F.log(rr) - z * se_lrr), 6).alias("rr_lo"),
+        F.round(F.exp(F.log(rr) + z * se_lrr), 6).alias("rr_hi"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - z * se_lor), 6).alias("or_lo"),
+        F.round(F.exp(F.log(orr) + z * se_lor), 6).alias("or_hi"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
