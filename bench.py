@@ -365,6 +365,8 @@ BENCH_QUERIES = [
     "meta_analysis_dl",
     "ece_maxce",
     "risk_ratio_panel",
+    "class_balance_downsample",
+    "nll_position_curve",
 ]
 
 

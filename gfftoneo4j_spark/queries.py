@@ -21505,6 +21505,183 @@ def risk_ratio_panel(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Class-balanced downsampling via exact integer hash thresholds
+# --------------------------------------------------------------------------
+
+_CLASS_BALANCE_SQL = """
+WITH lab AS (
+  SELECT event_type, event_id,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+              * 4096
+            + (strpos('0123456789abcdef',
+                      substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)
+              * 256
+            + (strpos('0123456789abcdef',
+                      substr(md5(CAST(event_id AS VARCHAR)), 3, 1)) - 1)
+              * 16
+            + (strpos('0123456789abcdef',
+                      substr(md5(CAST(event_id AS VARCHAR)), 4, 1)) - 1)
+            AS BIGINT) AS u
+  FROM events
+),
+cls AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM lab GROUP BY event_type
+),
+mn AS (SELECT CAST(min(n) AS BIGINT) AS min_n FROM cls),
+kept AS (
+  SELECT l.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.u * c.n < (SELECT min_n FROM mn) * 65536
+                       THEN 1 ELSE 0 END) AS BIGINT) AS kept
+  FROM lab l JOIN cls c USING (event_type)
+  GROUP BY l.event_type
+)
+SELECT event_type, n, kept,
+       round(CAST((SELECT min_n FROM mn) AS DOUBLE) / n, 6)
+         AS target_rate,
+       round(CAST(kept AS DOUBLE) / n, 6) AS actual_rate
+FROM kept
+"""
+
+
+@register("class_balance_downsample", _CLASS_BALANCE_SQL)
+def class_balance_downsample(spark, sf_dir):
+    """Class-balanced downsampling with EXACT integer thresholds:
+    each row draws a 16-bit uniform from four md5 nibbles of its key
+    and survives iff u * n_class < min_class * 65536 — a pure
+    integer comparison, so both engines (and any rerun) keep exactly
+    the same rows with no float-boundary drift, and every class
+    lands within 1/65536 of the smallest class's rate. The
+    coordination-free variant of stratified rebalancing a 100-TB
+    label-skewed corpus needs: class counts broadcast, one pass, no
+    shuffle of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    nib = lambda k: F.expr(  # noqa: E731
+        "instr('0123456789abcdef',"
+        f" substring(md5(cast(event_id as string)), {k}, 1)) - 1"
+    )
+    lab = ev.select(
+        "event_type",
+        (
+            nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    cls = lab.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mn = cls.agg(F.min("n").cast("bigint").alias("min_n"))
+    j = lab.join(F.broadcast(cls), "event_type").crossJoin(
+        F.broadcast(mn)
+    )
+    kept = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("u") * F.col("n") < F.col("min_n") * 65536, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept"),
+        F.first("min_n").alias("min_n"),
+    )
+    return kept.select(
+        "event_type",
+        "n",
+        "kept",
+        F.round(F.col("min_n").cast("double") / F.col("n"), 6).alias(
+            "target_rate"
+        ),
+        F.round(F.col("kept").cast("double") / F.col("n"), 6).alias(
+            "actual_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-NLL by token position (loss-curve curriculum signal)
+# --------------------------------------------------------------------------
+
+_NLL_POS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, least(i, 20) AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 1)) AS i
+    FROM t WHERE len(toks) >= 2
+  )
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb FROM bg
+       GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM cb GROUP BY w1),
+prob AS (
+  SELECT cb.w1, cb.w2,
+         CAST(cb.nb AS DOUBLE) / cu.nu AS p
+  FROM cb JOIN cu USING (w1)
+)
+SELECT bg.pos, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2(p)), 6) AS mean_nll_bits
+FROM bg JOIN prob USING (w1, w2)
+GROUP BY bg.pos
+"""
+
+
+@register("nll_position_curve", _NLL_POS_SQL)
+def nll_position_curve(spark, sf_dir):
+    """Bigram negative-log-likelihood by token position (positions
+    capped at 20): does loss fall as context accumulates, or does the
+    template structure make some positions predictable — the
+    loss-curve-by-position diagnostic behind curriculum and packing
+    decisions (and the document-level twin of per-position training
+    loss dashboards). The corpus-MLE bigram LM is two combinable
+    folds; scoring joins each positioned bigram to its probability on
+    the (w1, w2) key, and the curve is a 20-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    bg = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(least(i, 20) as pos,"
+                    " toks[i-1] as w1, toks[i] as w2))"
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("b.pos").alias("pos"),
+            F.col("b.w1").alias("w1"),
+            F.col("b.w2").alias("w2"),
+        )
+    )
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    cu = cb.groupBy("w1").agg(F.sum("nb").cast("bigint").alias("nu"))
+    prob = cb.join(cu, "w1").select(
+        "w1",
+        "w2",
+        (F.col("nb").cast("double") / F.col("nu")).alias("p"),
+    )
+    return (
+        bg.join(prob, ["w1", "w2"])
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p")), 6).alias("mean_nll_bits"),
+        )
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
