@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "risk_ratio_panel",
     "class_balance_downsample",
     "nll_position_curve",
+    "power_analysis_grid",
 ]
 
 

@@ -21682,6 +21682,94 @@ def nll_position_curve(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Power-analysis grid for conversion experiments (sample sizing)
+# --------------------------------------------------------------------------
+
+_POWER_SQL = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events
+),
+grid AS (SELECT mde FROM (VALUES (0.01), (0.02), (0.05), (0.10)) g(mde)),
+calc AS (
+  SELECT g.mde, b.n_all, b.conv,
+         CAST(b.conv AS DOUBLE) / b.n_all AS p0,
+         CAST(b.conv AS DOUBLE) / b.n_all * (1 + g.mde) AS p1
+  FROM grid g, base b
+),
+sized AS (
+  SELECT mde, n_all, round(p0, 6) AS p0,
+         CAST(ceil(
+           power(1.959964 * sqrt(2 * ((p0 + p1) / 2)
+                                 * (1 - (p0 + p1) / 2))
+                 + 0.841621 * sqrt(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+           / ((p1 - p0) * (p1 - p0))) AS BIGINT) AS n_per_arm
+  FROM calc
+)
+SELECT mde, p0, n_per_arm,
+       CAST(n_all / 2 AS BIGINT) AS available_per_arm,
+       CASE WHEN n_all / 2 >= n_per_arm THEN 1 ELSE 0 END AS powered
+FROM sized
+"""
+
+
+@register("power_analysis_grid", _POWER_SQL)
+def power_analysis_grid(spark, sf_dir):
+    """Sample-size grid for a two-proportion conversion test: for
+    each candidate relative lift (1/2/5/10%), the per-arm n needed
+    at alpha 0.05 / power 0.8 (pooled-variance normal approximation)
+    against the corpus's own baseline rate, and whether current
+    traffic could power it — the before-you-launch sizing table,
+    parameterized by data instead of guesses. One exact fold for the
+    baseline; the grid is a 4-row broadcast of closed-form algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,), (0.10,)], "mde double"
+    )
+    calc = grid.crossJoin(F.broadcast(base)).select(
+        "mde",
+        "n_all",
+        (F.col("conv").cast("double") / F.col("n_all")).alias("p0"),
+        (
+            F.col("conv").cast("double") / F.col("n_all")
+            * (1 + F.col("mde"))
+        ).alias("p1"),
+    )
+    pbar = (F.col("p0") + F.col("p1")) / 2
+    num = F.pow(
+        1.959964 * F.sqrt(2 * pbar * (1 - pbar))
+        + 0.841621
+        * F.sqrt(
+            F.col("p0") * (1 - F.col("p0"))
+            + F.col("p1") * (1 - F.col("p1"))
+        ),
+        2,
+    )
+    n_arm = F.ceil(
+        num / ((F.col("p1") - F.col("p0")) * (F.col("p1") - F.col("p0")))
+    ).cast("bigint")
+    return calc.select(
+        "mde",
+        F.round("p0", 6).alias("p0"),
+        n_arm.alias("n_per_arm"),
+        F.floor(F.col("n_all") / 2).cast("bigint").alias(
+            "available_per_arm"
+        ),
+        F.when(F.floor(F.col("n_all") / 2) >= n_arm, 1)
+        .otherwise(0)
+        .alias("powered"),
+    )
+
+
 _DRIVER_PROVEN = frozenset({
     "activity_gini", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_scaled_topk", "anti_join_misses",
