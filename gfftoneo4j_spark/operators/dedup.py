@@ -101,6 +101,100 @@ def shingles(
     ).select("doc_id", key(F.col("shingle")).alias("sk"))
 
 
+def bucket_candidate_pairs(
+    keyed: DataFrame, key_cols: list[str], salt: int = 16
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket key —
+    the candidate-generation core every blocked/banded dedup shares.
+
+    ``keyed`` is (id, *key_cols), one row per (id, bucket) membership.
+    Two r06 scale/parallelism fixes over the naive self-join
+    (guide §2.5):
+
+    - the left side carries a deterministic salt (pmod(xxhash64(id)))
+      and the right side is replicated ``salt`` ways, so ONE hot
+      bucket's quadratic pair emission spreads over ``salt`` tasks
+      instead of serializing in one (AQE skew-join can't see this
+      skew: the bucket rows are tiny in bytes, only the join OUTPUT
+      explodes);
+    - both the join input and the pair stream are repartitioned to an
+      explicitly pinned, core-derived partition count. AQE sizes
+      post-shuffle partitions from map-output BYTES, and the
+      pre-explosion inputs here are kilobytes — measured at sf0.1 it
+      coalesced the whole emission + dedup + verify chain onto ONE
+      task (22 s single-threaded for 30.6 M emitted pairs). Pinning is
+      derived from defaultParallelism (cluster: total executor cores),
+      never a hard-coded local constant.
+    """
+    n_par = keyed.sparkSession.sparkContext.defaultParallelism
+    spark = keyed.sparkSession
+    left = keyed.withColumn(
+        "_salt", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
+    ).repartition(n_par, *key_cols, "_salt")
+    salts = spark.range(salt).select(F.col("id").cast("int").alias("_salt"))
+    right = keyed.select(F.col("id").alias("id_b"), *key_cols).crossJoin(
+        salts
+    )
+    return (
+        left.join(right, [*key_cols, "_salt"])
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .repartition(n_par * 4, "id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def token_set_arrays(tok: DataFrame) -> DataFrame:
+    """(id, toks) — each document's distinct tokens folded into ONE
+    array row. The verify-side representation every Jaccard family
+    member shares: |toks| = the old per-id size count, and
+    ``size(array_intersect(toks_a, toks_b))`` = the old token-equi-join
+    intersection count, computed in JVM codegen per candidate pair
+    instead of by exploding |cand| x |doc| token rows through two
+    shuffles and a groupBy (guide §2.3/§2.4 — the r06 fix for the
+    LSH-family bench walls). collect_set dedupes, so callers may pass
+    non-distinct (id, token) rows; array size is bounded by document
+    length, the same bound the exploded form had per group."""
+    return tok.groupBy("id").agg(F.collect_set("token").alias("toks"))
+
+
+def verify_jaccard_candidates(
+    cand: DataFrame,
+    tok: DataFrame,
+    threshold: float,
+    round_dp: int = 3,
+    round_before_filter: bool = True,
+    with_inter: bool = False,
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate (id_a, id_b) pairs.
+
+    Two hash joins of the candidate list against the per-doc token
+    arrays (the arrays side is |docs| rows — AQE broadcasts it when it
+    fits; at scale it shuffles once, never per pair), then intersection
+    and union sizes as codegen'd array expressions. Zero-overlap
+    candidates yield jaccard 0 and fall out of the threshold filter,
+    exactly as they fell out of the inner intersection join before.
+
+    ``round_before_filter`` mirrors the two historical contracts:
+    minhash/banded filter on the ROUNDED jaccard (3 dp), the PPJoin
+    path filters raw then rounds to 6 dp. ``with_inter`` adds the
+    intersection count column (PPJoin output contract)."""
+    arrs = token_set_arrays(tok)
+    a = arrs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = arrs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac_raw = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    cols = [F.col("id_a"), F.col("id_b")]
+    if with_inter:
+        cols.append(inter.cast("long").alias("inter"))
+    if round_before_filter:
+        cols.append(F.round(jac_raw, round_dp).alias("jaccard"))
+        return joined.select(*cols).where(F.col("jaccard") >= threshold)
+    cols.append(F.round(jac_raw, round_dp).alias("jaccard"))
+    return joined.where(jac_raw >= threshold).select(*cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -110,39 +204,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Token-set Jaccard over pairs sharing a blocking key.
 
-    Pure relational: intersection via token equi-join, |A∪B| by
-    inclusion-exclusion. Returns (id_a, id_b, jaccard) with id_a < id_b
-    and jaccard rounded to 3 dp (oracle-portable)."""
-    tok = tokens(df, id_col, text_col, extra={block_col: "block"})
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.select(
-        F.col("id").alias("id_a"), F.col("block"), F.col("token")
-    )
-    b = tok.select(
-        F.col("id").alias("id_b"), F.col("block"), F.col("token")
-    )
-    inter = (
-        a.join(b, ["block", "token"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                3,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    Candidates come from a self-join of the (id, block) table alone —
+    the token dimension never multiplies the pair join (r06: the old
+    shape joined token rows, shuffling |pair| x |doc| rows) — then
+    exact verification via array_intersect on per-doc token-set
+    arrays. Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard
+    rounded to 3 dp (oracle-portable)."""
+    blocks = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block")
+    ).distinct()
+    cand = bucket_candidate_pairs(blocks, ["block"])
+    tok = tokens(df, id_col, text_col)
+    return verify_jaccard_candidates(cand, tok, threshold)
 
 
 def minhash_signatures(
@@ -174,15 +247,7 @@ def lsh_candidate_pairs(
         ).withColumn("band", F.lit(b))
         parts.append(band)
     banded = reduce(lambda x, y: x.unionByName(y), parts)
-    other = banded.select(
-        F.col("id").alias("id_b"), "band", "band_hash"
-    )
-    return (
-        banded.join(other, ["band", "band_hash"])
-        .where(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("id_a"), "id_b")
-        .distinct()
-    )
+    return bucket_candidate_pairs(banded, ["band", "band_hash"])
 
 
 def minhash_lsh_dedup(
@@ -201,29 +266,10 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(df, id_col, text_col, k)
     cand = lsh_candidate_pairs(sigs, k, bands)
     tok = tokens(df, id_col, text_col)
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 3
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    # r06: array_intersect verify — two joins of |cand| small rows
+    # against |docs| token-set arrays, instead of exploding
+    # |cand| x |doc| token rows through two shuffles and a groupBy
+    return verify_jaccard_candidates(cand, tok, threshold)
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -290,24 +336,24 @@ def simhash_near_dup_pairs(
             for j in range(n_bands)
         ]
     )
+    # r06: the bucket self-join and the distinct carry ONLY the two ids
+    # (16 bytes/row); the 8-byte signatures re-attach afterwards from
+    # the |docs|-row sigs frame (AQE broadcasts it when it fits) for
+    # the popcount verify — the old shape dragged both signatures
+    # through the multi-band duplicate rows and the distinct.
     banded = sigs.select(
-        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"), F.explode(nibbles).alias("b")
-    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.nib").alias("nib"))
-    other = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "nib"
-    )
-    cand = (
-        banded.join(other, ["band", "nib"])
-        .where(F.col("id") < F.col("id_b"))
-        .select(
-            F.col("id").alias("id_a"), "id_b", F.col("sig").alias("sig_a"), "sig_b"
-        )
-        .distinct()
-    )
+        F.col(id_col).alias("id"), F.explode(nibbles).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.nib").alias("nib"))
+    cand = bucket_candidate_pairs(banded, ["band", "nib"])
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    ).where(F.col("hamming") <= hamming_max)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= hamming_max)
+    )
 
 
 def duplicate_spans(
@@ -458,45 +504,21 @@ def ngram_jaccard_pairs_banded(
     the pair graph, operators/connected_components.py) rather than by
     weakening the blocker.
     """
-    tok = tokens(df, id_col, text_col, extra={lang_col: "lang"})
-    sizes = tok.groupBy("id", "lang").agg(F.count(F.lit(1)).alias("sz"))
     bucket = F.floor(F.col(band_col) / bucket_width).cast("int")
     blocks = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         F.explode(F.array(bucket, bucket + 1)).alias("block"),
     )
-    keyed = tok.join(blocks, ["id", "lang"])
-    a = keyed.select(
-        F.col("id").alias("id_a"), "lang", "block", "token"
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"), "lang", "block", "token"
-    )
-    inter = (
-        a.join(b, ["lang", "block", "token"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "token")
-        .distinct()
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                3,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    # r06: candidates from the (id, lang, block) table ALONE — the old
+    # shape multiplied the block self-join by the token dimension; the
+    # distinct collapses pairs meeting in both shared buckets. Verify
+    # is the shared array_intersect tail (a pair sharing a bucket but
+    # no token verifies at jaccard 0 and falls out, exactly as it
+    # produced no intersection row before).
+    cand = bucket_candidate_pairs(blocks, ["lang", "block"])
+    tok = tokens(df, id_col, text_col)
+    return verify_jaccard_candidates(cand, tok, threshold)
 
 
 def prefix_filter_jaccard(
@@ -546,31 +568,19 @@ def prefix_filter_jaccard(
     pfx = ranked.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("id", "token")
-    cand = (
-        pfx.withColumnRenamed("id", "id_a")
-        .join(pfx.withColumnRenamed("id", "id_b"), "token")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(jac >= threshold)
-        .select(
-            "id_a", "id_b", "inter", F.round(jac, 6).alias("jaccard")
-        )
+    # r06: shared salted/pinned bucket self-join — a stop-word-ish
+    # prefix token (possible under near-dup-dense skew) can no longer
+    # serialize its quadratic emission into one task
+    cand = bucket_candidate_pairs(pfx, ["token"])
+    # r06: array_intersect verify (raw-jaccard filter then 6 dp round,
+    # the PPJoin output contract) — see verify_jaccard_candidates
+    return verify_jaccard_candidates(
+        cand,
+        tok,
+        threshold,
+        round_dp=6,
+        round_before_filter=False,
+        with_inter=True,
     )
 
 

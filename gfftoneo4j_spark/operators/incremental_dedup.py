@@ -43,10 +43,17 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gfftoneo4j_spark.operators.dedup import minhash_signatures, tokens
+from gfftoneo4j_spark.operators.dedup import (
+    minhash_signatures,
+    tokens,
+    verify_jaccard_candidates,
+)
 
 _BANDS_SUBDIR = "bands"
 _TOKENS_SUBDIR = "tokens"
+# salt width for the probe join (see lsh_index_append): spreads one hot
+# band bucket's pair emission over this many tasks
+_SALT = 16
 
 
 def band_rows(
@@ -89,33 +96,13 @@ def verify_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard for candidate (id_a, id_b) pairs against
     a (id, token) table — the shared verify tail of batch and
-    incremental LSH. Touches only candidate rows, never the pair
-    space. Returns (id_a, id_b, jaccard) at >= threshold, 3dp."""
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                3,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    incremental LSH (delegates to the r06 array_intersect verify in
+    operators/dedup.py: two candidate-list joins against per-doc
+    token-set arrays instead of exploding |cand| x |doc| token rows;
+    collect_set dedupes, so replayed/duplicated token rows cannot
+    inflate sizes). Returns (id_a, id_b, jaccard) at >= threshold,
+    3dp."""
+    return verify_jaccard_candidates(cand, tok, threshold)
 
 
 def lsh_index_append(
@@ -161,22 +148,39 @@ def lsh_index_append(
     # denominator in the Jaccard — pytest-pinned regression)
     all_bands = old_bands.unionByName(new_bands).distinct()
     # candidates: new rows probe everything (history + this batch);
-    # the join key is the band bucket — never a corpus self-join
+    # the join key is the band bucket — never a corpus self-join.
+    # r06 (guide §2.5): the history side carries a deterministic salt
+    # and the (smaller) probing batch replicates ``_SALT`` ways, so a
+    # hot band bucket's quadratic emission spreads over _SALT tasks;
+    # join input and pair stream are pinned to core-derived partition
+    # counts because AQE sizes partitions from the KB-scale
+    # pre-explosion map outputs (measured: the whole probe+verify
+    # chain coalesced onto one task at sf0.1).
+    n_par = spark.sparkContext.defaultParallelism
+    salts = spark.range(_SALT).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    probe = new_bands.crossJoin(salts)
+    hist = all_bands.select(
+        F.col("id").alias("id_o"),
+        "band",
+        "band_hash",
+        F.pmod(F.xxhash64("id"), F.lit(_SALT)).cast("int").alias("_salt"),
+    ).repartition(n_par, "band", "band_hash", "_salt")
     cand = (
-        new_bands.join(
-            all_bands.select(
-                F.col("id").alias("id_o"), "band", "band_hash"
-            ),
-            ["band", "band_hash"],
-        )
+        probe.join(hist, ["band", "band_hash", "_salt"])
         .where(F.col("id") != F.col("id_o"))
         .select(
             F.least("id", "id_o").alias("id_a"),
             F.greatest("id", "id_o").alias("id_b"),
         )
-        .distinct()
+        .repartition(n_par * 4, "id_a", "id_b")
+        .dropDuplicates()
     )
-    all_tokens = old_tokens.unionByName(new_tokens).distinct()
+    # no .distinct() here: the verify's collect_set dedupes token rows
+    # itself, so replayed appends still can't inflate sizes (the same
+    # guarantee the old union-distinct provided, one shuffle cheaper)
+    all_tokens = old_tokens.unionByName(new_tokens)
     out = verify_jaccard_pairs(cand, all_tokens, threshold).localCheckpoint(
         eager=True
     )
