@@ -16806,33 +16806,93 @@ def group_kfold_snake(spark, sf_dir):
     descending activity (0,1,2,3,4,4,3,2,1,0,...) so heavy users
     spread evenly — balance lands within one user of optimal for
     skewed sizes, where naive hashing can load one fold with whales.
-    The global activity rank is the ONLY ordered step and runs on the
-    per-user aggregate; at extreme user counts it swaps in the
-    dense_ids bucket-offset two-phase rank, and the fold report is an
-    alphabet-sized window."""
+
+    r06 (VERDICT weak #2): the global activity rank no longer exists
+    as a single-partition row_number. The per-fold report is
+    tie-order invariant — every user in a tie block (same n_ev) has
+    the same n_ev, so (n_users, n_events) per fold depend only on
+    each block's START rank and SIZE, never on which tied user got
+    which rank (the activity_gini argument). Blocks get their start
+    offsets from the dense_ids bucket-offset two-phase rank
+    (range-bucket on n_ev desc, per-bucket totals, broadcast
+    cumulative offsets, bucket-local running sum), and per-block fold
+    membership is the closed-form residue count
+    #{r in [s, s+u): r % 10 = m} = C(s+u) - C(s),
+    C(X) = (X + 9 - m) div 10 — fold f collects residues f and 9-f.
+    The widest state anywhere is |distinct activity levels| spread
+    over 32 buckets; the fold report window is 5 rows."""
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
     )
-    r = u.select(
-        "user_id",
+    # one row per distinct activity level; u = users at that level
+    g = u.groupBy("n_ev").agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    n_buckets = 32
+    mx = g.agg(F.max("n_ev").alias("m"))
+    b = g.crossJoin(F.broadcast(mx)).select(
         "n_ev",
-        (
-            F.row_number().over(
-                Window.orderBy(F.col("n_ev").desc(), "user_id")
+        "u",
+        # bucket ASC == n_ev DESC so offsets accumulate in rank order
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("m") - F.col("n_ev")) * n_buckets / (F.col("m") + 1)
+            ).cast("int"),
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(F.sum("u").alias("bu"))
+    offsets = counts.select(
+        "bucket",
+        F.sum("bu")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, -1
             )
-            - 1
-        ).alias("r"),
+        )
+        .alias("off"),
+    ).fillna(0, ["off"])
+    local = Window.partitionBy("bucket").orderBy(F.col("n_ev").desc())
+    blocks = b.join(F.broadcast(offsets), "bucket").withColumn(
+        "s",
+        F.coalesce(
+            F.sum("u").over(local.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        )
+        + F.col("off"),
     )
-    pos = F.col("r") % 10
-    f = r.select(
+    # per block and fold f: members with rank residue f or 9-f
+    folds = blocks.select(
         "n_ev",
-        F.when(pos < 5, pos).otherwise(9 - pos).alias("fold"),
+        "u",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(4)).cast("array<int>")).alias(
+            "fold"
+        ),
     )
-    agg = f.groupBy("fold").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("n_ev").cast("bigint").alias("n_events"),
+
+    def _resid_count(m):
+        # integers r in [s, s+u) with r % 10 == m; all operands >= 0 so
+        # integral div == floor
+        c_hi = (F.col("s") + F.col("u") + 9 - m) / F.lit(10)
+        c_lo = (F.col("s") + 9 - m) / F.lit(10)
+        return F.floor(c_hi) - F.floor(c_lo)
+
+    members = (
+        _resid_count(F.col("fold")) + _resid_count(9 - F.col("fold"))
+    ).cast("bigint")
+    agg = (
+        folds.withColumn("members", members)
+        .groupBy("fold")
+        .agg(
+            F.sum("members").cast("bigint").alias("n_users"),
+            F.sum(F.col("members") * F.col("n_ev"))
+            .cast("bigint")
+            .alias("n_events"),
+        )
+        # a fold no user landed in produces no row in the rank-based
+        # formulation — drop the closed-form zero rows to match
+        .where(F.col("n_users") > 0)
     )
     wtot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -78,3 +78,17 @@ def test_scan_column_pruning(spark, sf_dir):
     # the query touches 4 of lineitem's 11 columns; the rest are pruned
     for unused in ("l_partkey", "l_quantity", "l_shipdate", "l_tax"):
         assert unused not in read_cols
+
+
+def test_kfold_snake_no_global_user_rank(spark, sf_dir):
+    """group_kfold_snake (r06): the per-user activity rank must not be
+    a single-partition row_number over ALL users — fold aggregates come
+    from the bucket-offset two-phase rank blocks. The only remaining
+    windows are the <=32-row bucket-offset window, the bucket-local
+    running sum (hash-partitioned by bucket), and the 5-row balance
+    report."""
+    plan = _plan(QUERIES["group_kfold_snake"](spark, sf_dir))
+    assert "row_number" not in plan, "global per-user rank reintroduced"
+    assert re.search(r"hashpartitioning\(bucket", plan), (
+        "bucket-local running sum window missing"
+    )
