@@ -179,15 +179,22 @@ def near_dup_pairs(
     missed; near-dups are missed only when a hyperplane splits them
     (recall tunable via number of planes). Returns
     (id_a, id_b, score) with id_a < id_b."""
+    from gfftoneo4j_spark.operators.dedup import bucket_candidate_pairs
+
     buckets = hyperplane_buckets(emb, planes, id_col, vec_col)
+    # r06: candidate pairs from the (id, bucket) table ALONE (shared
+    # salted/pinned self-join — a hot bucket can no longer serialize
+    # its quadratic emission into one task), vectors re-attached per
+    # pair so the arrays never ride the bucket join
+    cand = bucket_candidate_pairs(buckets, ["bucket"])
     v = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).join(buckets, "id")
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -54,18 +54,24 @@ def write_graph(
     if fs.exists(mpath):
         fs.delete(mpath, False)
     # K2 `create unique`: unique by natural key at the sink boundary.
-    # partitionBy repartitions on the partition column first so each
-    # task writes one directory (no small-file explosion across tasks).
+    # r06: repartition by (partition col, natural key) pinned to the
+    # core count — keying on the partition column ALONE collapsed the
+    # write to one task per label/type (a 30 TB type would be one
+    # straggler at scale; measured 3-task serial writes at sf0.1).
+    # Each task now writes at most one file per directory it holds, so
+    # files per directory are bounded by the task count and file size
+    # tracks data/cores (guide §6 sizing).
+    n_par = spark.sparkContext.defaultParallelism
     (
         nodes.dropDuplicates(["node_id"])
-        .repartition("label")
+        .repartition(n_par, "label", "node_id")
         .write.mode("overwrite")
         .partitionBy("label")
         .parquet(f"{path}/nodes")
     )
     (
         edges.dropDuplicates(["src", "dst", "type"])
-        .repartition("type")
+        .repartition(n_par, "type", "src")
         .write.mode("overwrite")
         .partitionBy("type")
         .parquet(f"{path}/edges")
@@ -216,16 +222,18 @@ def write_graph_snapshot(
                 used.add(int(name[1:]))
     version = (max(used) + 1) if used else 1
     vdir = f"{path}/v{version}"
+    # r06: (partition col, natural key) spread — see write_graph
+    n_par = spark.sparkContext.defaultParallelism
     (
         nodes.dropDuplicates(["node_id"])
-        .repartition("label")
+        .repartition(n_par, "label", "node_id")
         .write.mode("errorifexists")
         .partitionBy("label")
         .parquet(f"{vdir}/nodes")
     )
     (
         edges.dropDuplicates(["src", "dst", "type"])
-        .repartition("type")
+        .repartition(n_par, "type", "src")
         .write.mode("errorifexists")
         .partitionBy("type")
         .parquet(f"{vdir}/edges")

@@ -9384,16 +9384,27 @@ def semantic_dedup(spark, sf_dir):
     corpus = base.unionByName(pert)
     cents = SIM.train_centroids_kmeans(corpus, k=8, iters=1, seed=42)
     assign = SIM.ivf_assign(corpus, cents)
-    av = assign.join(
-        corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
-        "id",
+    # r06: in-cluster pairs from the (id, c_id) table alone via the
+    # shared salted/pinned bucket self-join (8 cluster keys serialized
+    # the whole pair scan into one task before), embeddings re-attached
+    # per pair afterwards — the 64-double arrays never ride the
+    # quadratic join's build rows
+    from gfftoneo4j_spark.operators.dedup import bucket_candidate_pairs
+
+    cand = bucket_candidate_pairs(
+        assign.select("id", "c_id"), ["c_id"]
+    ).join(
+        assign.select(F.col("id").alias("id_a"), "c_id"), "id_a"
     )
-    a = av.select("c_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = av.select("c_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    emb_v = corpus.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    av = emb_v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    bv = emb_v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     score = F.round(SIM.cosine(F.col("va"), F.col("vb")), 3)
     return (
-        a.join(b, "c_id")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
         .select("c_id", "id_a", "id_b", score.alias("score"))
         .where(F.col("score") >= 0.9)
     )
@@ -18863,23 +18874,27 @@ def mutual_nn_pairs(spark, sf_dir):
         F.col("embedding").alias("plane"),
     )
     buckets = SIM.hyperplane_buckets(emb, planes)
+    # r06: in-bucket pairs from the (id, bucket) table alone (shared
+    # salted/pinned self-join), both orientations restored for the
+    # per-id1 argmax, vectors re-attached per pair — the arrays never
+    # ride the quadratic bucket join
+    from gfftoneo4j_spark.operators.dedup import bucket_candidate_pairs
+
+    und = bucket_candidate_pairs(buckets, ["bucket"])
+    directed = und.select(
+        F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
+    ).unionByName(
+        und.select(F.col("id_b").alias("id1"), F.col("id_a").alias("id2"))
+    )
     v = emb.select(
         F.col("vec_id").alias("id"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    ).join(buckets, "id")
-    a = v.select(
-        F.col("id").alias("id1"),
-        F.col("v").alias("v1"),
-        "bucket",
     )
-    b = v.select(
-        F.col("id").alias("id2"),
-        F.col("v").alias("v2"),
-        "bucket",
-    )
+    a = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     scored = (
-        a.join(b, "bucket")
-        .where(F.col("id1") != F.col("id2"))
+        directed.join(a, "id1")
+        .join(b, "id2")
         .select(
             "id1",
             "id2",
