@@ -567,11 +567,54 @@ def prefix_filter_jaccard(
     # prefix length: n - ceil(t*n) + 1
     pfx = ranked.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("id", "token")
-    # r06: shared salted/pinned bucket self-join — a stop-word-ish
-    # prefix token (possible under near-dup-dense skew) can no longer
-    # serialize its quadratic emission into one task
-    cand = bucket_candidate_pairs(pfx, ["token"])
+    ).select("id", "token", "rn", "n")
+    # r06: salted/pinned prefix self-join (same parallelism fix as
+    # bucket_candidate_pairs — a stop-word-ish prefix token under
+    # near-dup-dense skew can no longer serialize its quadratic
+    # emission into one task) PLUS the PPJoin length and positional
+    # filters evaluated INSIDE the join, before the dedup shuffle.
+    # Both are provably recall-exact (Xiao et al., PPJoin):
+    # - length: J >= t forces min(n_a, n_b) >= t * max(n_a, n_b);
+    # - positional: common tokens all sit at ranks >= the FIRST shared
+    #   token's rank on BOTH sides (one global token order), so
+    #   overlap <= 1 + min(n_a - rn_a, n_b - rn_b); a true pair's
+    #   first shared emission always satisfies
+    #   that bound >= minoverlap = t/(1+t) * (n_a + n_b).
+    # The 1e-9 slack only WIDENS candidates at float boundaries —
+    # verification stays exact, so the output is unchanged.
+    n_par = pfx.sparkSession.sparkContext.defaultParallelism
+    salt = 16
+    eps = 1e-9
+    left = pfx.withColumn(
+        "_salt", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
+    ).repartition(n_par, "token", "_salt")
+    salts = pfx.sparkSession.range(salt).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    right = pfx.select(
+        F.col("id").alias("id_b"),
+        "token",
+        F.col("rn").alias("rn_b"),
+        F.col("n").alias("n_b"),
+    ).crossJoin(salts)
+    len_ok = (
+        F.least("n", "n_b") + F.lit(eps)
+        >= F.lit(threshold) * F.greatest("n", "n_b")
+    )
+    pos_ok = (
+        1
+        + F.least(F.col("n") - F.col("rn"), F.col("n_b") - F.col("rn_b"))
+        + F.lit(eps)
+        >= F.lit(threshold / (1.0 + threshold))
+        * (F.col("n") + F.col("n_b"))
+    )
+    cand = (
+        left.join(right, ["token", "_salt"])
+        .where((F.col("id") < F.col("id_b")) & len_ok & pos_ok)
+        .select(F.col("id").alias("id_a"), "id_b")
+        .repartition(n_par * 4, "id_a", "id_b")
+        .dropDuplicates()
+    )
     # r06: array_intersect verify (raw-jaccard filter then 6 dp round,
     # the PPJoin output contract) — see verify_jaccard_candidates
     return verify_jaccard_candidates(

@@ -921,19 +921,17 @@ def hits_fixed_point(
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         """raw: (node, col) summed scores -> L1-normalized to total
-        ~= scale, floor per element. ONE materialization per
-        half-round: the node-joined raw vector is cached, the scalar
-        sum reads that cache, and the normalized result stays a LAZY
-        projection over it — downstream consumers pay a cache scan +
-        one multiply, not a recompute. (A first cut _mat-ed the
-        normalized frame too: one extra barrier job per half-round for
-        zero reuse — the loop has exactly one consumer per vector.)"""
-        full = _mat(
-            nodes.join(raw, "node", "left").select(
-                "node",
-                F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col),
-            )
-        )
+        ~= scale, floor per element. ONE job per half-round (r06):
+        the node-joined raw vector is persisted and the scalar-sum
+        action itself materializes the cache — the earlier
+        _mat-then-sum shape paid a separate count() barrier before the
+        sum for the same blocks. The normalized result stays a LAZY
+        projection over the cache — downstream consumers pay a cache
+        scan + one multiply, not a recompute."""
+        full = nodes.join(raw, "node", "left").select(
+            "node",
+            F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(full)
         total = full.agg(F.sum(col)).collect()[0][0] or 1
         return full.select(

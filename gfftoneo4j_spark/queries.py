@@ -19387,30 +19387,26 @@ def minhash_calibration(spark, sf_dir):
         .join(sb, "id_b")
         .select("id_a", "id_b", k_match.cast("bigint").alias("k_match"))
     )
-    tok = tokens(corpus, "doc_id", "text")
-    sizes = tok.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sz")
-    )
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        mc.select("id_a", "id_b")
-        .join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
-    )
-    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
-    ii = F.coalesce(F.col("i"), F.lit(0).cast("bigint"))
+    # r06: exact Jaccard via the shared token-set-array representation
+    # (operators/dedup.token_set_arrays) — intersection and sizes as
+    # codegen'd array expressions per audited pair instead of the
+    # token-explode join + groupBy (pairs with no shared token simply
+    # intersect to 0, which the old LEFT-join coalesce emulated)
+    from gfftoneo4j_spark.operators.dedup import token_set_arrays
+
+    arrs = token_set_arrays(tokens(corpus, "doc_id", "text"))
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    ab = arrs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    ii = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
     truth = (
-        mc.join(inter, ["id_a", "id_b"], "left")
-        .join(za, "id_a")
-        .join(zb, "id_b")
+        mc.join(aa, "id_a")
+        .join(ab, "id_b")
         .select(
             "k_match",
             F.floor(
-                1000000.0 * ii / (F.col("sza") + F.col("szb") - ii)
+                1000000.0
+                * ii
+                / (F.size("toks_a") + F.size("toks_b") - ii)
             )
             .cast("bigint")
             .alias("j_micro"),
