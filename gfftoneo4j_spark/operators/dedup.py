@@ -14,8 +14,15 @@ md5-hex so a SQL oracle can reproduce results bit-for-bit):
 
 At 100 TB the critical properties: tokenization explodes rows but every
 groupBy is map-side combinable; self-joins happen only inside
-bucket/band groups (broadcastable or AQE-skew-split); no Python in the
-hot path.
+bucket/band groups; no Python in the hot path.
+
+r06 shared machinery: ``bucket_candidate_pairs`` (salted, explicitly
+pinned bucket self-join — AQE sizes partitions from pre-explosion
+map-output bytes and otherwise serializes the quadratic emission into
+one task) and ``token_set_arrays`` + ``verify_jaccard_candidates``
+(exact-Jaccard verification via codegen'd ``array_intersect`` over
+per-doc token-set arrays instead of exploding |cand| x |doc| token
+rows through two shuffles and a groupBy).
 """
 
 from __future__ import annotations
