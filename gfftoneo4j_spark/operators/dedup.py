@@ -27,8 +27,6 @@ rows through two shuffles and a groupBy).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -109,7 +107,14 @@ def shingles(
 
 
 def bucket_candidate_pairs(
-    keyed: DataFrame, key_cols: list[str], salt: int = 16
+    keyed: DataFrame,
+    key_cols: list[str],
+    salt: int = 16,
+    carry: list[str] | None = None,
+    pair_filter=None,
+    unique: bool = False,
+    out_carry: list[str] | None = None,
+    with_keys: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs of ids sharing a bucket key —
     the candidate-generation core every blocked/banded dedup shares.
@@ -132,37 +137,127 @@ def bucket_candidate_pairs(
       task (22 s single-threaded for 30.6 M emitted pairs). Pinning is
       derived from defaultParallelism (cluster: total executor cores),
       never a hard-coded local constant.
+
+    r06b — eliminating the raw-emission dedup shuffle (guide §2.2,
+    "shuffle fewer bytes"): a pair colliding in several buckets is
+    emitted once per bucket, so the naive stream needs a
+    ``dropDuplicates`` over the RAW emission (measured 30.6 M rows into
+    13.8 M at sf0.1 for the 4-band LSH). Callers whose bucket layout
+    lets them prove exactly-once emission skip that shuffle entirely:
+
+    - ``carry``: extra ``keyed`` columns shipped through the join —
+      visible to ``pair_filter`` as-is (left row) and ``<name>__b``
+      (right row);
+    - ``pair_filter(a, b)``: extra join predicate built from the two
+      accessors (``a("col")`` / ``b("col")``), evaluated INSIDE the
+      join before any emission leaves the task — the minimal-bucket
+      rule lives here;
+    - ``unique=True``: caller asserts each qualifying pair is emitted
+      exactly once (single bucket per id, or a minimal-bucket
+      ``pair_filter``), so the pinned repartition + dropDuplicates are
+      dropped. The downstream exchange then sizes itself from the REAL
+      post-explosion pair bytes, so AQE cannot under-partition it the
+      way it under-partitioned the kilobyte pre-explosion inputs;
+      the join carries a shuffle_hash hint (see below) so the pair
+      EMISSION itself runs on the pinned layout — without the
+      repartition there is no downstream exchange left to rescue a
+      single-task emission;
+    - ``out_carry`` / ``with_keys``: carried columns (as ``<c>_a`` /
+      ``<c>_b``) resp. the bucket key columns echoed into the output,
+      saving the caller a re-attach join against the id table.
     """
     n_par = keyed.sparkSession.sparkContext.defaultParallelism
     spark = keyed.sparkSession
+    carry = carry or []
     left = keyed.withColumn(
         "_salt", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
     ).repartition(n_par, *key_cols, "_salt")
     salts = spark.range(salt).select(F.col("id").cast("int").alias("_salt"))
-    right = keyed.select(F.col("id").alias("id_b"), *key_cols).crossJoin(
-        salts
+    right = keyed.select(
+        F.col("id").alias("id_b"),
+        *key_cols,
+        *[F.col(c).alias(f"{c}__b") for c in carry],
+    ).crossJoin(salts)
+    cond = F.col("id") < F.col("id_b")
+    if pair_filter is not None:
+        cond = cond & pair_filter(
+            lambda c: F.col(c), lambda c: F.col(f"{c}__b")
+        )
+    out_cols = [F.col("id").alias("id_a"), F.col("id_b")]
+    if with_keys:
+        out_cols += [F.col(k) for k in key_cols]
+    for c in out_carry or []:
+        out_cols += [
+            F.col(c).alias(f"{c}_a"),
+            F.col(f"{c}__b").alias(f"{c}_b"),
+        ]
+    # SHUFFLE_HASH, build = the unreplicated left: Spark otherwise
+    # BROADCASTS the kilobyte bucket table and streams the other side
+    # in the partitioning AQE coalesced from its tiny pre-explosion map
+    # bytes — measured at sf0.1 the whole 30 M-pair emission + verify
+    # chain ran in ONE task (153 s). The hint forces both sides onto
+    # the pinned hash(key_cols, _salt) layout (left's REPARTITION_BY_NUM
+    # is reused, AQE cannot coalesce it), so a hot bucket's quadratic
+    # emission genuinely spreads over the ``salt`` tasks.
+    pairs = (
+        left.hint("shuffle_hash")
+        .join(right, [*key_cols, "_salt"])
+        .where(cond)
+        .select(*out_cols)
     )
-    return (
-        left.join(right, [*key_cols, "_salt"])
-        .where(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("id_a"), "id_b")
-        .repartition(n_par * 4, "id_a", "id_b")
-        .dropDuplicates()
+    if unique:
+        return pairs
+    return pairs.repartition(n_par * 4, "id_a", "id_b").dropDuplicates()
+
+
+def intern_tokens(tok: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """(id, tid) — tokens replaced by injective LONG ids, exactly and
+    deterministically (no hash-collision risk: equal tokens get equal
+    tids, distinct tokens distinct tids, by construction).
+
+    Two-phase, no global sort (the dense_ids discipline): bucket the
+    distinct vocabulary by pmod(xxhash64(token), n_buckets), rank
+    within each bucket (a per-bucket window over ~|vocab|/n_buckets
+    rows), and take tid = rank * n_buckets + bucket — injective across
+    buckets without materializing cumulative offsets. One vocab
+    distinct + one |tok|-row equi-join on the token; both linear,
+    the same shape as the prefix filter's document-frequency join.
+
+    Why: exact-Jaccard verification compares token sets once per
+    CANDIDATE PAIR (tens of millions of rows); array_intersect over
+    long arrays measured 2.8x faster than over the raw string arrays
+    at sf0.1 (4.6 s vs 12.9 s for 13.8 M pairs) — the per-pair string
+    hashing moves to a per-TOKEN join done once (guide §2.3: shuffle
+    and probe narrower types)."""
+    vocab = tok.select("token").distinct().withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
     )
+    w = Window.partitionBy("bucket").orderBy("token")
+    vmap = vocab.select(
+        "token",
+        (
+            F.row_number().over(w).cast("long") * n_buckets + F.col("bucket")
+        ).alias("tid"),
+    )
+    return tok.join(vmap, "token").select("id", "tid")
 
 
 def token_set_arrays(tok: DataFrame) -> DataFrame:
     """(id, toks) — each document's distinct tokens folded into ONE
-    array row. The verify-side representation every Jaccard family
-    member shares: |toks| = the old per-id size count, and
+    array row of interned LONG ids (sorted for determinism). The
+    verify-side representation every Jaccard family member shares:
+    |toks| = the old per-id size count, and
     ``size(array_intersect(toks_a, toks_b))`` = the old token-equi-join
-    intersection count, computed in JVM codegen per candidate pair
-    instead of by exploding |cand| x |doc| token rows through two
+    intersection count (interning is injective, so intersection and
+    sizes are preserved exactly), computed in JVM codegen per candidate
+    pair instead of by exploding |cand| x |doc| token rows through two
     shuffles and a groupBy (guide §2.3/§2.4 — the r06 fix for the
     LSH-family bench walls). collect_set dedupes, so callers may pass
     non-distinct (id, token) rows; array size is bounded by document
     length, the same bound the exploded form had per group."""
-    return tok.groupBy("id").agg(F.collect_set("token").alias("toks"))
+    return intern_tokens(tok).groupBy("id").agg(
+        F.sort_array(F.collect_set("tid")).alias("toks")
+    )
 
 
 def verify_jaccard_candidates(
@@ -185,13 +280,27 @@ def verify_jaccard_candidates(
     ``round_before_filter`` mirrors the two historical contracts:
     minhash/banded filter on the ROUNDED jaccard (3 dp), the PPJoin
     path filters raw then rounds to 6 dp. ``with_inter`` adds the
-    intersection count column (PPJoin output contract)."""
+    intersection count column (PPJoin output contract).
+
+    r06b length prefilter (guide §3, "pre-filter when selective"):
+    J = i/(|a|+|b|-i) <= min(|a|,|b|)/max(|a|,|b|) always (i <= min,
+    union >= max), so any pair that can reach the output satisfies
+    min >= t_pre * max with t_pre strictly below the lowest raw
+    jaccard the filter accepts (threshold - 10^-dp covers the
+    round-half-up boundary; -1e-9 covers float edges). The size test
+    is two cached array lengths per pair; the array_intersect hash
+    probe — the expensive part — runs only on pairs that survive.
+    Recall-exact by the inequality above, so output is unchanged."""
     arrs = token_set_arrays(tok)
     a = arrs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = arrs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac_raw = inter / (F.size("toks_a") + F.size("toks_b") - inter)
-    joined = cand.join(a, "id_a").join(b, "id_b")
+    t_pre = threshold - (10.0 ** -round_dp if round_before_filter else 0.0) - 1e-9
+    len_ok = F.least(F.size("toks_a"), F.size("toks_b")) >= F.lit(t_pre) * F.greatest(
+        F.size("toks_a"), F.size("toks_b")
+    )
+    joined = cand.join(a, "id_a").join(b, "id_b").where(len_ok)
     cols = [F.col("id_a"), F.col("id_b")]
     if with_inter:
         cols.append(inter.cast("long").alias("inter"))
@@ -220,7 +329,10 @@ def ngram_jaccard_pairs(
     blocks = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block")
     ).distinct()
-    cand = bucket_candidate_pairs(blocks, ["block"])
+    # one block per document (the block is a function of the doc row),
+    # so every pair meets in exactly one bucket: unique=True skips the
+    # raw-emission dedup shuffle (r06b)
+    cand = bucket_candidate_pairs(blocks, ["block"], unique=True)
     tok = tokens(df, id_col, text_col)
     return verify_jaccard_candidates(cand, tok, threshold)
 
@@ -239,22 +351,67 @@ def minhash_signatures(
     return tok.groupBy("id").agg(*aggs)
 
 
+def _first_band_filter(arr_col: str, n_bands: int):
+    """Minimal-band join predicate: keep a candidate only at its FIRST
+    colliding band — true iff no band before the joined ``band`` also
+    matches. Expanded to scalar ``element_at`` comparisons (the band
+    count is a small static constant) instead of slice/zip_with
+    higher-order functions: the predicate runs once per RAW bucket
+    match (tens of millions of rows), and the scalar form stays in
+    whole-stage codegen with zero per-row array allocation."""
+
+    def pred(a, b):
+        cond = F.lit(False)
+        for bb in range(n_bands):
+            earlier_differ = F.lit(True)
+            for j in range(bb):
+                earlier_differ = earlier_differ & (
+                    F.element_at(a(arr_col), j + 1)
+                    != F.element_at(b(arr_col), j + 1)
+                )
+            cond = cond | ((F.col("band") == bb) & earlier_differ)
+        return cond
+
+    return pred
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, k: int = 8, bands: int = 4
 ) -> DataFrame:
     """Band the k signatures into ``bands`` groups of k/bands rows;
     a pair is a candidate iff it collides in >=1 band. The self-join is
-    per band-hash bucket, never global."""
+    per band-hash bucket, never global.
+
+    r06b minimal-band emission: a pair colliding in several bands used
+    to be emitted once per band and deduped with a 30.6 M-row shuffle
+    (sf0.1). Each row now carries the doc's full band-hash array and
+    the join keeps a pair only at its FIRST colliding band
+    (no earlier band hash matches) — exactly-once by construction,
+    identical pair set (>=1 colliding band still means >=1 emission,
+    the minimal one), no dedup shuffle."""
     rows_per_band = k // bands
-    parts = []
-    for b in range(bands):
-        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band = sigs.select(
-            "id", F.md5(F.concat_ws("|", *cols)).alias("band_hash")
-        ).withColumn("band", F.lit(b))
-        parts.append(band)
-    banded = reduce(lambda x, y: x.unionByName(y), parts)
-    return bucket_candidate_pairs(banded, ["band", "band_hash"])
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    f"sig_{i}"
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", F.array(*band_hashes).alias("bhs")).select(
+        "id", "bhs", F.posexplode("bhs").alias("band", "band_hash")
+    )
+    return bucket_candidate_pairs(
+        banded,
+        ["band", "band_hash"],
+        carry=["bhs"],
+        pair_filter=_first_band_filter("bhs", bands),
+        unique=True,
+    )
 
 
 def minhash_lsh_dedup(
@@ -332,35 +489,36 @@ def simhash_near_dup_pairs(
     if hamming_max >= n_bands:
         raise ValueError("pigeonhole recall needs hamming_max < n_bands")
     mask = (1 << band_bits) - 1
-    nibbles = F.array(
+    # r06b: minimal-band emission — each row carries the signature's
+    # full nibble array; the join keeps a pair only at its FIRST
+    # matching band (no earlier nibble equal), so every candidate is
+    # emitted exactly once and the raw-emission dedup shuffle is gone.
+    # The 8-byte signatures ride the same rows (out_carry), so the
+    # popcount verify needs no re-attach joins against the sigs frame
+    # either — the whole operator is one salted self-join.
+    nibs = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright(F.col(sig_col), band_bits * j)
-                .bitwiseAND(F.lit(mask))
-                .alias("nib"),
+            F.shiftright(F.col(sig_col), band_bits * j).bitwiseAND(
+                F.lit(mask)
             )
             for j in range(n_bands)
         ]
     )
-    # r06: the bucket self-join and the distinct carry ONLY the two ids
-    # (16 bytes/row); the 8-byte signatures re-attach afterwards from
-    # the |docs|-row sigs frame (AQE broadcasts it when it fits) for
-    # the popcount verify — the old shape dragged both signatures
-    # through the multi-band duplicate rows and the distinct.
     banded = sigs.select(
-        F.col(id_col).alias("id"), F.explode(nibbles).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.nib").alias("nib"))
-    cand = bucket_candidate_pairs(banded, ["band", "nib"])
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= hamming_max)
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"), nibs.alias("nibs")
+    ).select("id", "sig", "nibs", F.posexplode("nibs").alias("band", "nib"))
+    cand = bucket_candidate_pairs(
+        banded,
+        ["band", "nib"],
+        carry=["nibs", "sig"],
+        pair_filter=_first_band_filter("nibs", n_bands),
+        unique=True,
+        out_carry=["sig"],
     )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= hamming_max)
 
 
 def duplicate_spans(
@@ -515,15 +673,28 @@ def ngram_jaccard_pairs_banded(
     blocks = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
+        bucket.alias("bkt"),
         F.explode(F.array(bucket, bucket + 1)).alias("block"),
     )
     # r06: candidates from the (id, lang, block) table ALONE — the old
-    # shape multiplied the block self-join by the token dimension; the
-    # distinct collapses pairs meeting in both shared buckets. Verify
-    # is the shared array_intersect tail (a pair sharing a bucket but
-    # no token verifies at jaccard 0 and falls out, exactly as it
-    # produced no intersection row before).
-    cand = bucket_candidate_pairs(blocks, ["lang", "block"])
+    # shape multiplied the block self-join by the token dimension.
+    # r06b minimal-bucket emission: each doc sits in blocks
+    # {bkt, bkt+1}; two docs share greatest(bkt_a, bkt_b) iff they
+    # share any block (|bkt_a - bkt_b| <= 1), so emitting only there
+    # is exactly-once — no dedup shuffle for pairs meeting in both
+    # shared buckets. Verify is the shared array_intersect tail (a
+    # pair sharing a bucket but no token verifies at jaccard 0 and
+    # falls out, exactly as it produced no intersection row before).
+    min_shared = lambda a, b: F.col("block") == F.greatest(  # noqa: E731
+        a("bkt"), b("bkt")
+    )
+    cand = bucket_candidate_pairs(
+        blocks,
+        ["lang", "block"],
+        carry=["bkt"],
+        pair_filter=min_shared,
+        unique=True,
+    )
     tok = tokens(df, id_col, text_col)
     return verify_jaccard_candidates(cand, tok, threshold)
 
@@ -616,7 +787,15 @@ def prefix_filter_jaccard(
         * (F.col("n") + F.col("n_b"))
     )
     cand = (
-        left.join(right, ["token", "_salt"])
+        # SHUFFLE_HASH, build = the unreplicated left (same reasoning
+        # as bucket_candidate_pairs): letting Spark broadcast the
+        # near-threshold prefix table serializes the 132 M-row raw
+        # emission into the streaming side's AQE-coalesced partitioning
+        # — measured bimodal 5 s / 19 s walls depending on which way
+        # the size estimate fell; the hint pins the emission onto the
+        # hash(token, _salt) layout every run.
+        left.hint("shuffle_hash")
+        .join(right, ["token", "_salt"])
         .where((F.col("id") < F.col("id_b")) & len_ok & pos_ok)
         .select(F.col("id").alias("id_a"), "id_b")
         .repartition(n_par * 4, "id_a", "id_b")

@@ -168,6 +168,13 @@ def lsh_index_append(
         F.pmod(F.xxhash64("id"), F.lit(_SALT)).cast("int").alias("_salt"),
     ).repartition(n_par, "band", "band_hash", "_salt")
     cand = (
+        # no shuffle_hash hint here, deliberately (contrast with the
+        # batch self-join in operators/dedup.py): broadcasting the
+        # small probing batch leaves the STREAMING side = the history,
+        # whose pinned hash(band, band_hash, _salt) repartition keeps
+        # the quadratic emission parallel — forcing SHJ was measured
+        # ~25% slower at sf0.1 (extra probe shuffle + per-partition
+        # hash build for zero parallelism gain).
         probe.join(hist, ["band", "band_hash", "_salt"])
         .where(F.col("id") != F.col("id_o"))
         .select(

@@ -185,8 +185,9 @@ def near_dup_pairs(
     # r06: candidate pairs from the (id, bucket) table ALONE (shared
     # salted/pinned self-join — a hot bucket can no longer serialize
     # its quadratic emission into one task), vectors re-attached per
-    # pair so the arrays never ride the bucket join
-    cand = bucket_candidate_pairs(buckets, ["bucket"])
+    # pair so the arrays never ride the bucket join. unique=True: one
+    # bucket per vector, so pairs can't repeat — no dedup shuffle.
+    cand = bucket_candidate_pairs(buckets, ["bucket"], unique=True)
     v = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )

@@ -9388,13 +9388,13 @@ def semantic_dedup(spark, sf_dir):
     # shared salted/pinned bucket self-join (8 cluster keys serialized
     # the whole pair scan into one task before), embeddings re-attached
     # per pair afterwards — the 64-double arrays never ride the
-    # quadratic join's build rows
+    # quadratic join's build rows. r06b: one cluster per vector, so
+    # unique=True skips the dedup shuffle and with_keys echoes c_id
+    # into the pair stream, dropping the assign join-back.
     from gfftoneo4j_spark.operators.dedup import bucket_candidate_pairs
 
     cand = bucket_candidate_pairs(
-        assign.select("id", "c_id"), ["c_id"]
-    ).join(
-        assign.select(F.col("id").alias("id_a"), "c_id"), "id_a"
+        assign.select("id", "c_id"), ["c_id"], unique=True, with_keys=True
     )
     emb_v = corpus.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v")
@@ -18877,10 +18877,11 @@ def mutual_nn_pairs(spark, sf_dir):
     # r06: in-bucket pairs from the (id, bucket) table alone (shared
     # salted/pinned self-join), both orientations restored for the
     # per-id1 argmax, vectors re-attached per pair — the arrays never
-    # ride the quadratic bucket join
+    # ride the quadratic bucket join. r06b: one bucket per vector, so
+    # unique=True skips the dedup shuffle.
     from gfftoneo4j_spark.operators.dedup import bucket_candidate_pairs
 
-    und = bucket_candidate_pairs(buckets, ["bucket"])
+    und = bucket_candidate_pairs(buckets, ["bucket"], unique=True)
     directed = und.select(
         F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
     ).unionByName(
