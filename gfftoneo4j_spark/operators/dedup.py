@@ -23,6 +23,13 @@ one task) and ``token_set_arrays`` + ``verify_jaccard_candidates``
 (exact-Jaccard verification via codegen'd ``array_intersect`` over
 per-doc token-set arrays instead of exploding |cand| x |doc| token
 rows through two shuffles and a groupBy).
+
+r06b refinements: exactly-once candidate emission (minimal-band join
+filters + ``unique=True`` replace the raw-emission dropDuplicates
+shuffle; a shuffle_hash hint keeps the emission itself on the salted
+layout), ``intern_tokens`` (verify compares interned LONG ids, not
+strings — the per-pair hashing cost moves to one per-token join), and
+a recall-exact length prefilter ahead of the intersect.
 """
 
 from __future__ import annotations
