@@ -170,7 +170,16 @@ def dag_longest_path_levels(
     and the final level is one combinable max-aggregation over the
     r tags. `rounds` must be >= the DAG depth (callers that bound
     depth by construction pass that bound); fixed rounds keep the job
-    count static, the same discipline as pagerank_fixed_point."""
+    count static, the same discipline as pagerank_fixed_point.
+
+    Raises ValueError instead of returning quietly wrong levels when
+    (a) the frontier would still advance after the final round — an
+    under-provisioned ``rounds`` bound, or a cycle reachable from a
+    source — or (b) some node never entered any frontier (a cycle
+    component with no in-degree-0 ancestor; impossible on a true DAG,
+    where every node descends from some source). Each check is one
+    cheap limit-1 probe against the final checkpointed frontier /
+    level set (ADVICE r05)."""
     e = (
         edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -196,6 +205,24 @@ def dag_longest_path_levels(
             .localCheckpoint(eager=True)
         )
         levels = levels.union(frontier)
+    if frontier.join(e, frontier["node"] == e["s"]).limit(1).count() > 0:
+        raise ValueError(
+            f"dag_longest_path_levels: frontier still advancing after "
+            f"{rounds} rounds — rounds bound below the DAG depth, or a "
+            "cycle reachable from a source"
+        )
+    # probe the RAW level union (checkpointed frontiers), not the
+    # aggregated output — the anti-join needs only membership, and
+    # probing the groupBy would recompute the whole aggregation for a
+    # limit-1 answer
+    if nodes.join(
+        levels.select("node"), "node", "left_anti"
+    ).limit(1).count() > 0:
+        raise ValueError(
+            "dag_longest_path_levels: node(s) unreachable from every "
+            "in-degree-0 source — the input contains a cycle component "
+            "and is not a DAG"
+        )
     return levels.groupBy("node").agg(F.max("l").alias("level"))
 
 

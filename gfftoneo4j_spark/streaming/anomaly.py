@@ -62,8 +62,16 @@ def _score_group(key, pdf_iter, state: GroupState):
     (user_id,) = key
     n, s, ss = state.get if state.exists else (0, 0, 0)
     rows = []
-    for pdf in pdf_iter:
-        ordered = pdf.sort_values(["sec", "event_id"])
+    # concatenate ALL Arrow chunks before sorting: a user whose
+    # microbatch spans multiple chunks (>~10k rows) would otherwise be
+    # scored per-chunk — within-chunk order only — silently breaking
+    # the documented bit-parity with the batch prefix-window twin
+    # (ADVICE r05). Memory is bounded by one user's arrivals in one
+    # microbatch, which the exact-order contract requires in hand
+    # anyway before the first score can be emitted.
+    chunks = list(pdf_iter)
+    if chunks:
+        ordered = pd.concat(chunks).sort_values(["sec", "event_id"])
         for ev_id, v100 in zip(ordered["event_id"], ordered["v100"]):
             ev_id, v100 = int(ev_id), int(v100)
             if n >= _BURN_IN:

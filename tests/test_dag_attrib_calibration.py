@@ -163,3 +163,30 @@ def test_diff_in_diff_recompute(spark, sf_dir):
     assert r["n00"] == cells[(0, 0)][0]
     assert r["n11"] == cells[(1, 1)][0]
     assert abs(r["did"] - did) < 1e-5
+
+
+def test_dag_levels_raises_on_underprovisioned_rounds(spark):
+    # depth-3 chain with rounds=2: the frontier still advances after
+    # the final round -> must raise, not return truncated levels
+    import pytest
+
+    with pytest.raises(ValueError, match="still advancing"):
+        dag_longest_path_levels(
+            _edges(spark, [(0, 1), (1, 2), (2, 3)]), rounds=2
+        ).collect()
+
+
+def test_dag_levels_raises_on_cycles(spark):
+    import pytest
+
+    # cycle reachable from a source: frontier never drains
+    with pytest.raises(ValueError, match="still advancing"):
+        dag_longest_path_levels(
+            _edges(spark, [(0, 1), (1, 2), (2, 1)]), rounds=5
+        ).collect()
+    # cycle component with no in-degree-0 ancestor: its nodes never
+    # enter any frontier -> must raise, not silently drop them
+    with pytest.raises(ValueError, match="not a DAG"):
+        dag_longest_path_levels(
+            _edges(spark, [(0, 1), (5, 6), (6, 5)]), rounds=5
+        ).collect()

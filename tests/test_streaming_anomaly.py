@@ -115,3 +115,45 @@ def test_streaming_anomaly_flags_spike(spark):
     assert by_id[100]["n_prior"] == 10
     flat = [r for r in got if r["event_id"] != 100]
     assert flat and all(r["is_anomaly"] == 0 for r in flat)
+
+
+def test_score_group_orders_across_arrow_chunks():
+    """ADVICE r05: a user whose microbatch spans multiple Arrow chunks
+    must be scored in global (sec, event_id) order, not per-chunk.
+    Drives _score_group directly with a chunked iterator whose global
+    order interleaves across chunk boundaries."""
+    import pandas as pd
+
+    from gfftoneo4j_spark.streaming.anomaly import _score_group
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def run(chunks):
+        state = _FakeState()
+        out = list(_score_group((7,), iter(chunks), state))
+        rows = pd.concat(out) if out else pd.DataFrame()
+        return rows, state.value
+
+    # 12 events (non-degenerate spread so prior variance > 0 and
+    # post-burn-in events actually score); chunk split puts LATER
+    # seconds in the FIRST chunk
+    vals = [100, 110, 90, 105, 95, 100, 108, 92, 103, 97, 101, 900]
+    evs = [(sec, sec, v) for sec, v in enumerate(vals)]
+    cols = ["sec", "event_id", "v100"]
+    whole = [pd.DataFrame(evs, columns=cols)]
+    split = [
+        pd.DataFrame(evs[6:], columns=cols),   # later half first
+        pd.DataFrame(evs[:6], columns=cols),
+    ]
+    rows_whole, st_whole = run(whole)
+    rows_split, st_split = run(split)
+    assert st_whole == st_split
+    pd.testing.assert_frame_equal(
+        rows_whole.reset_index(drop=True), rows_split.reset_index(drop=True)
+    )
+    # the spike at the end scores as an anomaly in both
+    assert int(rows_whole.iloc[-1]["is_anomaly"]) == 1
