@@ -173,6 +173,16 @@ def bucket_candidate_pairs(
       ``<c>_b``) resp. the bucket key columns echoed into the output,
       saving the caller a re-attach join against the id table.
     """
+    if (out_carry or with_keys) and not unique:
+        # the non-unique path dedups over ALL output columns; echoed
+        # key/carry columns would make multi-bucket pairs survive as
+        # several rows (and a subset-dedup would pick an arbitrary
+        # bucket — nondeterministic). Exactly-once callers only.
+        raise ValueError(
+            "out_carry/with_keys require unique=True (exactly-once "
+            "emission); the deduped path cannot carry per-bucket "
+            "columns deterministically"
+        )
     n_par = keyed.sparkSession.sparkContext.defaultParallelism
     spark = keyed.sparkSession
     carry = carry or []
@@ -332,7 +342,14 @@ def ngram_jaccard_pairs(
     shape joined token rows, shuffling |pair| x |doc| rows) — then
     exact verification via array_intersect on per-doc token-set
     arrays. Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard
-    rounded to 3 dp (oracle-portable)."""
+    rounded to 3 dp (oracle-portable).
+
+    CONTRACT: ``block_col`` must be single-valued per document (a
+    function of the doc row, e.g. lang|n_chars) — exactly-once
+    emission relies on it; a multi-valued blocking column would
+    duplicate pairs that share several blocks (use
+    ngram_jaccard_pairs_banded for the multi-block layout, which
+    carries the minimal-shared-block rule)."""
     blocks = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block")
     ).distinct()
@@ -387,7 +404,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the k signatures into ``bands`` groups of k/bands rows;
     a pair is a candidate iff it collides in >=1 band. The self-join is
-    per band-hash bucket, never global.
+    per band-hash bucket, never global. CONTRACT: ``sigs`` must carry
+    ONE row per id (minhash_signatures' groupBy guarantees it) —
+    exactly-once emission relies on it.
 
     r06b minimal-band emission: a pair colliding in several bands used
     to be emitted once per band and deduped with a 30.6 M-row shuffle
@@ -492,6 +511,10 @@ def simhash_near_dup_pairs(
     8-byte signatures, no token re-shuffle (contrast with MinHash's
     exact-Jaccard verify, which re-joins tokens). Returns
     (id_a, id_b, hamming int) with id_a < id_b.
+
+    CONTRACT: ``sigs`` must carry ONE row per id (simhash16's groupBy
+    guarantees it) — exactly-once emission relies on it; duplicated
+    signature rows would duplicate output pairs.
     """
     if hamming_max >= n_bands:
         raise ValueError("pigeonhole recall needs hamming_max < n_bands")
@@ -677,12 +700,16 @@ def ngram_jaccard_pairs_banded(
     weakening the blocker.
     """
     bucket = F.floor(F.col(band_col) / bucket_width).cast("int")
+    # distinct: duplicated doc rows (an upstream replay) must not
+    # multiply pair emissions now that the pair-level dedup is gone —
+    # one slim |docs| x 2 shuffle restores the old tolerance (r06b
+    # review finding)
     blocks = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         bucket.alias("bkt"),
         F.explode(F.array(bucket, bucket + 1)).alias("block"),
-    )
+    ).distinct()
     # r06: candidates from the (id, lang, block) table ALONE — the old
     # shape multiplied the block self-join by the token dimension.
     # r06b minimal-bucket emission: each doc sits in blocks

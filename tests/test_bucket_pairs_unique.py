@@ -190,3 +190,34 @@ def test_verify_length_prefilter_keeps_boundary_pairs(spark):
         for r in verify_jaccard_candidates(cand, tok, 0.8).collect()
     }
     assert got == {(1, 2, 0.8)}
+
+
+def test_banded_blocking_tolerates_duplicated_doc_rows(spark):
+    # an upstream replay duplicates a doc row: the blocks distinct must
+    # keep pair emission exactly-once (review finding, r06b)
+    rows = [
+        (1, "en", 10, "a b c d e f g h i j"),
+        (1, "en", 10, "a b c d e f g h i j"),  # replayed copy
+        (2, "en", 11, "a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars int, text string"
+    )
+    out = ngram_jaccard_pairs_banded(
+        df, "doc_id", "text", "lang", "n_chars", threshold=0.8,
+        bucket_width=16,
+    )
+    got = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert got == [(1, 2)]
+
+
+def test_carry_output_requires_unique(spark):
+    import pytest
+
+    keyed = spark.createDataFrame(
+        [(1, 0), (2, 0)], "id long, bucket int"
+    )
+    with pytest.raises(ValueError, match="unique=True"):
+        bucket_candidate_pairs(keyed, ["bucket"], with_keys=True)
+    with pytest.raises(ValueError, match="unique=True"):
+        bucket_candidate_pairs(keyed, ["bucket"], out_carry=["bucket"])
